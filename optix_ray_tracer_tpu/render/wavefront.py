@@ -1,0 +1,226 @@
+"""Wavefront integrator — the TPU-native replacement for the reference's
+recursive OptiX megakernel.
+
+The reference shades by device-side recursion: closest-hit re-invokes
+``optixTrace`` up to depth 5 and multiplies the returned radiance by the
+surface albedo on unwind (``shader/Shader.cu:229-241``).  XLA cannot
+recurse, and a TPU earns throughput from big regular batches — so the
+integrator is an *iterative wavefront*: a ``lax.scan`` over bounce depth
+carrying SoA ray state (origin, direction, throughput, radiance, alive mask)
+for the whole batch.  The unwind-multiply becomes a running ``throughput``
+product, mathematically identical:
+
+    radiance = (prod of albedos along the path) * background   on a miss
+    radiance = 0                                               depth exhausted
+
+Matching the reference protocol exactly (payload starts at depth w=1, a hit
+with w >= rayTraceDepth returns black, miss returns the background color —
+Shader.cu:102-107, 276-287):  bounce index b in [0, max_depth) corresponds
+to w = b+1; a hit at b == max_depth-1 contributes nothing.
+
+Extensions beyond the reference shader (required by BASELINE configs):
+DIELECTRIC scattering and EMISSIVE accumulation, plus first-bounce
+albedo/normal guide buffers (the reference captures these for the OptiX
+denoiser at w==1, Shader.cu:216-227).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from optix_ray_tracer_tpu.ops import intersect as isect
+from optix_ray_tracer_tpu.scene.geometry import Scene
+from optix_ray_tracer_tpu.scene.materials import (
+    DIELECTRIC, EMISSIVE, METAL, ROUGH, MaterialTable,
+)
+from optix_ray_tracer_tpu.utils import rng
+from optix_ray_tracer_tpu.utils.vecmath import (
+    EPS, dot, length_squared, normalize, reflect, refract, schlick_fresnel,
+)
+
+# Decorrelation constants folded into the RNG seed per random *purpose*
+# (dimension); arbitrary odd constants kept below 2^31 so they xor cleanly
+# with traced int32 seeds.
+_DIM_SCATTER = 0x1E3779B9
+_DIM_FUZZ = 0x05EBCA6B
+_DIM_FRESNEL = 0x42B2AE35
+
+# The reference's max recursion depth (include/Global/Shader.cuh:8).
+DEFAULT_MAX_DEPTH = 5
+# Miss background of both frontends (src/Global/RendererMesh.cu:261).
+DEFAULT_BACKGROUND = (0.7, 0.8, 0.9)
+
+
+def scatter(materials: MaterialTable, material_id, d_in, normal, front_face,
+            pixel_id, sample, bounce, seed):
+    """Compute the scattered direction + attenuation for a batch of hits.
+
+    Vectorized replacement for the material switch in ``closesthitImpl``
+    (shader/Shader.cu:164-213): every BSDF branch is evaluated masked and
+    blended — no divergence on the VPU.
+
+    Returns (new_dir (R,3) unit, attenuation (R,3), emitted (R,3),
+    terminate (R,) — True for EMISSIVE hits which end the path).
+    """
+    mtype, albedo, param, emission = materials.gather(material_id)
+    n = normalize(normal)
+
+    # ROUGH: Lambertian, dir = normal + unit_sphere_sample with the
+    # degenerate-cancellation guard (Shader.cu:169-179).
+    rand_unit = rng.random_unit_vector(pixel_id, sample, bounce,
+                                       seed ^ _DIM_SCATTER)
+    d_rough = n + rand_unit
+    degenerate = length_squared(d_rough) < EPS
+    d_rough = jnp.where(degenerate[..., None], n, d_rough)
+
+    # METAL: mirror + fuzz * unit_sphere_sample (Shader.cu:180-191).
+    d_metal = normalize(reflect(d_in, n))
+    fuzz_vec = rng.random_unit_vector(pixel_id, sample, bounce,
+                                      seed ^ _DIM_FUZZ)
+    d_metal = d_metal + param[..., None] * fuzz_vec
+
+    # DIELECTRIC: refract unless TIR/Schlick says reflect.
+    ior = jnp.where(param > 0.0, param, 1.5)
+    eta = jnp.where(front_face, 1.0 / ior, ior)
+    cos_theta = jnp.minimum(-dot(d_in, n), 1.0)
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    cannot_refract = eta * sin_theta > 1.0
+    u_fresnel = rng.uniform4(pixel_id, sample, bounce, seed ^ _DIM_FRESNEL)[0]
+    reflectance = schlick_fresnel(cos_theta, ior)
+    do_reflect = cannot_refract | (reflectance > u_fresnel)
+    d_refr = refract(d_in, n, eta[..., None])
+    d_diel = jnp.where(do_reflect[..., None], normalize(reflect(d_in, n)), d_refr)
+
+    is_metal = (mtype == METAL)[..., None]
+    is_diel = (mtype == DIELECTRIC)[..., None]
+    new_dir = jnp.where(is_diel, d_diel, jnp.where(is_metal, d_metal, d_rough))
+
+    # Numeric fallback chain (Shader.cu:202-213): non-finite or near-zero
+    # direction -> normal -> fixed +z.
+    bad = (~jnp.all(jnp.isfinite(new_dir), axis=-1)) | \
+          (length_squared(new_dir) <= EPS)
+    new_dir = jnp.where(bad[..., None], n, new_dir)
+    bad2 = (~jnp.all(jnp.isfinite(new_dir), axis=-1)) | \
+           (length_squared(new_dir) <= EPS)
+    fallback = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], new_dir.dtype),
+                                new_dir.shape)
+    new_dir = normalize(jnp.where(bad2[..., None], fallback, new_dir))
+
+    attenuation = jnp.where(is_diel, jnp.ones_like(albedo), albedo)
+    terminate = mtype == EMISSIVE
+    return new_dir, attenuation, emission, terminate
+
+
+@partial(jax.jit, static_argnames=("max_depth", "intersect_fn"))
+def trace(scene: Scene, materials: MaterialTable, origins, directions,
+          pixel_id, sample, seed, background,
+          max_depth: int = DEFAULT_MAX_DEPTH,
+          intersect_fn: Callable = isect.intersect_scene_bruteforce):
+    """Trace a wavefront of rays to completion.
+
+    origins/directions: (R, 3); pixel_id: (R,) int32; sample: scalar int;
+    seed: scalar int; background: (3,) linear color.
+
+    Returns (radiance (R,3) linear, albedo_guide (R,3), normal_guide (R,3)).
+    """
+    nrays = origins.shape[0]
+    background = jnp.asarray(background, jnp.float32)
+
+    state = dict(
+        o=origins, d=directions,
+        throughput=jnp.ones((nrays, 3), jnp.float32),
+        radiance=jnp.zeros((nrays, 3), jnp.float32),
+        alive=jnp.ones((nrays,), bool),
+        albedo_g=jnp.zeros((nrays, 3), jnp.float32),
+        normal_g=jnp.zeros((nrays, 3), jnp.float32),
+    )
+
+    def bounce_step(state, b):
+        hit = intersect_fn(scene, state["o"], state["d"])
+        alive = state["alive"]
+        missed = alive & ~hit.is_hit
+        hit_alive = alive & hit.is_hit
+
+        # miss: add throughput-weighted background (Shader.cu:276-287)
+        radiance = state["radiance"] + jnp.where(
+            missed[..., None], state["throughput"] * background, 0.0)
+
+        point, normal, front_face, material_id = isect.shading_frame(
+            scene, state["o"], state["d"], hit)
+        new_dir, attenuation, emission, emissive_hit = scatter(
+            materials, material_id, state["d"], normal, front_face,
+            pixel_id, sample, b, seed)
+
+        # EMISSIVE extension: emitters contribute and end the path.
+        radiance = radiance + jnp.where(
+            (hit_alive & emissive_hit)[..., None],
+            state["throughput"] * emission, 0.0)
+
+        # guide buffers at the first bounce (w==1; Shader.cu:216-227)
+        first = hit_alive & (b == 0)
+        albedo_g = jnp.where(first[..., None], attenuation, state["albedo_g"])
+        normal_g = jnp.where(first[..., None], normalize(normal),
+                             state["normal_g"])
+
+        scattered = hit_alive & ~emissive_hit
+        # depth exhaustion: a hit on the last bounce contributes nothing
+        # (handled by the scan simply ending with alive=True rays dropped).
+        throughput = jnp.where(scattered[..., None],
+                               state["throughput"] * attenuation,
+                               state["throughput"])
+        o = jnp.where(scattered[..., None], point, state["o"])
+        d = jnp.where(scattered[..., None], new_dir, state["d"])
+        alive = scattered
+
+        return dict(o=o, d=d, throughput=throughput, radiance=radiance,
+                    alive=alive, albedo_g=albedo_g, normal_g=normal_g), None
+
+    state, _ = jax.lax.scan(bounce_step, state,
+                            jnp.arange(max_depth, dtype=jnp.int32))
+    return state["radiance"], state["albedo_g"], state["normal_g"]
+
+
+@partial(jax.jit,
+         static_argnames=("width", "height", "spp", "max_depth",
+                          "intersect_fn", "jitter"))
+def render(scene: Scene, materials: MaterialTable, camera,
+           width: int, height: int, spp: int = 1, seed: int = 0,
+           background=DEFAULT_BACKGROUND,
+           max_depth: int = DEFAULT_MAX_DEPTH,
+           intersect_fn: Callable = isect.intersect_scene_bruteforce,
+           jitter: bool = True):
+    """Render a full frame: spp samples per pixel, accumulated in linear space.
+
+    The reference renders 1 spp/frame at pixel centers and relies on the AI
+    denoiser; we default to jittered progressive accumulation (the TPU-native
+    noise strategy) but spp=1, jitter=False reproduces the reference's
+    sampling pattern.
+
+    Returns (image (H, W, 3) linear, albedo (H, W, 3), normal (H, W, 3)).
+    """
+    npix = width * height
+    pixel_id = jnp.arange(npix, dtype=jnp.int32)
+
+    def sample_step(acc, s):
+        if jitter:
+            u1, u2, _, _ = rng.uniform4(pixel_id, s, jnp.int32(-1), seed)
+            jit_uv = jnp.stack([u1, u2], -1).reshape(height, width, 2)
+        else:
+            jit_uv = None
+        o, d = camera.generate_rays(width, height, jit_uv)
+        radiance, albedo_g, normal_g = trace(
+            scene, materials, o.reshape(-1, 3), d.reshape(-1, 3),
+            pixel_id, s, seed, background, max_depth, intersect_fn)
+        return (acc[0] + radiance, acc[1] + albedo_g, acc[2] + normal_g), None
+
+    zeros = jnp.zeros((npix, 3), jnp.float32)
+    (rad, alb, nrm), _ = jax.lax.scan(
+        sample_step, (zeros, zeros, zeros), jnp.arange(spp, dtype=jnp.int32))
+    inv = 1.0 / spp
+    return (rad.reshape(height, width, 3) * inv,
+            alb.reshape(height, width, 3) * inv,
+            nrm.reshape(height, width, 3) * inv)
