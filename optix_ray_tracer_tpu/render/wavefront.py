@@ -27,7 +27,6 @@ denoiser at w==1, Shader.cu:216-227).
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -115,18 +114,27 @@ def scatter(materials: MaterialTable, material_id, d_in, normal, front_face,
     return new_dir, attenuation, emission, terminate
 
 
-@partial(jax.jit, static_argnames=("max_depth", "intersect_fn"))
+def _default_intersector():
+    from optix_ray_tracer_tpu.ops.traverse import BruteForceIntersector
+    return BruteForceIntersector()
+
+
+@partial(jax.jit, static_argnames=("max_depth",))
 def trace(scene: Scene, materials: MaterialTable, origins, directions,
           pixel_id, sample, seed, background,
           max_depth: int = DEFAULT_MAX_DEPTH,
-          intersect_fn: Callable = isect.intersect_scene_bruteforce):
+          intersector=None):
     """Trace a wavefront of rays to completion.
 
     origins/directions: (R, 3); pixel_id: (R,) int32; sample: scalar int;
-    seed: scalar int; background: (3,) linear color.
+    seed: scalar int; background: (3,) linear color.  ``intersector`` is a
+    pytree (BVHIntersector / BruteForceIntersector); None = brute force.
 
     Returns (radiance (R,3) linear, albedo_guide (R,3), normal_guide (R,3)).
     """
+    if intersector is None:
+        intersector = _default_intersector()
+    intersect_fn = intersector.intersect
     nrays = origins.shape[0]
     background = jnp.asarray(background, jnp.float32)
 
@@ -185,13 +193,12 @@ def trace(scene: Scene, materials: MaterialTable, origins, directions,
 
 
 @partial(jax.jit,
-         static_argnames=("width", "height", "spp", "max_depth",
-                          "intersect_fn", "jitter"))
+         static_argnames=("width", "height", "spp", "max_depth", "jitter"))
 def render(scene: Scene, materials: MaterialTable, camera,
            width: int, height: int, spp: int = 1, seed: int = 0,
            background=DEFAULT_BACKGROUND,
            max_depth: int = DEFAULT_MAX_DEPTH,
-           intersect_fn: Callable = isect.intersect_scene_bruteforce,
+           intersector=None,
            jitter: bool = True):
     """Render a full frame: spp samples per pixel, accumulated in linear space.
 
@@ -202,6 +209,8 @@ def render(scene: Scene, materials: MaterialTable, camera,
 
     Returns (image (H, W, 3) linear, albedo (H, W, 3), normal (H, W, 3)).
     """
+    if intersector is None:
+        intersector = _default_intersector()
     npix = width * height
     pixel_id = jnp.arange(npix, dtype=jnp.int32)
 
@@ -214,7 +223,7 @@ def render(scene: Scene, materials: MaterialTable, camera,
         o, d = camera.generate_rays(width, height, jit_uv)
         radiance, albedo_g, normal_g = trace(
             scene, materials, o.reshape(-1, 3), d.reshape(-1, 3),
-            pixel_id, s, seed, background, max_depth, intersect_fn)
+            pixel_id, s, seed, background, max_depth, intersector)
         return (acc[0] + radiance, acc[1] + albedo_g, acc[2] + normal_g), None
 
     zeros = jnp.zeros((npix, 3), jnp.float32)
