@@ -1,0 +1,230 @@
+"""Time-mode renderer frontend.
+
+TPU-native counterpart of ``RendererTime`` (``src/Global/RendererTime.cu``):
+VTK files carry only particle poses (position, quaternion, velocity,
+shape_id); geometry comes from a shared library of STL shapes loaded once
+(RendererTime.cu:176-182, lexicographic filename order = shape_id).  Per
+frame, positions integrate along velocity and orientations slerp between
+consecutive files (RendererTime.cu:436-472).
+
+TPU-first redesign:
+
+* The STL shape library is one packed triangle buffer with (offset, count)
+  ranges (``ShapeLibrary``); per-frame instancing is a device-side gather +
+  batched affine ("flatten instancing"), replacing pinned OptixInstance
+  arrays + H2D copies + IAS refit.
+* Orientation math: the reference converts the slerped quaternion to Euler
+  XYZ degrees and rebuilds Rx@Ry@Rz (RendererTime.cu:343-370 +
+  DeviceFunctions.cuh:128-133) — a lossy decompose/recompose round-trip
+  (the conventions don't commute).  We rotate directly with the quaternion's
+  rotation matrix (exact); pass ``reference_euler_path=True`` to reproduce
+  the reference's numerics bit-for-bit intention.
+* Particle slerp/integration is jitted and runs on device for ALL particles
+  at once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from optix_ray_tracer_tpu.io.config import RendererConfig
+from optix_ray_tracer_tpu.io.series import load_stl_directory, read_series
+from optix_ray_tracer_tpu.io.vtk import read_time_file
+from optix_ray_tracer_tpu.models import common
+from optix_ray_tracer_tpu.ops.bvh import build_scene_lbvh
+from optix_ray_tracer_tpu.ops.traverse import BVHIntersector
+from optix_ray_tracer_tpu.render import wavefront
+from optix_ray_tracer_tpu.render.film import Film
+from optix_ray_tracer_tpu.scene.geometry import (
+    Scene, ShapeLibrary, Spheres, Triangles,
+)
+from optix_ray_tracer_tpu.utils.logging import LOG
+from optix_ray_tracer_tpu.utils.transforms import (
+    quat_slerp, quat_to_euler_degrees, quat_to_rotation_matrix,
+    rotation_matrix_euler_xyz_degrees,
+)
+
+
+@dataclasses.dataclass
+class TimeRendererData:
+    config: RendererConfig
+    materials: object
+    material_offset: int
+    extra_spheres: Spheres
+    durations: list[float]
+    library: ShapeLibrary
+    # padded per-file particle state (F, Pmax, ...)
+    positions: jax.Array      # (F, Pmax, 3)
+    quats: jax.Array          # (F, Pmax, 4) w-x-y-z
+    velocities: jax.Array     # (F, Pmax, 3)
+    shape_ids: jax.Array      # (F, Pmax) int32
+    particle_mat: jax.Array   # (F, Pmax) int32
+    particle_valid: jax.Array  # (F, Pmax) bool
+    file_count: int
+    camera: object
+    reference_euler_path: bool = False
+    update_fn: Callable | None = None
+
+
+def commit(config: RendererConfig,
+           reference_euler_path: bool = False) -> TimeRendererData:
+    """RendererTime::commitRendererData parity: STL library + pose series."""
+    meshes = load_stl_directory(config.resolve(config.stl_path))
+    library = ShapeLibrary.from_meshes(meshes)
+    LOG.info("time mode: %d STL shapes, %d packed triangles",
+             library.num_shapes, int(library.vertices.shape[0]))
+
+    series = read_series(config.resolve(config.series_path), config.series_name)
+    frames = [read_time_file(p) for p in series.paths]
+    LOG.info("time mode: %d pose files", len(frames))
+
+    max_points = max((len(f.ids) for f in frames), default=0)
+    materials, _, metal_base, material_offset = common.build_materials(
+        config, max_points)
+    extra_spheres = common.build_extra_spheres(config, metal_base)
+
+    pmax = max(max_points, 1)
+    F = len(frames)
+    pos = np.zeros((F, pmax, 3), np.float32)
+    quat = np.tile(np.asarray([1.0, 0, 0, 0], np.float32), (F, pmax, 1))
+    vel = np.zeros((F, pmax, 3), np.float32)
+    sid = np.zeros((F, pmax), np.int32)
+    pmat = np.zeros((F, pmax), np.int32)
+    valid = np.zeros((F, pmax), bool)
+    for i, f in enumerate(frames):
+        p = len(f.ids)
+        pos[i, :p] = f.positions
+        quat[i, :p] = f.quats
+        vel[i, :p] = f.velocities
+        sid[i, :p] = np.clip(f.shape_ids, 0, max(library.num_shapes - 1, 0))
+        pmat[i, :p] = f.ids.astype(np.int32) + material_offset
+        valid[i, :p] = True
+
+    return TimeRendererData(
+        config=config, materials=materials, material_offset=material_offset,
+        extra_spheres=extra_spheres, durations=series.durations,
+        library=library,
+        positions=jnp.asarray(pos), quats=jnp.asarray(quat),
+        velocities=jnp.asarray(vel), shape_ids=jnp.asarray(sid),
+        particle_mat=jnp.asarray(pmat), particle_valid=jnp.asarray(valid),
+        file_count=F, camera=common.camera_from_config(config),
+        reference_euler_path=reference_euler_path)
+
+
+def set_update_fn(data: TimeRendererData, fn: Callable) -> None:
+    data.update_fn = fn
+
+
+@partial(jax.jit, static_argnames=("budget", "euler_path"))
+def _frame_triangles(lib_vertices, lib_normals, lib_offsets, lib_counts,
+                     pos_cur, quat_cur, quat_next, vel, shape_id, pmat, valid,
+                     duration, frame_idx, inv_frames_minus1, inv_frame_count,
+                     particle_shift, particle_scale,
+                     budget: int, euler_path: bool):
+    """Device-side per-frame instancing:
+
+    position(t) = pos + velocity*duration*frame/frameCount + global shift
+    orientation(t) = slerp(quat_cur, quat_next, frame/(frameCount-1))
+    world_verts = R @ (v * scale) + position            per instance, gathered
+    (RendererTime.cu:436-472 semantics, fully on device.)
+    """
+    factor = jnp.clip(frame_idx * inv_frames_minus1, 0.0, 1.0)
+    q = quat_slerp(quat_cur, quat_next, jnp.broadcast_to(factor, quat_cur.shape[:-1]))
+    if euler_path:
+        rot = rotation_matrix_euler_xyz_degrees(quat_to_euler_degrees(q))
+    else:
+        rot = quat_to_rotation_matrix(q)
+
+    shift = (pos_cur + vel * (duration * frame_idx * inv_frame_count)
+             + particle_shift[None, :])                       # (P, 3)
+
+    base = lib_offsets[shape_id]                              # (P,)
+    cnt = lib_counts[shape_id]
+    slot = jnp.arange(budget, dtype=jnp.int32)[None, :]
+    tri_idx = base[:, None] + slot
+    tri_ok = (slot < cnt[:, None]) & valid[:, None]
+    tri_idx = jnp.where(tri_ok, tri_idx, 0)
+
+    v = lib_vertices[tri_idx]                                 # (P, B, 3, 3)
+    n = lib_normals[tri_idx]
+    v = v * particle_scale                                    # scale in object space
+    v = jnp.einsum('pij,pbkj->pbki', rot, v) + shift[:, None, None, :]
+    n = jnp.einsum('pij,pbkj->pbki', rot, n)
+    v = jnp.where(tri_ok[..., None, None], v, 0.0)
+
+    mat = jnp.broadcast_to(pmat[:, None], tri_ok.shape)
+    return (v.reshape(-1, 3, 3), n.reshape(-1, 3, 3),
+            mat.reshape(-1).astype(jnp.int32))
+
+
+def frame_scene(data: TimeRendererData, file_index: int, frame_index: int,
+                frame_count: int) -> Scene:
+    cfg = data.config.loop_data
+    next_index = min(file_index + 1, data.file_count - 1)
+    budget = int(data.library.counts.max()) if data.library.num_shapes else 0
+    if budget == 0:
+        tris = Triangles.empty()
+    else:
+        v, n, mat = _frame_triangles(
+            data.library.vertices, data.library.normals,
+            jnp.asarray(data.library.offsets, jnp.int32),
+            jnp.asarray(data.library.counts, jnp.int32),
+            data.positions[file_index], data.quats[file_index],
+            data.quats[next_index], data.velocities[file_index],
+            data.shape_ids[file_index], data.particle_mat[file_index],
+            data.particle_valid[file_index],
+            jnp.float32(data.durations[file_index]),
+            jnp.float32(frame_index),
+            jnp.float32(1.0 / max(frame_count - 1, 1)),
+            jnp.float32(1.0 / max(frame_count, 1)),
+            jnp.asarray(cfg.particle_shift, jnp.float32),
+            jnp.asarray(cfg.particle_scale, jnp.float32),
+            budget=budget, euler_path=data.reference_euler_path)
+        tris = Triangles(v, n, mat)
+
+    spheres = data.extra_spheres
+    if data.update_fn is not None:
+        out = data.update_fn(spheres, frame_index)
+        if out is not None:
+            spheres = out
+    return Scene(spheres=spheres, triangles=tris)
+
+
+def render_frames(data: TimeRendererData, width: int | None = None,
+                  height: int | None = None, spp: int | None = None,
+                  max_frames: int | None = None,
+                  loop: bool = False) -> Iterator[tuple[int, int, Film]]:
+    """startRender parity (headless): yields (file_index, frame_index, Film)."""
+    cfg = data.config
+    ld = cfg.loop_data
+    width = width or ld.window_width
+    height = height or ld.window_height
+    spp = spp or cfg.spp
+
+    produced = 0
+    while True:
+        for fi in range(data.file_count):
+            n_frames = common.frame_count_for_file(
+                data.durations[fi], ld.fps, ld.render_speed_ratio)
+            for k in range(n_frames):
+                scene = frame_scene(data, fi, k, n_frames)
+                intersector = BVHIntersector(bvh=build_scene_lbvh(scene)) \
+                    if scene.triangle_count + scene.sphere_count >= 2 else None
+                img, alb, nrm = wavefront.render(
+                    scene, data.materials, data.camera, width, height,
+                    spp=spp, seed=cfg.seed + produced,
+                    background=cfg.background, max_depth=cfg.max_depth,
+                    intersector=intersector)
+                film = Film.create(width, height).add(img, alb, nrm, spp)
+                yield fi, k, film
+                produced += 1
+                if max_frames is not None and produced >= max_frames:
+                    return
+        if not loop:
+            return
