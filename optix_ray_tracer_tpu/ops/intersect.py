@@ -64,14 +64,24 @@ class Hit:
                    v=jnp.zeros(batch_shape, jnp.float32))
 
 
+def _per_ray_bound(t, nrays):
+    """Normalize a scalar-or-(R,) ray bound to shape (R, 1) for (R, C) ops."""
+    t = jnp.asarray(t, jnp.float32)
+    return jnp.broadcast_to(t.reshape(-1, 1) if t.ndim else t, (nrays, 1)) \
+        if t.ndim <= 1 else t
+
+
 def ray_sphere_block(o, d, centers, radii, t_min, t_max):
     """All-pairs ray/sphere test.
 
-    o, d: (R, 3); centers: (C, 3); radii: (C,).  Returns t of shape (R, C)
-    with INF where there is no hit in (t_min, t_max).  Nearest-root-else-far
-    semantics match the classic quadratic solve used by OptiX's builtin
-    sphere primitive and RTIOW.
+    o, d: (R, 3); centers: (C, 3); radii: (C,).  t_min/t_max may be scalars
+    or per-ray (R,) bounds (shadow rays bound t_max by the light distance).
+    Returns t of shape (R, C) with INF where there is no hit in
+    (t_min, t_max).  Nearest-root-else-far semantics match the classic
+    quadratic solve used by OptiX's builtin sphere primitive and RTIOW.
     """
+    t_min = _per_ray_bound(t_min, o.shape[0])
+    t_max = _per_ray_bound(t_max, o.shape[0])
     oc = o[:, None, :] - centers[None, :, :]          # (R, C, 3)
     # d is unit length, so a == 1; keep the general form for safety.
     a = jnp.sum(d * d, axis=-1)[:, None]              # (R, 1)
@@ -96,6 +106,8 @@ def ray_triangle_block(o, d, v0, e1, e2, t_min, t_max, eps: float = 1e-9):
     Backface culling is OFF (the reference shades both faces and flips the
     normal by sign of dot(dir, n), shader/Shader.cu:133-153).
     """
+    t_min = _per_ray_bound(t_min, o.shape[0])
+    t_max = _per_ray_bound(t_max, o.shape[0])
     pvec = jnp.cross(d[:, None, :], e2[None, :, :])           # (R, C, 3)
     det = jnp.sum(e1[None, :, :] * pvec, axis=-1)             # (R, C)
     inv_det = jnp.where(jnp.abs(det) > eps, 1.0 / det, 0.0)

@@ -175,13 +175,44 @@ def _traverse_single(bvh: LBVH, leaf_test, o, d, t_min, t_max, any_hit: bool):
                u=u, v=v)
 
 
+# Rays per lockstep sub-batch.  Larger launches are split with lax.map:
+# a single vmapped while_loop over >~64k lanes generates batched stack
+# scatters that fault the TPU (observed on v5e); chunking also bounds the
+# (R, STACK_DEPTH) live stack memory.
+TRAVERSE_CHUNK = 16384
+
+
 @partial(jax.jit, static_argnames=("any_hit",))
 def _traverse_batch(bvh: LBVH, scene: Scene, o, d, t_min, t_max,
                     any_hit: bool = False) -> Hit:
-    leaf_test = _make_leaf_tester(scene, t_min)
-    f = partial(_traverse_single, bvh, leaf_test,
-                t_min=t_min, t_max=t_max, any_hit=any_hit)
-    return jax.vmap(lambda oo, dd: f(oo, dd))(o, d)
+    n = o.shape[0]
+    # t bounds may be scalars or per-ray (shadow rays bound by light distance)
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+
+    def one(oo, dd, lo, hi):
+        leaf_test = _make_leaf_tester(scene, lo)
+        return _traverse_single(bvh, leaf_test, oo, dd, lo, hi,
+                                any_hit=any_hit)
+
+    vmapped = jax.vmap(one)
+
+    if n <= TRAVERSE_CHUNK:
+        return vmapped(o, d, t_min, t_max)
+    pad = (-n) % TRAVERSE_CHUNK
+    o_p = jnp.pad(o, ((0, pad), (0, 0)))
+    # padded rays get direction +z and are discarded after
+    d_p = jnp.pad(d, ((0, pad), (0, 0)), constant_values=0.0)
+    d_p = d_p.at[n:, 2].set(1.0) if pad else d_p
+    lo_p = jnp.pad(t_min, (0, pad))
+    hi_p = jnp.pad(t_max, (0, pad), constant_values=1.0)
+    nchunks = (n + pad) // TRAVERSE_CHUNK
+    chunks = (o_p.reshape(nchunks, TRAVERSE_CHUNK, 3),
+              d_p.reshape(nchunks, TRAVERSE_CHUNK, 3),
+              lo_p.reshape(nchunks, TRAVERSE_CHUNK),
+              hi_p.reshape(nchunks, TRAVERSE_CHUNK))
+    hits = jax.lax.map(lambda c: vmapped(*c), chunks)
+    return jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:])[:n], hits)
 
 
 import dataclasses
@@ -204,9 +235,12 @@ class BVHIntersector:
         if self.bvh is None:
             return intersect_scene_bruteforce(scene, o, d, t_min, t_max)
         shape = o.shape[:-1]
+        t_min = jnp.asarray(t_min, jnp.float32).reshape(-1) \
+            if jnp.ndim(t_min) else t_min
+        t_max = jnp.asarray(t_max, jnp.float32).reshape(-1) \
+            if jnp.ndim(t_max) else t_max
         hit = _traverse_batch(self.bvh, scene, o.reshape(-1, 3),
-                              d.reshape(-1, 3), jnp.float32(t_min),
-                              jnp.float32(t_max))
+                              d.reshape(-1, 3), t_min, t_max)
         return jax.tree.map(lambda x: x.reshape(shape + x.shape[1:]), hit)
 
     # Keep the plain-callable form for use as ``intersect_fn``.
@@ -218,9 +252,12 @@ class BVHIntersector:
             from optix_ray_tracer_tpu.ops.intersect import intersect_any_bruteforce
             return intersect_any_bruteforce(scene, o, d, t_min, t_max)
         shape = o.shape[:-1]
+        t_min = jnp.asarray(t_min, jnp.float32).reshape(-1) \
+            if jnp.ndim(t_min) else t_min
+        t_max = jnp.asarray(t_max, jnp.float32).reshape(-1) \
+            if jnp.ndim(t_max) else t_max
         hit = _traverse_batch(self.bvh, scene, o.reshape(-1, 3),
-                              d.reshape(-1, 3), jnp.float32(t_min),
-                              jnp.float32(t_max), any_hit=True)
+                              d.reshape(-1, 3), t_min, t_max, any_hit=True)
         return hit.is_hit.reshape(shape)
 
 

@@ -1,0 +1,136 @@
+"""Multi-chip rendering via jax.sharding — the distributed layer the
+reference never had (single GPU by design, reference
+docs/technical-details.md:325-328; multi-GPU listed as future work).
+
+Two orthogonal sharding axes, composable on a 2D device mesh:
+
+* TILE sharding ("dp" analog): the pixel grid splits into row bands, one per
+  device along the ``tile`` axis; each device traces only its band.  Scene,
+  BVH, and materials are replicated (scenes fit HBM; the framebuffer is the
+  big thing).  No collective needed — the output image is laid out sharded.
+* SAMPLE sharding ("sp" analog): samples-per-pixel split along the
+  ``sample`` axis; partial accumulations merge with one ``psum`` over ICI.
+
+Determinism is exact under any mesh shape: the counter-based RNG keys off
+GLOBAL (pixel_id, sample_index), which the shards compute from their mesh
+coordinates — resharding never changes the image.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from optix_ray_tracer_tpu.render import wavefront
+from optix_ray_tracer_tpu.utils import rng as rng_mod
+
+
+def make_mesh(tile: int = 1, sample: int = 1, devices=None) -> Mesh:
+    """Build a (tile, sample) device mesh from the first tile*sample devices."""
+    devices = devices if devices is not None else jax.devices()
+    need = tile * sample
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    arr = np.asarray(devices[:need]).reshape(tile, sample)
+    return Mesh(arr, axis_names=("tile", "sample"))
+
+
+def _tile_rays(camera, width, height, rows_per_shard, tile_idx, spp_offset,
+               sample_in_shard, pixel_id, seed, jitter):
+    """Primary rays for one row band with GLOBAL pixel ids/jitter."""
+    iy0 = tile_idx * rows_per_shard
+    iy = (jnp.arange(rows_per_shard, dtype=jnp.float32)[:, None]
+          + jnp.float32(iy0))
+    ix = jnp.arange(width, dtype=jnp.float32)[None, :]
+    if jitter:
+        u1, u2, _, _ = rng_mod.uniform4(
+            pixel_id, spp_offset + sample_in_shard, jnp.int32(-1), seed)
+        ox = u1.reshape(rows_per_shard, width)
+        oy = u2.reshape(rows_per_shard, width)
+    else:
+        ox = oy = 0.5
+    ndc_x = ((ix + ox) / width) * 2.0 - 1.0
+    ndc_y = 1.0 - ((iy + oy) / height) * 2.0
+    aspect = width / height
+    dirs = (ndc_x[..., None] * aspect * camera.u
+            + ndc_y[..., None] * camera.v + camera.w)
+    from optix_ray_tracer_tpu.utils.vecmath import normalize
+    dirs = normalize(dirs)
+    origins = jnp.broadcast_to(camera.center, dirs.shape)
+    return origins.reshape(-1, 3), dirs.reshape(-1, 3)
+
+
+@partial(jax.jit,
+         static_argnames=("width", "height", "spp", "max_depth", "jitter",
+                          "mesh"))
+def render_sharded(scene, materials, camera, width: int, height: int,
+                   spp: int, mesh: Mesh, seed: int = 0,
+                   background=wavefront.DEFAULT_BACKGROUND,
+                   max_depth: int = wavefront.DEFAULT_MAX_DEPTH,
+                   intersector=None, jitter: bool = True):
+    """Render with the pixel grid sharded over ``tile`` and samples over
+    ``sample``.  Returns a (H, W, 3) linear image (sharded along rows on the
+    tile axis; sample axis already reduced).
+    """
+    n_tile = mesh.shape["tile"]
+    n_sample = mesh.shape["sample"]
+    if height % n_tile != 0:
+        raise ValueError(f"height {height} not divisible by tile={n_tile}")
+    if spp % n_sample != 0:
+        raise ValueError(f"spp {spp} not divisible by sample={n_sample}")
+    rows_per = height // n_tile
+    spp_per = spp // n_sample
+
+    if intersector is None:
+        from optix_ray_tracer_tpu.ops.traverse import BruteForceIntersector
+        intersector = BruteForceIntersector()
+    background_a = jnp.asarray(background, jnp.float32)
+
+    replicated = P()
+
+    def shard_fn(scene, materials, camera, intersector):
+        tile_idx = jax.lax.axis_index("tile")
+        sample_idx = jax.lax.axis_index("sample")
+        spp_offset = sample_idx * spp_per
+        npix = rows_per * width
+        # GLOBAL pixel ids -> sharding-invariant RNG
+        pixel_id = (tile_idx * npix
+                    + jnp.arange(npix, dtype=jnp.int32)).astype(jnp.int32)
+
+        def sample_step(acc, s_local):
+            o, d = _tile_rays(camera, width, height, rows_per, tile_idx,
+                              spp_offset, s_local, pixel_id, seed, jitter)
+            radiance, _, _ = wavefront.trace(
+                scene, materials, o, d, pixel_id,
+                spp_offset + s_local, seed, background_a, max_depth,
+                intersector)
+            return acc + radiance, None
+
+        acc, _ = jax.lax.scan(sample_step,
+                              jnp.zeros((npix, 3), jnp.float32),
+                              jnp.arange(spp_per, dtype=jnp.int32))
+        # merge the sample axis over ICI
+        acc = jax.lax.psum(acc, axis_name="sample")
+        return (acc / spp).reshape(rows_per, width, 3)
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(replicated, replicated, replicated, replicated),
+        out_specs=P("tile", None, None),
+        # the integrator's scan carries mix replicated inits with varying
+        # updates; skip the varying-manual-axes checker (semantics are
+        # unaffected — every output row band is device-local by construction)
+        check_vma=False)
+    return fn(scene, materials, camera, intersector)
+
+
+def broadcast_scene(scene_host):
+    """Multi-host scene distribution: device_put the host scene once per
+    process (DCN broadcast analog).  On a single host this is a plain
+    transfer; under multi-controller JAX each process loads/receives the
+    same arrays so replication is consistent."""
+    return jax.device_put(scene_host)

@@ -1,0 +1,228 @@
+"""Path tracer with next-event estimation + multiple importance sampling.
+
+This is the extension integrator for the BASELINE benchmark configs (Cornell
+Box area-light NEE+MIS; Sponza-class scenes) — capability the reference
+renderer does not have (its tracer is background-lit Whitted,
+shader/Shader.cu).  Same wavefront architecture as ``render/wavefront.py``:
+``lax.scan`` over bounces, SoA state, masked shading; per bounce it adds a
+shadow-ray wave (counted in the rays/sec benchmarks).
+
+Estimator (balance-heuristic MIS):
+  * emitted radiance on BSDF hits, weighted by w_bsdf = p_bsdf/(p_bsdf+p_nee)
+    (full weight on the camera ray and after specular bounces),
+  * NEE: one area-light sample per diffuse bounce, weighted by
+    w_nee = p_nee/(p_nee+p_bsdf).
+
+Diffuse bounces use cosine-weighted hemisphere sampling; METAL/DIELECTRIC
+are delta lobes (no NEE, no MIS at their vertices) like the classic
+smallpt/PBRT treatment of perfect mirrors/glass.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from optix_ray_tracer_tpu.ops import intersect as isect
+from optix_ray_tracer_tpu.scene.geometry import Scene
+from optix_ray_tracer_tpu.scene.lights import AreaLights, sample_lights
+from optix_ray_tracer_tpu.scene.materials import (
+    DIELECTRIC, EMISSIVE, METAL, ROUGH, MaterialTable,
+)
+from optix_ray_tracer_tpu.utils import rng
+from optix_ray_tracer_tpu.utils.vecmath import (
+    PI, dot, normalize, reflect, refract, schlick_fresnel,
+)
+
+_DIM_BSDF = 0x3C6EF372
+_DIM_LIGHT = 0x27220A95
+_DIM_LOBE = 0x165667B1
+
+
+def _onb(n):
+    """Orthonormal basis about unit normal n (branchless Frisvad/Duff)."""
+    s = jnp.where(n[..., 2] >= 0.0, 1.0, -1.0)
+    a = -1.0 / (s + n[..., 2])
+    b = n[..., 0] * n[..., 1] * a
+    t = jnp.stack([1.0 + s * n[..., 0] * n[..., 0] * a,
+                   s * b,
+                   -s * n[..., 0]], axis=-1)
+    bt = jnp.stack([b, s + n[..., 1] * n[..., 1] * a, -n[..., 1]], axis=-1)
+    return t, bt
+
+
+def _cosine_sample(n, pixel_id, sample, bounce, seed):
+    local = rng.random_cosine_direction(pixel_id, sample, bounce, seed)
+    t, bt = _onb(n)
+    d = (local[..., 0:1] * t + local[..., 1:2] * bt + local[..., 2:3] * n)
+    pdf = jnp.maximum(local[..., 2], 1e-6) / PI
+    return normalize(d), pdf
+
+
+@partial(jax.jit, static_argnames=("max_depth",))
+def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
+               origins, directions, pixel_id, sample, seed, background,
+               max_depth: int = 8, intersector=None):
+    """Trace a wavefront with NEE+MIS.  Returns (radiance, albedo_g, normal_g).
+
+    ``lights`` may be None (falls back to BSDF sampling only).
+    """
+    if intersector is None:
+        from optix_ray_tracer_tpu.ops.traverse import BruteForceIntersector
+        intersector = BruteForceIntersector()
+    nrays = origins.shape[0]
+    background = jnp.asarray(background, jnp.float32)
+    have_lights = lights is not None and lights.count > 0
+
+    state = dict(
+        o=origins, d=directions,
+        throughput=jnp.ones((nrays, 3), jnp.float32),
+        radiance=jnp.zeros((nrays, 3), jnp.float32),
+        alive=jnp.ones((nrays,), bool),
+        # pdf of the BSDF sample that produced the current ray
+        # (<=0 -> delta lobe or camera ray: emitters get full weight)
+        prev_pdf=jnp.zeros((nrays,), jnp.float32),
+        albedo_g=jnp.zeros((nrays, 3), jnp.float32),
+        normal_g=jnp.zeros((nrays, 3), jnp.float32))
+
+    def bounce_step(s, b):
+        hit = intersector.intersect(scene, s["o"], s["d"])
+        alive = s["alive"]
+        missed = alive & ~hit.is_hit
+        hit_alive = alive & hit.is_hit
+
+        radiance = s["radiance"] + jnp.where(
+            missed[..., None], s["throughput"] * background, 0.0)
+
+        point, normal, front_face, material_id = isect.shading_frame(
+            scene, s["o"], s["d"], hit)
+        n_unit = normalize(normal)
+        mtype, albedo, param, emission = materials.gather(material_id)
+
+        # ---- emitted light at BSDF hits, MIS-weighted -------------------
+        is_emitter = hit_alive & (mtype == EMISSIVE)
+        if have_lights:
+            from optix_ray_tracer_tpu.scene.lights import light_pdf_solid_angle
+            nee_pdf_here = light_pdf_solid_angle(
+                lights, hit.prim_id, s["o"], s["d"], hit.t, n_unit)
+            w_bsdf = jnp.where(
+                s["prev_pdf"] > 0.0,
+                s["prev_pdf"] / jnp.maximum(s["prev_pdf"] + nee_pdf_here, 1e-12),
+                1.0)
+        else:
+            w_bsdf = jnp.ones((nrays,), jnp.float32)
+        radiance = radiance + jnp.where(
+            is_emitter[..., None],
+            s["throughput"] * emission * w_bsdf[..., None], 0.0)
+
+        # guide buffers
+        first = hit_alive & (b == 0)
+        albedo_g = jnp.where(first[..., None],
+                             jnp.where((mtype == EMISSIVE)[..., None],
+                                       emission, albedo),
+                             s["albedo_g"])
+        normal_g = jnp.where(first[..., None], n_unit, s["normal_g"])
+
+        is_diffuse = mtype == ROUGH
+        shading_alive = hit_alive & ~is_emitter
+
+        # ---- NEE: one light sample at diffuse vertices ------------------
+        if have_lights:
+            wl, dist, pdf_l, emitted, _ = sample_lights(
+                lights, point, pixel_id, sample, b, seed ^ _DIM_LIGHT)
+            cos_s = dot(wl, n_unit)
+            valid = shading_alive & is_diffuse & (cos_s > 0.0) & (pdf_l > 0.0)
+            # shadow ray (offset along the light direction; end before light)
+            occluded = intersector.any_hit(
+                scene, point + n_unit * 1e-3, wl,
+                t_min=1e-4, t_max=dist - 2e-3)
+            visible = valid & ~occluded
+            f = albedo / PI                               # Lambertian BRDF
+            pdf_bsdf_for_light = jnp.maximum(cos_s, 0.0) / PI
+            w_nee = pdf_l / jnp.maximum(pdf_l + pdf_bsdf_for_light, 1e-12)
+            contrib = (s["throughput"] * f * emitted
+                       * (jnp.maximum(cos_s, 0.0) / jnp.maximum(pdf_l, 1e-12)
+                          * w_nee)[..., None])
+            radiance = radiance + jnp.where(visible[..., None], contrib, 0.0)
+
+        # ---- BSDF sampling ----------------------------------------------
+        # diffuse: cosine hemisphere
+        d_diff, pdf_diff = _cosine_sample(n_unit, pixel_id, sample, b,
+                                          seed ^ _DIM_BSDF)
+        # metal: mirror + fuzz
+        fuzz_vec = rng.random_unit_vector(pixel_id, sample, b,
+                                          seed ^ _DIM_LOBE)
+        d_metal = normalize(normalize(reflect(s["d"], n_unit))
+                            + param[..., None] * fuzz_vec)
+        # dielectric
+        ior = jnp.where(param > 0.0, param, 1.5)
+        eta = jnp.where(front_face, 1.0 / ior, ior)
+        cos_theta = jnp.minimum(-dot(s["d"], n_unit), 1.0)
+        sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta ** 2))
+        cannot = eta * sin_theta > 1.0
+        u_fr = rng.uniform4(pixel_id, sample, b, seed ^ _DIM_LOBE)[1]
+        do_reflect = cannot | (schlick_fresnel(cos_theta, ior) > u_fr)
+        d_diel = jnp.where(do_reflect[..., None],
+                           normalize(reflect(s["d"], n_unit)),
+                           refract(s["d"], n_unit, eta[..., None]))
+
+        is_metal = (mtype == METAL)[..., None]
+        is_diel = (mtype == DIELECTRIC)[..., None]
+        new_dir = jnp.where(is_diel, d_diel,
+                            jnp.where(is_metal, d_metal, d_diff))
+        new_dir = normalize(new_dir)
+
+        # throughput: diffuse = albedo * cos / pdf = albedo (cosine sampling
+        # cancels); delta lobes multiply albedo (metal) or 1 (dielectric)
+        atten = jnp.where(is_diel, 1.0,
+                          jnp.where(is_metal, albedo, albedo))
+        prev_pdf = jnp.where(is_diffuse, pdf_diff, 0.0)  # delta -> 0
+
+        throughput = jnp.where(shading_alive[..., None],
+                               s["throughput"] * atten, s["throughput"])
+        o = jnp.where(shading_alive[..., None],
+                      point + n_unit * jnp.where(
+                          is_diel[..., 0] & ~do_reflect, -1e-3, 1e-3)[..., None],
+                      s["o"])
+        d = jnp.where(shading_alive[..., None], new_dir, s["d"])
+
+        return dict(o=o, d=d, throughput=throughput, radiance=radiance,
+                    alive=shading_alive, prev_pdf=prev_pdf,
+                    albedo_g=albedo_g, normal_g=normal_g), None
+
+    state, _ = jax.lax.scan(bounce_step, state,
+                            jnp.arange(max_depth, dtype=jnp.int32))
+    return state["radiance"], state["albedo_g"], state["normal_g"]
+
+
+@partial(jax.jit,
+         static_argnames=("width", "height", "spp", "max_depth", "jitter"))
+def render_path(scene: Scene, materials: MaterialTable, lights, camera,
+                width: int, height: int, spp: int = 16, seed: int = 0,
+                background=(0.0, 0.0, 0.0), max_depth: int = 8,
+                intersector=None, jitter: bool = True):
+    """Full-frame path trace; same conventions as wavefront.render."""
+    npix = width * height
+    pixel_id = jnp.arange(npix, dtype=jnp.int32)
+
+    def sample_step(acc, sidx):
+        if jitter:
+            u1, u2, _, _ = rng.uniform4(pixel_id, sidx, jnp.int32(-1), seed)
+            jit_uv = jnp.stack([u1, u2], -1).reshape(height, width, 2)
+        else:
+            jit_uv = None
+        o, d = camera.generate_rays(width, height, jit_uv)
+        radiance, alb, nrm = trace_path(
+            scene, materials, lights, o.reshape(-1, 3), d.reshape(-1, 3),
+            pixel_id, sidx, seed, background, max_depth, intersector)
+        return (acc[0] + radiance, acc[1] + alb, acc[2] + nrm), None
+
+    zeros = jnp.zeros((npix, 3), jnp.float32)
+    (rad, alb, nrm), _ = jax.lax.scan(
+        sample_step, (zeros, zeros, zeros), jnp.arange(spp, dtype=jnp.int32))
+    inv = 1.0 / spp
+    return (rad.reshape(height, width, 3) * inv,
+            alb.reshape(height, width, 3) * inv,
+            nrm.reshape(height, width, 3) * inv)

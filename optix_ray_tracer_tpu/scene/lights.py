@@ -1,0 +1,133 @@
+"""Area lights for next-event estimation.
+
+The reference has no explicit lights — its Whitted tracer is lit entirely by
+the miss-program background color (``shader/Shader.cu:276-287``).  The path
+tracer (BASELINE configs 4/5) needs sampled area lights: emissive triangles
+collected from the scene's material table, sampled by area with MIS-ready
+solid-angle pdfs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from optix_ray_tracer_tpu.scene.geometry import Scene
+from optix_ray_tracer_tpu.scene.materials import EMISSIVE, MaterialTable
+from optix_ray_tracer_tpu.utils import rng
+from optix_ray_tracer_tpu.utils.vecmath import dot, length_squared, normalize
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class AreaLights:
+    """Emissive-triangle table (SoA, device).
+
+    v0/e1/e2:  (L, 3) triangle base + edges
+    normal:    (L, 3) unit geometric normals
+    emission:  (L, 3) radiance
+    area:      (L,)
+    cdf:       (L,) area-weighted selection CDF (last entry == 1)
+    tri_id:    (L,) source triangle index (to ignore self-hits)
+    total_area:() scalar
+    """
+    v0: jax.Array
+    e1: jax.Array
+    e2: jax.Array
+    normal: jax.Array
+    emission: jax.Array
+    area: jax.Array
+    cdf: jax.Array
+    tri_id: jax.Array
+    total_area: jax.Array
+
+    @property
+    def count(self) -> int:
+        return self.v0.shape[0]
+
+
+def collect_area_lights(scene: Scene, materials: MaterialTable) -> AreaLights | None:
+    """Gather all emissive triangles (host-side, at scene commit)."""
+    import numpy as np
+
+    if scene.triangle_count == 0:
+        return None
+    mtypes = np.asarray(materials.mtype)
+    mids = np.asarray(scene.triangles.material_id)
+    emissive_mask = mtypes[np.clip(mids, 0, len(mtypes) - 1)] == EMISSIVE
+    ids = np.where(emissive_mask)[0]
+    if len(ids) == 0:
+        return None
+
+    verts = np.asarray(scene.triangles.vertices)[ids]
+    v0 = verts[:, 0]
+    e1 = verts[:, 1] - verts[:, 0]
+    e2 = verts[:, 2] - verts[:, 0]
+    n = np.cross(e1, e2)
+    area2 = np.linalg.norm(n, axis=-1)
+    normal = n / np.maximum(area2[:, None], 1e-30)
+    area = 0.5 * area2
+    emission = np.asarray(materials.emission)[mids[ids]]
+    total = float(area.sum())
+    cdf = np.cumsum(area) / max(total, 1e-30)
+    return AreaLights(
+        v0=jnp.asarray(v0, jnp.float32), e1=jnp.asarray(e1, jnp.float32),
+        e2=jnp.asarray(e2, jnp.float32),
+        normal=jnp.asarray(normal, jnp.float32),
+        emission=jnp.asarray(emission, jnp.float32),
+        area=jnp.asarray(area, jnp.float32),
+        cdf=jnp.asarray(cdf, jnp.float32),
+        tri_id=jnp.asarray(ids, jnp.int32),
+        total_area=jnp.float32(total))
+
+
+def sample_lights(lights: AreaLights, shading_point, pixel_id, sample, bounce,
+                  seed):
+    """Sample one point on the light set per shading point.
+
+    Returns (direction (R,3) unit, distance (R,), pdf_solid_angle (R,),
+    emitted (R,3), light_normal_cos (R,) cosine at the light).
+    pdf is w.r.t. solid angle at the shading point (for MIS against BSDF
+    pdfs); zero where the light faces away.
+    """
+    u1, u2, u3, _ = rng.uniform4(pixel_id, sample, bounce, seed)
+    # select triangle by area CDF
+    li = jnp.searchsorted(lights.cdf, u1).astype(jnp.int32)
+    li = jnp.clip(li, 0, lights.count - 1)
+    v0 = lights.v0[li]
+    e1 = lights.e1[li]
+    e2 = lights.e2[li]
+    # uniform barycentric (square-root warp)
+    su = jnp.sqrt(jnp.maximum(u2, 1e-12))[..., None]
+    b1 = 1.0 - su
+    b2 = (u3[..., None]) * su
+    point = v0 + b1 * e1 + b2 * e2
+
+    to_light = point - shading_point
+    dist2 = length_squared(to_light)
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
+    w = to_light / dist[..., None]
+
+    ln = lights.normal[li]
+    cos_light = -dot(w, ln)
+    # two-sided emitters: flip the normal toward the shading point
+    cos_light = jnp.abs(cos_light)
+    # pdf_area = 1/total_area (area-weighted triangle selection x uniform on
+    # triangle); convert to solid angle: pdf = dist^2 / (cos * total_area)
+    pdf = dist2 / jnp.maximum(cos_light * lights.total_area, 1e-12)
+    pdf = jnp.where(cos_light > 1e-6, pdf, 0.0)
+    emitted = lights.emission[li]
+    return w, dist, pdf, emitted, cos_light
+
+
+def light_pdf_solid_angle(lights: AreaLights, hit_tri_id, origin, direction,
+                          hit_t, hit_normal):
+    """pdf (solid angle) that NEE would have produced this BSDF-sampled hit
+    on an emissive triangle — the MIS counterpart of :func:`sample_lights`."""
+    cos_light = jnp.abs(dot(direction, hit_normal))
+    dist2 = hit_t * hit_t
+    pdf = dist2 / jnp.maximum(cos_light * lights.total_area, 1e-12)
+    # only triangles that ARE lights count; caller masks by emissive hit
+    return pdf
