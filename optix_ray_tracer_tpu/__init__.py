@@ -28,4 +28,12 @@ all supported by ``io/``.
 
 __version__ = "0.1.0"
 
-from optix_ray_tracer_tpu.utils import vecmath, transforms, color, colorramp  # noqa: F401
+import jax as _jax
+
+# Ray tracing needs true fp32 arithmetic: TPU matmul/einsum units default to
+# bf16 multiplication, which loses intersection precision (observed: missed
+# hits in Woop-space leaf tests).  Geometry math is tiny compared to
+# traversal, so force full precision globally.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
+from optix_ray_tracer_tpu.utils import vecmath, transforms, color, colorramp  # noqa: F401,E402

@@ -56,7 +56,7 @@ def write_mesh_cache(cache_dir: str, vtk_paths: list[str],
     Returns the metadata dict (also written to ``metadata.json`` — the
     reference's ``metadata.cache`` holding the max cell count,
     VTKMeshReader.cu:196-207)."""
-    from optix_ray_tracer_tpu.io.vtk import read_mesh_file
+    from optix_ray_tracer_tpu.io.native_io import read_mesh_file
 
     os.makedirs(cache_dir, exist_ok=True)
     # delete stale caches (VTKMeshReader.cu:160-170)
@@ -130,7 +130,7 @@ def load_or_bake(cache_dir: str, vtk_paths: list[str],
                  use_cache: bool = True, thread_count: int = 8
                  ) -> list[MeshFileCache]:
     """Load every frame, baking the cache first if missing/stale."""
-    from optix_ray_tracer_tpu.io.vtk import read_mesh_file
+    from optix_ray_tracer_tpu.io.native_io import read_mesh_file
 
     if use_cache:
         if not cache_is_valid(cache_dir, vtk_paths):

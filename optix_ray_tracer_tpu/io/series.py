@@ -67,7 +67,7 @@ def load_stl_directory(stl_dir: str):
 
     Returns list of (vertices (t,3,3) float32, normals (t,3,3) float32).
     """
-    from optix_ray_tracer_tpu.io.stl import read_stl
+    from optix_ray_tracer_tpu.io.native_io import read_stl
 
     names = sorted(n for n in os.listdir(stl_dir) if n.lower().endswith(".stl"))
     if not names:

@@ -35,7 +35,7 @@ import numpy as np
 
 from optix_ray_tracer_tpu.io.config import RendererConfig
 from optix_ray_tracer_tpu.io.series import load_stl_directory, read_series
-from optix_ray_tracer_tpu.io.vtk import read_time_file
+from optix_ray_tracer_tpu.io.native_io import read_time_file
 from optix_ray_tracer_tpu.models import common
 from optix_ray_tracer_tpu.ops.bvh import build_scene_lbvh
 from optix_ray_tracer_tpu.ops.traverse import BVHIntersector

@@ -1,0 +1,498 @@
+// Native scene-IO core: fast legacy-VTK ASCII + STL parsing.
+//
+// The counterpart of the reference's C++ parsing layer
+// (src/Util/VTKReaderImpl.cpp — a GCC-compiled TU kept apart from device
+// code): tokenizing multi-megabyte ASCII floats dominates scene loading, so
+// it runs native here too.  Semantics mirror optix_ray_tracer_tpu/io/vtk.py
+// and io/stl.py EXACTLY (the Python implementations are the spec and the
+// fallback):
+//   * TRIANGLE_STRIPS decode with the odd-triangle winding flip
+//     (VTKReaderImpl.cpp:97-110 semantics)
+//   * smooth per-point normals: area-weighted face-normal accumulation,
+//     majority-vote outward orientation (vtkPolyDataNormals equivalent)
+//   * STL: file normals ignored, geometric face normals recomputed
+//     (VTKReaderImpl.cpp:254-321 semantics)
+//
+// C ABI for ctypes; handle-based two-phase API (parse -> query sizes ->
+// fill caller-allocated numpy buffers -> free).
+
+#include <cctype>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+thread_local std::string g_error;
+
+struct Tok {
+    const char* p;
+    const char* end;
+    explicit Tok(const char* data, long n) : p(data), end(data + n) {}
+
+    void skip_ws() {
+        while (p < end && std::isspace(static_cast<unsigned char>(*p))) ++p;
+    }
+    bool next(std::string& out) {
+        skip_ws();
+        if (p >= end) return false;
+        const char* s = p;
+        while (p < end && !std::isspace(static_cast<unsigned char>(*p))) ++p;
+        out.assign(s, p - s);
+        return true;
+    }
+    bool next_double(double& v) {
+        skip_ws();
+        if (p >= end) return false;
+        char* q = nullptr;
+        v = std::strtod(p, &q);
+        if (q == p) return false;
+        p = q;
+        return true;
+    }
+    bool next_long(long& v) {
+        double d;
+        if (!next_double(d)) return false;
+        v = static_cast<long>(d);
+        return true;
+    }
+    bool skip_line() {
+        while (p < end && *p != '\n') ++p;
+        if (p < end) ++p;
+        return true;
+    }
+};
+
+struct V3 { float x, y, z; };
+
+struct MeshFrame {
+    std::vector<long> ids;
+    std::vector<V3> velocities;            // per cell
+    std::vector<float> verts;              // packed (T,3,3)
+    std::vector<float> normals;            // packed (T,3,3)
+    std::vector<long> tri_offsets;         // per cell
+    std::vector<long> tri_counts;          // per cell
+};
+
+struct TimeFrame {
+    std::vector<double> positions;         // (P,3)
+    std::vector<long> ids;
+    std::vector<float> quats;              // (P,4)
+    std::vector<float> velocities;         // (P,3)
+    std::vector<long> shape_ids;
+};
+
+struct StlMesh {
+    std::vector<float> verts;              // (T,3,3)
+    std::vector<float> normals;            // (T,3,3)
+};
+
+bool ieq(const std::string& a, const char* b) {
+    size_t n = std::strlen(b);
+    if (a.size() != n) return false;
+    for (size_t i = 0; i < n; i++)
+        if (std::toupper(static_cast<unsigned char>(a[i])) != b[i]) return false;
+    return true;
+}
+
+struct PolyData {
+    std::vector<double> points;                 // (N,3)
+    std::vector<std::vector<long>> strips;
+    // named attr arrays (point or cell): flattened doubles + ncomp
+    struct Attr { std::vector<double> vals; int ncomp; };
+    std::vector<std::pair<std::string, Attr>> point_data;
+    std::vector<std::pair<std::string, Attr>> cell_data;
+
+    const Attr* find(const std::vector<std::pair<std::string, Attr>>& v,
+                     const char* name) const {
+        for (auto& kv : v) if (kv.first == name) return &kv.second;
+        return nullptr;
+    }
+};
+
+bool parse_polydata(const char* data, long n, PolyData& pd) {
+    Tok tk(data, n);
+    // header: "# vtk DataFile ..." line + free comment line
+    std::string line0(data, std::min<long>(n, 64));
+    if (line0.find("# vtk DataFile") == std::string::npos) {
+        g_error = "not a legacy VTK file";
+        return false;
+    }
+    tk.skip_line();  // version line
+    tk.skip_line();  // comment line
+
+    std::string t;
+    if (!tk.next(t) || !ieq(t, "ASCII")) { g_error = "only ASCII supported"; return false; }
+    if (!tk.next(t) || !ieq(t, "DATASET")) { g_error = "missing DATASET"; return false; }
+    if (!tk.next(t) || !ieq(t, "POLYDATA")) { g_error = "only POLYDATA"; return false; }
+
+    long attr_count = 0;
+    std::vector<std::pair<std::string, PolyData::Attr>>* target = nullptr;
+
+    while (tk.next(t)) {
+        if (ieq(t, "POINTS")) {
+            long np_;
+            tk.next_long(np_);
+            tk.next(t);  // dtype
+            pd.points.resize(static_cast<size_t>(np_) * 3);
+            for (auto& v : pd.points)
+                if (!tk.next_double(v)) { g_error = "short POINTS"; return false; }
+        } else if (ieq(t, "TRIANGLE_STRIPS") || ieq(t, "VERTICES") ||
+                   ieq(t, "LINES") || ieq(t, "POLYGONS")) {
+            bool strips = ieq(t, "TRIANGLE_STRIPS");
+            long ncells, total;
+            tk.next_long(ncells);
+            tk.next_long(total);
+            long consumed = 0;
+            for (long c = 0; c < ncells; c++) {
+                long cnt;
+                if (!tk.next_long(cnt)) { g_error = "short cells"; return false; }
+                std::vector<long> cell(cnt);
+                for (long k = 0; k < cnt; k++)
+                    if (!tk.next_long(cell[k])) { g_error = "short cell"; return false; }
+                consumed += 1 + cnt;
+                if (strips) pd.strips.push_back(std::move(cell));
+            }
+            if (consumed != total) { g_error = "cell size mismatch"; return false; }
+        } else if (ieq(t, "POINT_DATA")) {
+            tk.next_long(attr_count);
+            target = &pd.point_data;
+        } else if (ieq(t, "CELL_DATA")) {
+            tk.next_long(attr_count);
+            target = &pd.cell_data;
+        } else if (ieq(t, "SCALARS")) {
+            std::string name, dtype;
+            tk.next(name);
+            tk.next(dtype);
+            // optional ncomp digit
+            int ncomp = 1;
+            Tok save = tk;
+            std::string maybe;
+            if (tk.next(maybe)) {
+                bool digit = !maybe.empty() &&
+                    maybe.find_first_not_of("0123456789") == std::string::npos;
+                if (digit) ncomp = std::atoi(maybe.c_str());
+                else tk = save;
+            }
+            save = tk;
+            if (tk.next(maybe)) {
+                if (ieq(maybe, "LOOKUP_TABLE")) tk.next(maybe);  // table name
+                else tk = save;
+            }
+            if (!target) { g_error = "SCALARS outside data section"; return false; }
+            PolyData::Attr a;
+            a.ncomp = ncomp;
+            a.vals.resize(static_cast<size_t>(attr_count) * ncomp);
+            for (auto& v : a.vals)
+                if (!tk.next_double(v)) { g_error = "short SCALARS " + name; return false; }
+            target->emplace_back(name, std::move(a));
+        } else if (ieq(t, "VECTORS") || ieq(t, "NORMALS")) {
+            std::string name, dtype;
+            tk.next(name);
+            tk.next(dtype);
+            if (!target) { g_error = "VECTORS outside data section"; return false; }
+            PolyData::Attr a;
+            a.ncomp = 3;
+            a.vals.resize(static_cast<size_t>(attr_count) * 3);
+            for (auto& v : a.vals)
+                if (!tk.next_double(v)) { g_error = "short VECTORS " + name; return false; }
+            target->emplace_back(name, std::move(a));
+        } else if (ieq(t, "FIELD")) {
+            std::string fname;
+            long narrays;
+            tk.next(fname);
+            tk.next_long(narrays);
+            for (long i = 0; i < narrays; i++) {
+                std::string name, dtype;
+                long ncomp, ntup;
+                tk.next(name);
+                tk.next_long(ncomp);
+                tk.next_long(ntup);
+                tk.next(dtype);
+                PolyData::Attr a;
+                a.ncomp = static_cast<int>(ncomp);
+                a.vals.resize(static_cast<size_t>(ncomp) * ntup);
+                for (auto& v : a.vals)
+                    if (!tk.next_double(v)) { g_error = "short FIELD"; return false; }
+                if (target) target->emplace_back(name, std::move(a));
+            }
+        } else {
+            g_error = "unsupported section: " + t;
+            return false;
+        }
+    }
+    return true;
+}
+
+void smooth_normals(const std::vector<double>& pts,
+                    const std::vector<std::vector<long>>& strips,
+                    std::vector<V3>& out) {
+    size_t np_ = pts.size() / 3;
+    std::vector<double> acc(np_ * 3, 0.0);
+    for (auto& strip : strips) {
+        for (size_t k = 0; k + 2 < strip.size(); k++) {
+            long i0 = strip[k], i1 = strip[k + 1], i2 = strip[k + 2];
+            if (k & 1) std::swap(i1, i2);
+            double ax = pts[i1 * 3] - pts[i0 * 3];
+            double ay = pts[i1 * 3 + 1] - pts[i0 * 3 + 1];
+            double az = pts[i1 * 3 + 2] - pts[i0 * 3 + 2];
+            double bx = pts[i2 * 3] - pts[i0 * 3];
+            double by = pts[i2 * 3 + 1] - pts[i0 * 3 + 1];
+            double bz = pts[i2 * 3 + 2] - pts[i0 * 3 + 2];
+            double nx = ay * bz - az * by;
+            double ny = az * bx - ax * bz;
+            double nz = ax * by - ay * bx;
+            for (long i : {i0, i1, i2}) {
+                acc[i * 3] += nx;
+                acc[i * 3 + 1] += ny;
+                acc[i * 3 + 2] += nz;
+            }
+        }
+    }
+    // normalize
+    out.resize(np_);
+    for (size_t i = 0; i < np_; i++) {
+        double nx = acc[i * 3], ny = acc[i * 3 + 1], nz = acc[i * 3 + 2];
+        double len = std::sqrt(nx * nx + ny * ny + nz * nz);
+        if (len > 1e-30) { nx /= len; ny /= len; nz /= len; }
+        else { nx = ny = nz = 0.0; }
+        out[i] = {static_cast<float>(nx), static_cast<float>(ny),
+                  static_cast<float>(nz)};
+    }
+    // orientation majority vote against the centroid (auto-orient approx)
+    double cx = 0, cy = 0, cz = 0;
+    for (size_t i = 0; i < np_; i++) {
+        cx += pts[i * 3];
+        cy += pts[i * 3 + 1];
+        cz += pts[i * 3 + 2];
+    }
+    cx /= np_; cy /= np_; cz /= np_;
+    size_t flips = 0;
+    for (size_t i = 0; i < np_; i++) {
+        double ox = pts[i * 3] - cx, oy = pts[i * 3 + 1] - cy,
+               oz = pts[i * 3 + 2] - cz;
+        if (out[i].x * ox + out[i].y * oy + out[i].z * oz < 0) flips++;
+    }
+    if (flips * 2 > np_) {
+        for (auto& v : out) { v.x = -v.x; v.y = -v.y; v.z = -v.z; }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+const char* orttpu_last_error() { return g_error.c_str(); }
+
+// ---------------- mesh-mode VTK ----------------
+
+void* orttpu_vtk_mesh_parse(const char* data, long n) {
+    PolyData pd;
+    if (!parse_polydata(data, n, pd)) return nullptr;
+    if (pd.points.empty()) { g_error = "no points"; return nullptr; }
+    if (pd.strips.empty()) { g_error = "mesh mode requires TRIANGLE_STRIPS"; return nullptr; }
+    const PolyData::Attr* ida = pd.find(pd.cell_data, "id");
+    const PolyData::Attr* vela = pd.find(pd.cell_data, "vel");
+    if (!ida || !vela) { g_error = "missing cell arrays id/vel"; return nullptr; }
+
+    std::vector<V3> pnormals;
+    smooth_normals(pd.points, pd.strips, pnormals);
+
+    auto* mf = new MeshFrame();
+    long tri_base = 0;
+    for (size_t c = 0; c < pd.strips.size(); c++) {
+        const auto& strip = pd.strips[c];
+        long ntri = strip.size() >= 3 ? static_cast<long>(strip.size()) - 2 : 0;
+        mf->ids.push_back(static_cast<long>(ida->vals[c]));
+        mf->velocities.push_back({static_cast<float>(vela->vals[c * 3]),
+                                  static_cast<float>(vela->vals[c * 3 + 1]),
+                                  static_cast<float>(vela->vals[c * 3 + 2])});
+        mf->tri_offsets.push_back(tri_base);
+        mf->tri_counts.push_back(ntri);
+        tri_base += ntri;
+        for (long k = 0; k < ntri; k++) {
+            long i0 = strip[k], i1 = strip[k + 1], i2 = strip[k + 2];
+            if (k & 1) std::swap(i1, i2);
+            for (long i : {i0, i1, i2}) {
+                mf->verts.push_back(static_cast<float>(pd.points[i * 3]));
+                mf->verts.push_back(static_cast<float>(pd.points[i * 3 + 1]));
+                mf->verts.push_back(static_cast<float>(pd.points[i * 3 + 2]));
+                mf->normals.push_back(pnormals[i].x);
+                mf->normals.push_back(pnormals[i].y);
+                mf->normals.push_back(pnormals[i].z);
+            }
+        }
+    }
+    return mf;
+}
+
+long orttpu_mesh_num_cells(void* h) { return static_cast<MeshFrame*>(h)->ids.size(); }
+long orttpu_mesh_num_tris(void* h) { return static_cast<MeshFrame*>(h)->verts.size() / 9; }
+
+void orttpu_mesh_fill(void* h, long* ids, float* vel, float* verts,
+                      float* normals, long* offsets, long* counts) {
+    auto* mf = static_cast<MeshFrame*>(h);
+    std::memcpy(ids, mf->ids.data(), mf->ids.size() * sizeof(long));
+    std::memcpy(vel, mf->velocities.data(), mf->velocities.size() * sizeof(V3));
+    std::memcpy(verts, mf->verts.data(), mf->verts.size() * sizeof(float));
+    std::memcpy(normals, mf->normals.data(), mf->normals.size() * sizeof(float));
+    std::memcpy(offsets, mf->tri_offsets.data(), mf->tri_offsets.size() * sizeof(long));
+    std::memcpy(counts, mf->tri_counts.data(), mf->tri_counts.size() * sizeof(long));
+}
+
+void orttpu_mesh_free(void* h) { delete static_cast<MeshFrame*>(h); }
+
+// ---------------- time-mode VTK ----------------
+
+void* orttpu_vtk_time_parse(const char* data, long n) {
+    PolyData pd;
+    if (!parse_polydata(data, n, pd)) return nullptr;
+    size_t np_ = pd.points.size() / 3;
+    if (np_ == 0) { g_error = "no points"; return nullptr; }
+
+    auto* tf = new TimeFrame();
+    tf->positions = pd.points;
+    tf->ids.resize(np_);
+    tf->quats.assign(np_ * 4, 0.0f);
+    tf->velocities.assign(np_ * 3, 0.0f);
+    tf->shape_ids.assign(np_, 0);
+
+    const PolyData::Attr* a;
+    if ((a = pd.find(pd.point_data, "id")) != nullptr)
+        for (size_t i = 0; i < np_; i++) tf->ids[i] = static_cast<long>(a->vals[i]);
+    else
+        for (size_t i = 0; i < np_; i++) tf->ids[i] = static_cast<long>(i);
+    if ((a = pd.find(pd.point_data, "quat")) != nullptr && a->ncomp == 4)
+        for (size_t i = 0; i < np_ * 4; i++) tf->quats[i] = static_cast<float>(a->vals[i]);
+    else
+        for (size_t i = 0; i < np_; i++) tf->quats[i * 4] = 1.0f;
+    if ((a = pd.find(pd.point_data, "vel")) != nullptr)
+        for (size_t i = 0; i < np_ * 3; i++) tf->velocities[i] = static_cast<float>(a->vals[i]);
+    if ((a = pd.find(pd.point_data, "shape_id")) != nullptr)
+        for (size_t i = 0; i < np_; i++) tf->shape_ids[i] = static_cast<long>(a->vals[i]);
+    return tf;
+}
+
+long orttpu_time_num_points(void* h) { return static_cast<TimeFrame*>(h)->ids.size(); }
+
+void orttpu_time_fill(void* h, double* pos, long* ids, float* quat,
+                      float* vel, long* shape) {
+    auto* tf = static_cast<TimeFrame*>(h);
+    std::memcpy(pos, tf->positions.data(), tf->positions.size() * sizeof(double));
+    std::memcpy(ids, tf->ids.data(), tf->ids.size() * sizeof(long));
+    std::memcpy(quat, tf->quats.data(), tf->quats.size() * sizeof(float));
+    std::memcpy(vel, tf->velocities.data(), tf->velocities.size() * sizeof(float));
+    std::memcpy(shape, tf->shape_ids.data(), tf->shape_ids.size() * sizeof(long));
+}
+
+void orttpu_time_free(void* h) { delete static_cast<TimeFrame*>(h); }
+
+// ---------------- STL ----------------
+
+static void stl_face_normals(StlMesh* m) {
+    size_t nt = m->verts.size() / 9;
+    m->normals.resize(m->verts.size());
+    // centroid of all triangle centroids for the orientation vote
+    double cx = 0, cy = 0, cz = 0;
+    for (size_t i = 0; i < m->verts.size(); i += 3) {
+        cx += m->verts[i];
+        cy += m->verts[i + 1];
+        cz += m->verts[i + 2];
+    }
+    size_t nv = m->verts.size() / 3;
+    if (nv) { cx /= nv; cy /= nv; cz /= nv; }
+
+    size_t flips = 0;
+    std::vector<double> ns(nt * 3);
+    for (size_t t = 0; t < nt; t++) {
+        const float* v = &m->verts[t * 9];
+        double ax = v[3] - v[0], ay = v[4] - v[1], az = v[5] - v[2];
+        double bx = v[6] - v[0], by = v[7] - v[1], bz = v[8] - v[2];
+        double nx = ay * bz - az * by;
+        double ny = az * bx - ax * bz;
+        double nz = ax * by - ay * bx;
+        double len = std::sqrt(nx * nx + ny * ny + nz * nz);
+        if (len > 1e-30) { nx /= len; ny /= len; nz /= len; }
+        ns[t * 3] = nx; ns[t * 3 + 1] = ny; ns[t * 3 + 2] = nz;
+        double mx = (v[0] + v[3] + v[6]) / 3.0 - cx;
+        double my = (v[1] + v[4] + v[7]) / 3.0 - cy;
+        double mz = (v[2] + v[5] + v[8]) / 3.0 - cz;
+        if (nx * mx + ny * my + nz * mz < 0) flips++;
+    }
+    double sign = (flips * 2 > nt) ? -1.0 : 1.0;
+    for (size_t t = 0; t < nt; t++) {
+        for (int corner = 0; corner < 3; corner++) {
+            m->normals[t * 9 + corner * 3] = static_cast<float>(sign * ns[t * 3]);
+            m->normals[t * 9 + corner * 3 + 1] = static_cast<float>(sign * ns[t * 3 + 1]);
+            m->normals[t * 9 + corner * 3 + 2] = static_cast<float>(sign * ns[t * 3 + 2]);
+        }
+    }
+}
+
+void* orttpu_stl_parse(const char* data, long n) {
+    auto* m = new StlMesh();
+    // ASCII if it starts with "solid" AND contains "facet" early on
+    bool is_ascii = false;
+    {
+        long probe = std::min<long>(n, 4096);
+        std::string head(data, probe);
+        size_t s = head.find_first_not_of(" \t\r\n");
+        if (s != std::string::npos && head.compare(s, 5, "solid") == 0 &&
+            head.find("facet") != std::string::npos)
+            is_ascii = true;
+    }
+    if (is_ascii) {
+        Tok tk(data, n);
+        std::string t;
+        while (tk.next(t)) {
+            if (t == "vertex") {
+                double x, y, z;
+                if (!tk.next_double(x) || !tk.next_double(y) || !tk.next_double(z)) {
+                    g_error = "short STL vertex";
+                    delete m;
+                    return nullptr;
+                }
+                m->verts.push_back(static_cast<float>(x));
+                m->verts.push_back(static_cast<float>(y));
+                m->verts.push_back(static_cast<float>(z));
+            }
+        }
+        if (m->verts.size() % 9 != 0) {
+            g_error = "ASCII STL vertex count not divisible by 3";
+            delete m;
+            return nullptr;
+        }
+    } else {
+        if (n < 84) { g_error = "binary STL too short"; delete m; return nullptr; }
+        uint32_t nt;
+        std::memcpy(&nt, data + 80, 4);
+        if (n < 84 + static_cast<long>(nt) * 50) {
+            g_error = "binary STL truncated";
+            delete m;
+            return nullptr;
+        }
+        m->verts.resize(static_cast<size_t>(nt) * 9);
+        for (uint32_t t = 0; t < nt; t++) {
+            const char* rec = data + 84 + static_cast<size_t>(t) * 50;
+            std::memcpy(&m->verts[t * 9], rec + 12, 36);  // skip facet normal
+        }
+    }
+    stl_face_normals(m);
+    return m;
+}
+
+long orttpu_stl_num_tris(void* h) { return static_cast<StlMesh*>(h)->verts.size() / 9; }
+
+void orttpu_stl_fill(void* h, float* verts, float* normals) {
+    auto* m = static_cast<StlMesh*>(h);
+    std::memcpy(verts, m->verts.data(), m->verts.size() * sizeof(float));
+    std::memcpy(normals, m->normals.data(), m->normals.size() * sizeof(float));
+}
+
+void orttpu_stl_free(void* h) { delete static_cast<StlMesh*>(h); }
+
+}  // extern "C"

@@ -50,6 +50,7 @@ class WideBVH:
     woop:         (n_pad, 12) f32 — sorted-prim Woop transforms
                   rows: [M00..M22 (9), c0 c1 c2 (3)]; p' = M @ p - c
     prim_index:   (n_pad,) int32 — sorted slot -> original triangle id
+    scene_lo/hi:  (3,) f32 — scene bounds (for ray-coherence sort keys)
     """
     child: jax.Array
     child_count: jax.Array
@@ -57,6 +58,8 @@ class WideBVH:
     box_max: jax.Array
     woop: jax.Array
     prim_index: jax.Array
+    scene_lo: jax.Array
+    scene_hi: jax.Array
 
     @property
     def num_nodes(self) -> int:
@@ -219,12 +222,16 @@ def collapse(bvh: LBVH, tri_vertices: np.ndarray) -> WideBVH:
     prim_index = np.zeros(n_pad, np.int32)
     prim_index[:n] = order
 
+    prim_lo = tri_vertices.min(axis=(0, 1)).astype(np.float32)
+    prim_hi = tri_vertices.max(axis=(0, 1)).astype(np.float32)
     return WideBVH(child=jnp.asarray(child),
                    child_count=jnp.asarray(child_count),
                    box_min=jnp.asarray(box_min),
                    box_max=jnp.asarray(box_max),
                    woop=jnp.asarray(woop),
-                   prim_index=jnp.asarray(prim_index))
+                   prim_index=jnp.asarray(prim_index),
+                   scene_lo=jnp.asarray(prim_lo),
+                   scene_hi=jnp.asarray(prim_hi))
 
 
 def build_wide_bvh(tri_vertices) -> WideBVH:

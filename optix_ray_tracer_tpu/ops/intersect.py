@@ -260,3 +260,18 @@ def intersect_any_bruteforce(scene: Scene, o, d, t_min=DEFAULT_T_MIN,
     """
     hit = intersect_scene_bruteforce(scene, o, d, t_min, t_max, chunk=chunk)
     return hit.is_hit
+
+
+def interpolate_uv(scene: Scene, hit: Hit):
+    """Barycentric-interpolated texture coordinates at triangle hits.
+
+    Returns (R, 2); zeros for sphere hits/misses or untextured scenes.
+    """
+    if scene.triangles.uvs is None or scene.triangle_count == 0:
+        return jnp.zeros(hit.t.shape + (2,), jnp.float32)
+    tri_id = jnp.clip(hit.prim_id, 0, scene.triangle_count - 1)
+    uv3 = scene.triangles.uvs[tri_id]                    # (R, 3, 2)
+    w = (1.0 - hit.u - hit.v)[..., None]
+    uv = (w * uv3[..., 0, :] + hit.u[..., None] * uv3[..., 1, :]
+          + hit.v[..., None] * uv3[..., 2, :])
+    return jnp.where((hit.prim_type == PRIM_TRIANGLE)[..., None], uv, 0.0)

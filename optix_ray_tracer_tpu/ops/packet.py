@@ -109,8 +109,11 @@ def _packet_traverse(wbvh: WideBVH, o, d, t_min, t_max):
         M = rows[:, :9].reshape(LEAF_SIZE, 3, 3)
         c = rows[:, 9:12]
         # o' = M@o - c ; d' = M@d     -> shapes (B, L, 3)
-        op = jnp.einsum('lij,bj->bli', M, o) - c[None, :, :]
-        dp = jnp.einsum('lij,bj->bli', M, d)
+        # (HIGHEST precision: TPU einsum defaults would use bf16 multiplies)
+        op = jnp.einsum('lij,bj->bli', M, o,
+                        precision=jax.lax.Precision.HIGHEST) - c[None, :, :]
+        dp = jnp.einsum('lij,bj->bli', M, d,
+                        precision=jax.lax.Precision.HIGHEST)
         dz = dp[..., 2]
         safe_dz = jnp.where(jnp.abs(dz) > 1e-12, dz, 1e-12)
         t = -op[..., 2] / safe_dz                            # (B, L)
@@ -182,6 +185,17 @@ class PacketIntersector:
         t_max_a = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32).reshape(-1)
                                    if jnp.ndim(t_max) else
                                    jnp.asarray(t_max, jnp.float32), (n,))
+        o_orig, d_orig = o2, d2
+        t_min_orig, t_max_orig = t_min_a, t_max_a
+        # sort the wavefront by coherence key so packets are spatial tiles
+        # (scan-order pixel rows would make every packet span the image)
+        key = ray_sort_keys(o2, d2, self.wbvh.scene_lo, self.wbvh.scene_hi)
+        perm = jnp.argsort(key)
+        o2 = o2[perm]
+        d2 = d2[perm]
+        t_min_a = t_min_a[perm]
+        t_max_a = t_max_a[perm]
+
         pad = (-n) % PACKET_SIZE
         if pad:
             o2 = jnp.pad(o2, ((0, pad), (0, 0)))
@@ -194,10 +208,12 @@ class PacketIntersector:
             self.wbvh,
             o2.reshape(P, PACKET_SIZE, 3), d2.reshape(P, PACKET_SIZE, 3),
             t_min_a.reshape(P, PACKET_SIZE), t_max_a.reshape(P, PACKET_SIZE))
-        t = t.reshape(-1)[:n]
-        slot = slot.reshape(-1)[:n]
-        u = u.reshape(-1)[:n]
-        v = v.reshape(-1)[:n]
+        # unsort: results are in sorted order; scatter back to ray order
+        inv_perm = jnp.argsort(perm)
+        t = t.reshape(-1)[:n][inv_perm]
+        slot = slot.reshape(-1)[:n][inv_perm]
+        u = u.reshape(-1)[:n][inv_perm]
+        v = v.reshape(-1)[:n][inv_perm]
 
         missed = slot < 0
         prim_id = self.wbvh.prim_index[jnp.maximum(slot, 0)]
@@ -208,8 +224,8 @@ class PacketIntersector:
             u=jnp.where(missed, 0.0, u),
             v=jnp.where(missed, 0.0, v))
         if scene.sphere_count > 0:
-            hit = _sphere_bruteforce_merge(scene, o2[:n], d2[:n],
-                                           t_min_a[:n], t_max_a[:n], hit)
+            hit = _sphere_bruteforce_merge(scene, o_orig, d_orig,
+                                           t_min_orig, t_max_orig, hit)
         return jax.tree.map(lambda x: x.reshape(shape + x.shape[1:]), hit)
 
     def __call__(self, scene: Scene, o, d, t_min=DEFAULT_T_MIN, t_max=INF) -> Hit:
@@ -228,18 +244,25 @@ def make_packet_intersector(scene: Scene) -> PacketIntersector:
     return PacketIntersector(wbvh=build_wide_bvh(tv))
 
 
-def sort_rays_by_direction(o, d, bits: int = 6):
-    """Sort key for incoherent bounce rays: direction octant + coarse origin
-    Morton code.  Returns (perm, inv_perm) to apply before/after traversal.
+def ray_sort_keys(o, d, scene_lo, scene_hi):
+    """Coherence keys: coarse origin Morton (high bits) + direction Morton
+    (low bits).
+
+    Packets are only efficient when their rays visit similar subtrees; this
+    key makes that true for BOTH camera rays (identical origin => key is a
+    direction-space tile index) and bounce rays (origin locality dominates).
+    The full-wavefront sort is one 32-bit XLA sort — cheap next to traversal.
     """
     from optix_ray_tracer_tpu.ops.bvh import morton_codes
-    octant = ((d[:, 0] > 0).astype(jnp.uint32)
-              | ((d[:, 1] > 0).astype(jnp.uint32) << 1)
-              | ((d[:, 2] > 0).astype(jnp.uint32) << 2))
-    lo = jnp.min(o, axis=0)
-    hi = jnp.max(o, axis=0)
-    morton = morton_codes(o, lo, hi) >> (30 - bits * 3)
-    key = (octant << (bits * 3)) | morton
+    o_morton = morton_codes(o, scene_lo, scene_hi)       # 30 bits
+    d_morton = morton_codes(d, jnp.full(3, -1.0), jnp.full(3, 1.0))
+    key = ((o_morton >> 18) << 20) | (d_morton >> 10)
+    return key
+
+
+def sort_rays_by_direction(o, d, bits: int = 6):
+    """(perm, inv_perm) ordering rays by the coherence key above."""
+    key = ray_sort_keys(o, d, jnp.min(o, axis=0), jnp.max(o, axis=0))
     perm = jnp.argsort(key)
     inv_perm = jnp.argsort(perm)
     return perm, inv_perm

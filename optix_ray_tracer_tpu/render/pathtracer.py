@@ -64,7 +64,8 @@ def _cosine_sample(n, pixel_id, sample, bounce, seed):
 @partial(jax.jit, static_argnames=("max_depth",))
 def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
                origins, directions, pixel_id, sample, seed, background,
-               max_depth: int = 8, intersector=None):
+               max_depth: int = 8, intersector=None, env=None,
+               textures=None):
     """Trace a wavefront with NEE+MIS.  Returns (radiance, albedo_g, normal_g).
 
     ``lights`` may be None (falls back to BSDF sampling only).
@@ -93,13 +94,17 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
         missed = alive & ~hit.is_hit
         hit_alive = alive & hit.is_hit
 
+        miss_radiance = env.sample(s["d"]) if env is not None else background
         radiance = s["radiance"] + jnp.where(
-            missed[..., None], s["throughput"] * background, 0.0)
+            missed[..., None], s["throughput"] * miss_radiance, 0.0)
 
         point, normal, front_face, material_id = isect.shading_frame(
             scene, s["o"], s["d"], hit)
         n_unit = normalize(normal)
         mtype, albedo, param, emission = materials.gather(material_id)
+        if textures is not None:
+            uv = isect.interpolate_uv(scene, hit)
+            albedo = albedo * textures.sample(material_id, uv)
 
         # ---- emitted light at BSDF hits, MIS-weighted -------------------
         is_emitter = hit_alive & (mtype == EMISSIVE)
@@ -202,7 +207,8 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
 def render_path(scene: Scene, materials: MaterialTable, lights, camera,
                 width: int, height: int, spp: int = 16, seed: int = 0,
                 background=(0.0, 0.0, 0.0), max_depth: int = 8,
-                intersector=None, jitter: bool = True):
+                intersector=None, env=None, textures=None,
+                jitter: bool = True):
     """Full-frame path trace; same conventions as wavefront.render."""
     npix = width * height
     pixel_id = jnp.arange(npix, dtype=jnp.int32)
@@ -216,7 +222,8 @@ def render_path(scene: Scene, materials: MaterialTable, lights, camera,
         o, d = camera.generate_rays(width, height, jit_uv)
         radiance, alb, nrm = trace_path(
             scene, materials, lights, o.reshape(-1, 3), d.reshape(-1, 3),
-            pixel_id, sidx, seed, background, max_depth, intersector)
+            pixel_id, sidx, seed, background, max_depth, intersector, env,
+            textures)
         return (acc[0] + radiance, acc[1] + alb, acc[2] + nrm), None
 
     zeros = jnp.zeros((npix, 3), jnp.float32)

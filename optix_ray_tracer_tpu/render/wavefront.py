@@ -123,7 +123,7 @@ def _default_intersector():
 def trace(scene: Scene, materials: MaterialTable, origins, directions,
           pixel_id, sample, seed, background,
           max_depth: int = DEFAULT_MAX_DEPTH,
-          intersector=None):
+          intersector=None, env=None):
     """Trace a wavefront of rays to completion.
 
     origins/directions: (R, 3); pixel_id: (R,) int32; sample: scalar int;
@@ -153,9 +153,12 @@ def trace(scene: Scene, materials: MaterialTable, origins, directions,
         missed = alive & ~hit.is_hit
         hit_alive = alive & hit.is_hit
 
-        # miss: add throughput-weighted background (Shader.cu:276-287)
+        # miss: add throughput-weighted background (Shader.cu:276-287);
+        # an EnvMap generalizes the constant miss color (config 5)
+        miss_radiance = env.sample(state["d"]) if env is not None \
+            else background
         radiance = state["radiance"] + jnp.where(
-            missed[..., None], state["throughput"] * background, 0.0)
+            missed[..., None], state["throughput"] * miss_radiance, 0.0)
 
         point, normal, front_face, material_id = isect.shading_frame(
             scene, state["o"], state["d"], hit)
@@ -198,7 +201,7 @@ def render(scene: Scene, materials: MaterialTable, camera,
            width: int, height: int, spp: int = 1, seed: int = 0,
            background=DEFAULT_BACKGROUND,
            max_depth: int = DEFAULT_MAX_DEPTH,
-           intersector=None,
+           intersector=None, env=None,
            jitter: bool = True):
     """Render a full frame: spp samples per pixel, accumulated in linear space.
 
@@ -223,7 +226,7 @@ def render(scene: Scene, materials: MaterialTable, camera,
         o, d = camera.generate_rays(width, height, jit_uv)
         radiance, albedo_g, normal_g = trace(
             scene, materials, o.reshape(-1, 3), d.reshape(-1, 3),
-            pixel_id, s, seed, background, max_depth, intersector)
+            pixel_id, s, seed, background, max_depth, intersector, env)
         return (acc[0] + radiance, acc[1] + albedo_g, acc[2] + normal_g), None
 
     zeros = jnp.zeros((npix, 3), jnp.float32)

@@ -54,13 +54,15 @@ class Spheres:
 @dataclasses.dataclass(frozen=True)
 class Triangles:
     """vertices (T, 3, 3), normals (T, 3, 3) per-vertex shading normals,
-    material_id (T,) int32.
+    material_id (T,) int32, uvs (T, 3, 2) optional texture coordinates
+    (None when the scene is untextured).
 
     Shading normals are barycentric-interpolated at hit time exactly like the
     reference triangle closest-hit (``shader/Shader.cu:139-152``)."""
     vertices: jax.Array
     normals: jax.Array
     material_id: jax.Array
+    uvs: jax.Array | None = None
 
     @property
     def count(self) -> int:
@@ -72,7 +74,8 @@ class Triangles:
         return Triangles(z, z, jnp.zeros((0,), jnp.int32))
 
     @staticmethod
-    def from_arrays(vertices, normals=None, material_id=0) -> "Triangles":
+    def from_arrays(vertices, normals=None, material_id=0,
+                    uvs=None) -> "Triangles":
         vertices = jnp.asarray(vertices, jnp.float32).reshape(-1, 3, 3)
         if normals is None:
             normals = face_normals_as_vertex_normals(vertices)
@@ -80,7 +83,9 @@ class Triangles:
             normals = jnp.asarray(normals, jnp.float32).reshape(-1, 3, 3)
         mid = jnp.broadcast_to(jnp.asarray(material_id, jnp.int32),
                                (vertices.shape[0],))
-        return Triangles(vertices, normals, mid)
+        if uvs is not None:
+            uvs = jnp.asarray(uvs, jnp.float32).reshape(-1, 3, 2)
+        return Triangles(vertices, normals, mid, uvs)
 
     def transformed(self, transform) -> "Triangles":
         """Bake a (3, 4) affine into world-space triangles (flatten-instancing)."""
@@ -91,13 +96,24 @@ class Triangles:
         linear = transform[..., :, :3]
         inv_t = jnp.linalg.inv(linear).T
         n = jnp.einsum('ij,...j->...i', inv_t, self.normals)
-        return Triangles(v, n, self.material_id)
+        return Triangles(v, n, self.material_id, self.uvs)
 
     def concat(self, other: "Triangles") -> "Triangles":
+        if (self.uvs is None) != (other.uvs is None):
+            uvs = jnp.concatenate([
+                self.uvs if self.uvs is not None
+                else jnp.zeros((self.count, 3, 2), jnp.float32),
+                other.uvs if other.uvs is not None
+                else jnp.zeros((other.count, 3, 2), jnp.float32)], 0)
+        elif self.uvs is not None:
+            uvs = jnp.concatenate([self.uvs, other.uvs], 0)
+        else:
+            uvs = None
         return Triangles(
             jnp.concatenate([self.vertices, other.vertices], 0),
             jnp.concatenate([self.normals, other.normals], 0),
-            jnp.concatenate([self.material_id, other.material_id], 0))
+            jnp.concatenate([self.material_id, other.material_id], 0),
+            uvs)
 
 
 def face_normals_as_vertex_normals(vertices):

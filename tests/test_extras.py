@@ -1,0 +1,198 @@
+"""Tests for the denoiser, OBJ loader, env maps, and textures."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from optix_ray_tracer_tpu.io.obj import obj_to_scene, read_mtl, read_obj
+from optix_ray_tracer_tpu.render.denoise import denoise, skip_denoise
+from optix_ray_tracer_tpu.render.envmap import EnvMap, constant_env, gradient_sky
+from optix_ray_tracer_tpu.scene.textures import (
+    TextureSet, build_texture_set, checker_texture,
+)
+
+CUBE_OBJ = """# simple quad + tri
+v 0 0 0
+v 1 0 0
+v 1 1 0
+v 0 1 0
+vn 0 0 1
+vt 0 0
+vt 1 0
+vt 1 1
+vt 0 1
+usemtl red
+f 1/1/1 2/2/1 3/3/1 4/4/1
+usemtl blue
+f 1/1/1 3/3/1 4/4/1
+"""
+
+CUBE_MTL = """newmtl red
+Kd 0.8 0.1 0.1
+newmtl blue
+Kd 0.1 0.1 0.8
+newmtl shiny
+Ks 0.9 0.9 0.9
+Ns 500
+newmtl lamp
+Ke 5 5 5
+"""
+
+
+class TestObj:
+    def test_parse_with_fan_triangulation(self, tmp_path):
+        p = tmp_path / "m.obj"
+        p.write_text(CUBE_OBJ)
+        mesh = read_obj(str(p))
+        assert mesh.triangle_count == 3  # quad -> 2 + 1
+        assert mesh.material_names == ["red", "red", "blue"]
+        np.testing.assert_allclose(mesh.normals[0, 0], [0, 0, 1])
+        np.testing.assert_allclose(mesh.uvs[0, 1], [1, 0])
+
+    def test_negative_indices(self, tmp_path):
+        p = tmp_path / "m.obj"
+        p.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf -3 -2 -1\n")
+        mesh = read_obj(str(p))
+        assert mesh.triangle_count == 1
+        np.testing.assert_allclose(mesh.vertices[0, 2], [0, 1, 0])
+
+    def test_missing_normals_get_face_normal(self, tmp_path):
+        p = tmp_path / "m.obj"
+        p.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+        mesh = read_obj(str(p))
+        np.testing.assert_allclose(np.abs(mesh.normals[0, 0]), [0, 0, 1],
+                                   atol=1e-6)
+
+    def test_mtl_and_scene(self, tmp_path):
+        (tmp_path / "m.obj").write_text(CUBE_OBJ)
+        (tmp_path / "m.mtl").write_text(CUBE_MTL)
+        mtls = read_mtl(str(tmp_path / "m.mtl"))
+        assert mtls["red"].kd == (0.8, 0.1, 0.1)
+        tris, mats, mesh = obj_to_scene(str(tmp_path / "m.obj"))
+        assert tris.count == 3
+        # red/blue distinct material rows
+        ids = np.asarray(tris.material_id)
+        assert ids[0] == ids[1] != ids[2]
+
+
+class TestEnvMap:
+    def test_constant(self):
+        env = constant_env((0.2, 0.4, 0.6))
+        d = jnp.asarray([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0], [0.0, 0.0, -1.0]])
+        out = np.asarray(env.sample(d))
+        np.testing.assert_allclose(out, [[0.2, 0.4, 0.6]] * 3, atol=1e-6)
+
+    def test_gradient_sky_up_vs_down(self):
+        env = gradient_sky()
+        up = np.asarray(env.sample(jnp.asarray([[0.0, 0.0, 1.0]])))[0]
+        down = np.asarray(env.sample(jnp.asarray([[0.0, 0.0, -1.0]])))[0]
+        assert up[2] > up[0]          # zenith is blue
+        assert down[0] > down[2]      # ground is brown
+
+    def test_sun_disk(self):
+        env = gradient_sky(sun_dir=(0, 0, 1), sun_radiance=(100, 100, 100),
+                           sun_cos=0.95)
+        up = np.asarray(env.sample(jnp.asarray([[0.0, 0.0, 1.0]])))[0]
+        side = np.asarray(env.sample(jnp.asarray([[1.0, 0.0, 0.0]])))[0]
+        assert up[0] > 50 and side[0] < 2
+
+    def test_render_with_env(self):
+        from optix_ray_tracer_tpu.render import wavefront
+        from optix_ray_tracer_tpu.scene.camera import Camera
+        from optix_ray_tracer_tpu.scene.geometry import Scene, Spheres, Triangles
+        from optix_ray_tracer_tpu.scene.materials import MaterialBuilder
+        mb = MaterialBuilder()
+        m = mb.add_metal((0.9, 0.9, 0.9), 0.0)
+        scene = Scene(spheres=Spheres.from_list([((0, 0, 0), 0.5, m)]),
+                      triangles=Triangles.empty())
+        cam = Camera.look_at((3, 0, 0), (0, 0, 0), (0, 0, 1))
+        env = gradient_sky()
+        img, _, _ = wavefront.render(scene, mb.build(), cam, 16, 16, spp=1,
+                                     seed=0, env=env, jitter=False)
+        a = np.asarray(img)
+        assert not np.isnan(a).any()
+        # top of frame = sky (blue-ish), bottom = ground (brown-ish)
+        assert a[0, 0, 2] > a[0, 0, 0]
+        assert a[15, 0, 0] > a[15, 0, 2]
+
+
+class TestTextures:
+    def test_checker_sample(self):
+        tex = checker_texture(res=64, tiles=2)
+        ts = build_texture_set([tex], [0])
+        # uv (0.25, 0.75): first tile row/col -> bright
+        mid = jnp.asarray([0], jnp.int32)
+        bright = np.asarray(ts.sample(mid, jnp.asarray([[0.2, 0.8]])))[0]
+        dark = np.asarray(ts.sample(mid, jnp.asarray([[0.7, 0.8]])))[0]
+        assert bright.mean() != dark.mean()
+
+    def test_untextured_material_returns_one(self):
+        ts = build_texture_set([checker_texture(32)], [0, -1])
+        out = np.asarray(ts.sample(jnp.asarray([1], jnp.int32),
+                                   jnp.asarray([[0.5, 0.5]])))
+        np.testing.assert_allclose(out, 1.0)
+
+    def test_textured_cornell_path(self):
+        from optix_ray_tracer_tpu.render.pathtracer import render_path
+        from optix_ray_tracer_tpu.scene.cornell import build_cornell_box
+        from optix_ray_tracer_tpu.scene.lights import collect_area_lights
+        import dataclasses as dc
+        import jax.numpy as jnp2
+
+        scene, mats, cam = build_cornell_box(with_blocks=False)
+        # give every triangle planar uvs + hook material 0 to a checker
+        T = scene.triangle_count
+        v = np.asarray(scene.triangles.vertices)
+        uv = v[..., [0, 2]]  # xz-planar projection
+        tris = dc.replace(scene.triangles, uvs=jnp2.asarray(uv))
+        scene = dc.replace(scene, triangles=tris)
+        ts = build_texture_set([checker_texture(64, tiles=4)],
+                               [0] + [-1] * (mats.count - 1))
+        lights = collect_area_lights(scene, mats)
+        img, _, _ = render_path(scene, mats, lights, cam, 32, 32, spp=8,
+                                seed=1, textures=ts)
+        a = np.asarray(img)
+        assert not np.isnan(a).any()
+        # floor shows checker variance
+        floor = a[26:31, 8:24].mean(-1)
+        assert floor.std() > 0.01
+
+
+class TestDenoise:
+    def test_reduces_noise_preserves_edges(self):
+        rng = np.random.default_rng(0)
+        h = w = 64
+        # two flat regions with an albedo edge + noise
+        clean = np.ones((h, w, 3), np.float32) * 0.5
+        albedo = np.ones((h, w, 3), np.float32)
+        albedo[:, w // 2:] = 0.2
+        normal = np.zeros((h, w, 3), np.float32)
+        normal[..., 2] = 1.0
+        noisy = clean * albedo + rng.normal(0, 0.1, (h, w, 3)).astype(np.float32)
+        out = np.asarray(denoise(jnp.asarray(noisy), jnp.asarray(albedo),
+                                 jnp.asarray(normal)))
+        res_noisy = (noisy - clean * albedo).std()
+        res_out = (out - clean * albedo).std()
+        assert res_out < res_noisy * 0.5
+        # albedo edge preserved (demodulation): mean levels still distinct
+        assert abs(out[:, :w // 2].mean() - 0.5) < 0.1
+        assert abs(out[:, w // 2:].mean() - 0.1) < 0.05
+
+    def test_normal_edge_stops_filtering(self):
+        h = w = 32
+        img = np.zeros((h, w, 3), np.float32)
+        img[:, w // 2:] = 1.0
+        normal = np.zeros((h, w, 3), np.float32)
+        normal[:, :w // 2, 2] = 1.0
+        normal[:, w // 2:, 0] = 1.0   # 90-degree normal edge
+        albedo = np.ones_like(img)
+        out = np.asarray(denoise(jnp.asarray(img), jnp.asarray(albedo),
+                                 jnp.asarray(normal)))
+        # the edge stays sharp: columns adjacent to the seam barely change
+        assert out[:, w // 2 - 3].mean() < 0.15
+        assert out[:, w // 2 + 2].mean() > 0.85
+
+    def test_skip_passthrough(self):
+        x = jnp.ones((4, 4, 3))
+        assert skip_denoise(x) is x
