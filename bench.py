@@ -53,14 +53,16 @@ def main() -> None:
                                        t_max=dist[..., 0])
         return hit.t, shadowed
 
-    # warmup / compile
+    # warmup / compile.  NOTE: sync via a host fetch of a reduction —
+    # block_until_ready resolves before remote execution completes on the
+    # tunneled TPU runtime, so it cannot be used for timing here.
     t_vals, sh = step(o, d)
-    jax.block_until_ready((t_vals, sh))
+    _ = float(jnp.sum(t_vals == 0)) + float(jnp.sum(sh))
 
     t0 = time.perf_counter()
     for _ in range(REPS):
         t_vals, sh = step(o, d)
-    jax.block_until_ready((t_vals, sh))
+    _ = float(jnp.sum(t_vals == 0)) + float(jnp.sum(sh))
     dt = (time.perf_counter() - t0) / REPS
 
     nrays = 2 * WIDTH * HEIGHT  # primary + shadow
