@@ -20,7 +20,7 @@ import numpy as np
 TARGET_MRAYS = 200.0
 WIDTH = HEIGHT = 1024
 N_TRIS = 100_000
-REPS = 5
+REPS = 3
 
 
 def main() -> None:
@@ -28,14 +28,15 @@ def main() -> None:
     import jax.numpy as jnp
 
     from optix_ray_tracer_tpu.io.meshgen import sphere_with_n_triangles
-    from optix_ray_tracer_tpu.ops.packet import make_packet_intersector
+    from optix_ray_tracer_tpu.ops.sweep import make_sweep_intersector
     from optix_ray_tracer_tpu.scene.camera import Camera
     from optix_ray_tracer_tpu.scene.geometry import Scene, Spheres, Triangles
 
     v, n = sphere_with_n_triangles(N_TRIS)
     scene = Scene(spheres=Spheres.empty(),
                   triangles=Triangles.from_arrays(v, n))
-    intersector = make_packet_intersector(scene)
+    use_pallas = jax.default_backend() != "cpu"
+    intersector = make_sweep_intersector(scene, use_pallas=use_pallas)
     cam = Camera.look_at((3.0, 0.0, 0.0), (0.0, 0.0, 0.0), (0.0, 0.0, 1.0))
     o, d = cam.generate_rays(WIDTH, HEIGHT)
     o = o.reshape(-1, 3)

@@ -30,6 +30,15 @@ def main(argv=None) -> int:
     ap.add_argument("--height", type=int, default=None)
     ap.add_argument("--loop", action="store_true",
                     help="cycle the animation like the interactive renderer")
+    ap.add_argument("--viewer", action="store_true",
+                    help="serve an interactive MJPEG viewer (SDL-window analog)")
+    ap.add_argument("--port", type=int, default=8425, help="viewer port")
+    ap.add_argument("--progressive", type=int, default=None, metavar="SPP",
+                    help="progressively accumulate SPP on frame 0 with "
+                         "checkpoint/resume")
+    ap.add_argument("--checkpoint", default=None,
+                    help="checkpoint path for --progressive (resumes if it "
+                         "exists)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
@@ -67,6 +76,11 @@ def main(argv=None) -> int:
     data = frontend.commit(config)
     LOG.info("scene committed in %.1fs", time.time() - t0)
 
+    if args.viewer:
+        return _run_viewer(frontend, data, config, args, out_dir)
+    if args.progressive:
+        return _run_progressive(frontend, data, config, args, out_dir)
+
     n = 0
     for fi, k, film in frontend.render_frames(
             data, width=args.width, height=args.height, spp=args.spp,
@@ -76,6 +90,80 @@ def main(argv=None) -> int:
         LOG.info("file %d frame %d -> %s (spp=%d)", fi, k, path, int(film.spp))
         n += 1
     LOG.info("render finished: %d frames in %.1fs", n, time.time() - t0)
+    return 0
+
+
+def _run_viewer(frontend, data, config, args, out_dir) -> int:
+    """Interactive mode: render frame 0's scene under a live fly camera."""
+    from optix_ray_tracer_tpu.ops.bvh import build_scene_lbvh
+    from optix_ray_tracer_tpu.ops.traverse import BVHIntersector
+    from optix_ray_tracer_tpu.render import wavefront
+    from optix_ray_tracer_tpu.render.viewer import ViewerServer
+    from optix_ray_tracer_tpu.utils.color import color_to_uint8
+    from optix_ray_tracer_tpu.utils.logging import LOG
+    import numpy as np
+
+    ld = config.loop_data
+    width = args.width or min(ld.window_width, 400)
+    height = args.height or min(ld.window_height, 300)
+    scene = frontend.frame_scene(data, 0, 0, 1)
+    intersector = BVHIntersector(bvh=build_scene_lbvh(scene)) \
+        if scene.triangle_count + scene.sphere_count >= 2 else None
+
+    def render_fn(camera):
+        img, _, _ = wavefront.render(
+            scene, data.materials, camera, width, height,
+            spp=args.spp or 1, seed=config.seed,
+            background=config.background, max_depth=config.max_depth,
+            intersector=intersector)
+        return np.asarray(color_to_uint8(img))
+
+    LOG.info("interactive viewer: %dx%d", width, height)
+    ViewerServer(data.camera, render_fn, port=args.port).serve(blocking=True)
+    return 0
+
+
+def _run_progressive(frontend, data, config, args, out_dir) -> int:
+    """Progressive accumulation on frame 0 with checkpoint/resume."""
+    from optix_ray_tracer_tpu.ops.bvh import build_scene_lbvh
+    from optix_ray_tracer_tpu.ops.traverse import BVHIntersector
+    from optix_ray_tracer_tpu.render import wavefront
+    from optix_ray_tracer_tpu.render.film import Film
+    from optix_ray_tracer_tpu.utils.logging import LOG
+
+    ld = config.loop_data
+    width = args.width or ld.window_width
+    height = args.height or ld.window_height
+    target_spp = args.progressive
+    ckpt = args.checkpoint or os.path.join(out_dir, "progressive.npz")
+
+    scene = frontend.frame_scene(data, 0, 0, 1)
+    intersector = BVHIntersector(bvh=build_scene_lbvh(scene)) \
+        if scene.triangle_count + scene.sphere_count >= 2 else None
+
+    if os.path.exists(ckpt):
+        film = Film.restore(ckpt)
+        LOG.info("resumed checkpoint %s at %d spp", ckpt, int(film.spp))
+    else:
+        film = Film.create(width, height)
+
+    while int(film.spp) < target_spp:
+        # seed offset = accumulated spp => bit-exact continuation after
+        # resume (counter-based RNG)
+        done = int(film.spp)
+        batch = max(1, min(16, target_spp - done))
+        img, alb, nrm = wavefront.render(
+            scene, data.materials, data.camera, width, height,
+            spp=batch, seed=config.seed + done,
+            background=config.background, max_depth=config.max_depth,
+            intersector=intersector)
+        film = film.add(img, alb, nrm, batch)
+        film.checkpoint(ckpt, meta={"seed": config.seed, "target": target_spp})
+        LOG.info("progressive: %d/%d spp", int(film.spp), target_spp)
+
+    out = os.path.join(out_dir, "progressive.png")
+    film.save(out)
+    LOG.info("progressive render done -> %s", out)
     return 0
 
 

@@ -1,0 +1,185 @@
+"""Interactive preview — the headless analog of the reference's SDL window.
+
+The reference presents via GL/VK/D3D swapchains with WASD+mouse input
+(``src/GraphicsAPI/*``).  A TPU pod has no display, so the viewer serves an
+MJPEG stream over HTTP (view in any browser) with keyboard-ish control via
+HTTP endpoints — same camera semantics (FlyCameraController wraps the exact
+reference math: yaw/pitch with pitch clamp, WASD planar movement,
+wheel-speed).
+
+Endpoints:
+  GET /            minimal HTML page with the stream + key bindings
+  GET /stream      multipart/x-mixed-replace MJPEG (PNG parts — no JPEG dep)
+  GET /key?k=w     press a movement key (w/a/s/d/space/shift)
+  GET /look?dx=&dy=  mouse-look deltas
+  GET /quit        stop the server (Esc analog)
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from optix_ray_tracer_tpu.scene.camera import FlyCameraController
+from optix_ray_tracer_tpu.utils.logging import LOG
+
+_PAGE = b"""<!doctype html><html><body style="background:#111;color:#eee;
+font-family:monospace"><h3>optix_ray_tracer_tpu viewer</h3>
+<img src="/stream" style="image-rendering:pixelated;width:75%%">
+<p>keys: GET /key?k=[w|a|s|d|space|shift] &mdash; look: GET /look?dx=10&dy=0
+&mdash; quit: GET /quit</p>
+<script>
+document.addEventListener('keydown', e => {
+  const m = {w:'w',a:'a',s:'s',d:'d',' ':'space',Shift:'shift'};
+  if (m[e.key]) fetch('/key?k='+m[e.key]);
+});
+let drag=false, lx=0, ly=0;
+document.addEventListener('mousedown', e=>{drag=true;lx=e.x;ly=e.y;});
+document.addEventListener('mouseup', ()=>drag=false);
+document.addEventListener('mousemove', e=>{
+  if(drag){fetch('/look?dx='+(e.x-lx)+'&dy='+(e.y-ly));lx=e.x;ly=e.y;}
+});
+</script></body></html>"""
+
+
+class ViewerServer:
+    """Serve rendered frames; drive the camera from HTTP input.
+
+    ``render_fn(camera) -> uint8 RGBA (H, W, 4)`` is called on a render
+    thread whenever the previous frame finishes (1-spp interactive loop,
+    like the reference's render loop).
+    """
+
+    def __init__(self, camera, render_fn, host="127.0.0.1", port=8425,
+                 fps_limit: float = 30.0,
+                 mouse_sensitivity: float = 0.002,
+                 pitch_limit_degree: float = 85.0,
+                 move_speed: float = 0.05):
+        self.controller = FlyCameraController(
+            camera, mouse_sensitivity=mouse_sensitivity,
+            pitch_limit_degree=pitch_limit_degree, move_speed=move_speed)
+        self.render_fn = render_fn
+        self.host = host
+        self.port = port
+        self.fps_limit = fps_limit
+        self._frame: bytes | None = None
+        self._frame_lock = threading.Lock()
+        self._input_lock = threading.Lock()
+        self._pending: dict = {"dx": 0, "dy": 0, "keys": set()}
+        self._stop = threading.Event()
+        self._httpd: ThreadingHTTPServer | None = None
+
+    # ---- input & camera ---------------------------------------------------
+
+    def _apply_input(self):
+        with self._input_lock:
+            dx, dy = self._pending["dx"], self._pending["dy"]
+            keys = set(self._pending["keys"])
+            self._pending = {"dx": 0, "dy": 0, "keys": set()}
+        return self.controller.update(
+            mouse_dx=dx, mouse_dy=dy,
+            forward="w" in keys, back="s" in keys,
+            right="d" in keys, left="a" in keys,
+            up="space" in keys, down="shift" in keys)
+
+    # ---- render loop ------------------------------------------------------
+
+    def _render_loop(self):
+        from optix_ray_tracer_tpu.utils.color import png_bytes
+        frame_interval = 1.0 / max(self.fps_limit, 1e-3)
+        while not self._stop.is_set():
+            t0 = time.time()
+            camera = self._apply_input()
+            rgba = np.asarray(self.render_fn(camera))
+            data = png_bytes(rgba)
+            with self._frame_lock:
+                self._frame = data
+            # FPS limiter (reference: sleep-to-target; no spin needed here)
+            dt = time.time() - t0
+            if dt < frame_interval:
+                time.sleep(frame_interval - dt)
+
+    # ---- server -----------------------------------------------------------
+
+    def serve(self, blocking: bool = True):
+        viewer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):
+                pass
+
+            def do_GET(self):
+                url = urlparse(self.path)
+                q = parse_qs(url.query)
+                if url.path == "/":
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html")
+                    self.end_headers()
+                    self.wfile.write(_PAGE)
+                elif url.path == "/key":
+                    with viewer._input_lock:
+                        viewer._pending["keys"].add(q.get("k", [""])[0])
+                    self.send_response(204)
+                    self.end_headers()
+                elif url.path == "/look":
+                    with viewer._input_lock:
+                        viewer._pending["dx"] += int(q.get("dx", ["0"])[0])
+                        viewer._pending["dy"] += int(q.get("dy", ["0"])[0])
+                    self.send_response(204)
+                    self.end_headers()
+                elif url.path == "/quit":
+                    self.send_response(200)
+                    self.end_headers()
+                    viewer.stop()
+                elif url.path == "/stream":
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type",
+                        "multipart/x-mixed-replace; boundary=frame")
+                    self.end_headers()
+                    try:
+                        while not viewer._stop.is_set():
+                            with viewer._frame_lock:
+                                frame = viewer._frame
+                            if frame is not None:
+                                self.wfile.write(b"--frame\r\n")
+                                self.wfile.write(b"Content-Type: image/png\r\n\r\n")
+                                self.wfile.write(frame)
+                                self.wfile.write(b"\r\n")
+                            time.sleep(1.0 / viewer.fps_limit)
+                    except (BrokenPipeError, ConnectionResetError):
+                        pass
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+
+        self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
+        render_thread = threading.Thread(target=self._render_loop, daemon=True)
+        render_thread.start()
+        LOG.info("viewer at http://%s:%d/", self.host, self.port)
+        if blocking:
+            try:
+                while not self._stop.is_set():
+                    self._httpd.handle_request()
+            finally:
+                self._httpd.server_close()
+        else:
+            threading.Thread(target=self._serve_until_stopped,
+                             daemon=True).start()
+        return self
+
+    def _serve_until_stopped(self):
+        while not self._stop.is_set():
+            self._httpd.handle_request()
+        self._httpd.server_close()
+
+    def stop(self):
+        self._stop.set()
+
+    def latest_frame_png(self) -> bytes | None:
+        with self._frame_lock:
+            return self._frame

@@ -60,8 +60,8 @@ def write_ppm(path, rgb_uint8: np.ndarray) -> None:
         f.write(arr.astype(np.uint8).tobytes())
 
 
-def write_png(path, rgba_uint8: np.ndarray) -> None:
-    """Minimal PNG writer (zlib + struct only, no imaging deps).
+def png_bytes(rgba_uint8: np.ndarray) -> bytes:
+    """Encode an image as PNG in memory (zlib + struct only, no imaging deps).
 
     Replaces the reference's swapchain present path — on TPU the framebuffer
     is fetched from HBM once per flush and encoded on host.
@@ -84,8 +84,11 @@ def write_png(path, rgba_uint8: np.ndarray) -> None:
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def write_png(path, rgba_uint8: np.ndarray) -> None:
+    """Write an image as a PNG file (see :func:`png_bytes`)."""
     with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(chunk(b"IHDR", ihdr))
-        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
-        f.write(chunk(b"IEND", b""))
+        f.write(png_bytes(rgba_uint8))
