@@ -4,10 +4,11 @@ Metric: primary+shadow ray throughput (Mrays/sec/chip) on a 100k-triangle
 mesh scene at 1024x1024 (BASELINE.md target: >= 200 Mrays/sec/chip on
 TPU v5e; vs_baseline = value / 200).
 
-Method: wide-BVH packet traversal of 1M coherent primary rays, then 1M
-shadow (any-hit) rays toward a point above the scene from the primary hit
-points — the two wavefront stages a deferred renderer issues per sample.
-Timed over repeated dispatches after one warmup (compile excluded).
+Method: fused Pallas block-march intersection (ops/pallas/block_march.py)
+of 1M coherent primary rays, then 1M shadow (any-hit) rays toward a point
+above the scene from the primary hit points — the two wavefront stages a
+deferred renderer issues per sample.  Timed over repeated dispatches after
+one warmup (compile excluded).
 """
 
 from __future__ import annotations
@@ -28,15 +29,15 @@ def main() -> None:
     import jax.numpy as jnp
 
     from optix_ray_tracer_tpu.io.meshgen import sphere_with_n_triangles
-    from optix_ray_tracer_tpu.ops.sweep import make_sweep_intersector
+    from optix_ray_tracer_tpu.ops.march import make_march_intersector
     from optix_ray_tracer_tpu.scene.camera import Camera
     from optix_ray_tracer_tpu.scene.geometry import Scene, Spheres, Triangles
 
     v, n = sphere_with_n_triangles(N_TRIS)
     scene = Scene(spheres=Spheres.empty(),
                   triangles=Triangles.from_arrays(v, n))
-    use_pallas = jax.default_backend() != "cpu"
-    intersector = make_sweep_intersector(scene, use_pallas=use_pallas)
+    # fused Pallas block-march intersector (see ops/pallas/block_march.py)
+    intersector = make_march_intersector(scene)
     cam = Camera.look_at((3.0, 0.0, 0.0), (0.0, 0.0, 0.0), (0.0, 0.0, 1.0))
     o, d = cam.generate_rays(WIDTH, HEIGHT)
     o = o.reshape(-1, 3)

@@ -1,0 +1,97 @@
+"""MarchIntersector — the fused-kernel intersector (see
+ops/pallas/block_march.py for the kernel design).
+
+Host-side duties only: coherence-sort the wavefront (packets of similar
+rays march through few clusters), pad to 128-ray blocks, unsort, and merge
+the (few) analytic spheres.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from optix_ray_tracer_tpu.ops.intersect import (
+    DEFAULT_T_MIN, Hit, PRIM_NONE, PRIM_TRIANGLE,
+)
+from optix_ray_tracer_tpu.ops.packet import ray_sort_keys, _sphere_bruteforce_merge
+from optix_ray_tracer_tpu.ops.pallas.block_march import BLOCK_RAYS, block_march
+from optix_ray_tracer_tpu.ops.sweep import ClusterSet, build_clusters
+from optix_ray_tracer_tpu.scene.geometry import Scene
+from optix_ray_tracer_tpu.utils.vecmath import INF
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MarchIntersector:
+    clusters: ClusterSet
+    scene_lo: jax.Array
+    scene_hi: jax.Array
+
+    def intersect(self, scene: Scene, o, d, t_min=DEFAULT_T_MIN,
+                  t_max=INF) -> Hit:
+        shape = o.shape[:-1]
+        o2 = o.reshape(-1, 3)
+        d2 = d.reshape(-1, 3)
+        n = o2.shape[0]
+        t_min_a = jnp.broadcast_to(
+            jnp.asarray(t_min, jnp.float32).reshape(-1) if jnp.ndim(t_min)
+            else jnp.asarray(t_min, jnp.float32), (n,))
+        t_max_a = jnp.broadcast_to(
+            jnp.asarray(t_max, jnp.float32).reshape(-1) if jnp.ndim(t_max)
+            else jnp.asarray(t_max, jnp.float32), (n,))
+
+        key = ray_sort_keys(o2, d2, self.scene_lo, self.scene_hi)
+        perm = jnp.argsort(key)
+        o_s = o2[perm]
+        d_s = d2[perm]
+        tmin_s = t_min_a[perm]
+        tmax_s = t_max_a[perm]
+
+        pad = (-n) % BLOCK_RAYS
+        if pad:
+            o_s = jnp.pad(o_s, ((0, pad), (0, 0)))
+            d_s = jnp.pad(d_s, ((0, pad), (0, 0)), constant_values=0.0)
+            d_s = d_s.at[n:, 2].set(1.0)
+            tmin_s = jnp.pad(tmin_s, (0, pad), constant_values=1.0)
+            tmax_s = jnp.pad(tmax_s, (0, pad), constant_values=0.0)
+
+        t, slot, u, v = block_march(self.clusters, o_s, d_s, tmin_s, tmax_s)
+        inv = jnp.argsort(perm)
+        t = t[:n][inv]
+        slot = slot[:n][inv]
+        u = u[:n][inv]
+        v = v[:n][inv]
+
+        missed = slot < 0
+        prim_id = self.clusters.prim_index[jnp.maximum(slot, 0)]
+        hit = Hit(
+            t=jnp.where(missed, INF, t),
+            prim_type=jnp.where(missed, PRIM_NONE,
+                                PRIM_TRIANGLE).astype(jnp.int32),
+            prim_id=jnp.where(missed, 0, prim_id).astype(jnp.int32),
+            u=jnp.where(missed, 0.0, u),
+            v=jnp.where(missed, 0.0, v))
+        if scene.sphere_count > 0:
+            hit = _sphere_bruteforce_merge(scene, o2, d2, t_min_a, t_max_a,
+                                           hit)
+        return jax.tree.map(lambda x: x.reshape(shape + x.shape[1:]), hit)
+
+    def __call__(self, scene: Scene, o, d, t_min=DEFAULT_T_MIN, t_max=INF) -> Hit:
+        return self.intersect(scene, o, d, t_min, t_max)
+
+    def any_hit(self, scene: Scene, o, d, t_min=DEFAULT_T_MIN, t_max=INF):
+        return self.intersect(scene, o, d, t_min, t_max).is_hit
+
+
+def make_march_intersector(scene: Scene) -> MarchIntersector:
+    tv = np.asarray(scene.triangles.vertices)
+    return MarchIntersector(
+        clusters=build_clusters(tv),
+        scene_lo=jnp.asarray(tv.min(axis=(0, 1)) if tv.size else np.zeros(3),
+                             jnp.float32),
+        scene_hi=jnp.asarray(tv.max(axis=(0, 1)) if tv.size else np.ones(3),
+                             jnp.float32))

@@ -106,10 +106,9 @@ def build_clusters(tri_vertices) -> ClusterSet:
         warnings.simplefilter("ignore", RuntimeWarning)
         cmin = np.nanmin(grouped, axis=(1, 2))
         cmax = np.nanmax(grouped, axis=(1, 2))
-    # clusters that are pure padding get an empty (never-hit) box
-    empty = ~np.isfinite(cmin).all(axis=-1)
-    cmin[empty] = INF
-    cmax[empty] = -INF
+    # clusters that are pure padding keep NaN boxes: every slab comparison
+    # is false, so they can never be hit (an (+INF,-INF) "empty box" FAILS
+    # here — infinity arithmetic in the slab test yields ent=tmin, ext=bt)
     return ClusterSet(
         woop=jnp.asarray(woop), prim_index=jnp.asarray(prim_index),
         cluster_min=jnp.asarray(cmin), cluster_max=jnp.asarray(cmax))

@@ -1,0 +1,80 @@
+"""Fused block-march intersector tests (Pallas interpret on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from optix_ray_tracer_tpu.io.meshgen import sphere_with_n_triangles
+from optix_ray_tracer_tpu.ops.intersect import intersect_scene_bruteforce
+from optix_ray_tracer_tpu.ops.march import make_march_intersector
+from optix_ray_tracer_tpu.scene.camera import Camera
+from optix_ray_tracer_tpu.scene.geometry import Scene, Spheres, Triangles
+
+
+def _scene(n_tri, ground=False):
+    v, n = sphere_with_n_triangles(n_tri)
+    sph = Spheres.from_list([((0, 0, -1000.5), 1000.0, 0)]) if ground \
+        else Spheres.empty()
+    return Scene(spheres=sph, triangles=Triangles.from_arrays(v, n))
+
+
+class TestMarch:
+    @pytest.mark.parametrize("n_tri", [60, 2000, 20000])
+    def test_matches_oracle(self, n_tri):
+        scene = _scene(n_tri)
+        mi = make_march_intersector(scene)
+        cam = Camera.look_at((3, 0, 0.3), (0, 0, 0), (0, 0, 1))
+        o, d = cam.generate_rays(32, 24)
+        o = o.reshape(-1, 3)
+        d = d.reshape(-1, 3)
+        h1 = mi(scene, o, d)
+        h2 = intersect_scene_bruteforce(scene, o, d)
+        np.testing.assert_allclose(np.asarray(h1.t), np.asarray(h2.t),
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(h1.prim_id),
+                                      np.asarray(h2.prim_id))
+
+    def test_incoherent_with_spheres(self):
+        scene = _scene(5000, ground=True)
+        mi = make_march_intersector(scene)
+        rng = np.random.default_rng(3)
+        o = jnp.asarray(rng.uniform(-1, 1, (512, 3)).astype(np.float32))
+        dd = rng.normal(size=(512, 3)).astype(np.float32)
+        dd /= np.linalg.norm(dd, axis=-1, keepdims=True)
+        d = jnp.asarray(dd)
+        h1 = mi(scene, o, d)
+        h2 = intersect_scene_bruteforce(scene, o, d)
+        np.testing.assert_array_equal(np.asarray(h1.prim_id),
+                                      np.asarray(h2.prim_id))
+        np.testing.assert_array_equal(np.asarray(h1.prim_type),
+                                      np.asarray(h2.prim_type))
+
+    def test_shadow_bounds(self):
+        scene = _scene(3000)
+        mi = make_march_intersector(scene)
+        rng = np.random.default_rng(5)
+        o = jnp.asarray(rng.uniform(-1, 1, (256, 3)).astype(np.float32))
+        dd = rng.normal(size=(256, 3)).astype(np.float32)
+        dd /= np.linalg.norm(dd, axis=-1, keepdims=True)
+        d = jnp.asarray(dd)
+        full = mi(scene, o, d)
+        cap = jnp.where(full.is_hit, full.t * 0.99, 0.5)
+        capped = mi(scene, o, d, t_max=cap)
+        removed = np.asarray(full.is_hit & ~capped.is_hit)
+        assert removed[np.asarray(full.is_hit)].mean() > 0.95
+
+    def test_render_image_matches(self):
+        from optix_ray_tracer_tpu.render import wavefront
+        from optix_ray_tracer_tpu.scene.materials import MaterialBuilder
+        mb = MaterialBuilder()
+        m = mb.add_rough((0.6, 0.4, 0.3))
+        mats = mb.build()
+        scene = _scene(2000)
+        cam = Camera.look_at((3, 0, 0.3), (0, 0, 0), (0, 0, 1))
+        img_bf, _, _ = wavefront.render(scene, mats, cam, 16, 16, spp=1,
+                                        seed=5, jitter=False)
+        mi = make_march_intersector(scene)
+        img_m, _, _ = wavefront.render(scene, mats, cam, 16, 16, spp=1,
+                                       seed=5, intersector=mi, jitter=False)
+        diff = np.abs(np.asarray(img_bf) - np.asarray(img_m))
+        assert np.median(diff) < 1e-5
