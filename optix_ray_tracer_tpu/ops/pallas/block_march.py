@@ -69,32 +69,47 @@ def _make_kernel(C_pad: int, n_clusters: int, max_visits: int):
         o_rows = rays[0:3, :]                   # (3, B)
         d_rows = rays[3:6, :]
 
+        cid_col = jax.lax.broadcasted_iota(jnp.int32, (C_pad, 1), 0)
+
+        def pick(visited):
+            """Nearest cluster any ray still needs; (c, any) scalars."""
+            bt = bt_ref[...]
+            entry = entry_ref[...]
+            live = entry < bt
+            needed = jnp.any(live, axis=1, keepdims=True) & (visited < 0.5)
+            block_entry = jnp.min(jnp.where(live, entry, INF), axis=1,
+                                  keepdims=True)
+            key = jnp.where(needed, block_entry, INF)
+            kmin = jnp.min(key)
+            c = jnp.min(jnp.where(key <= kmin, cid_col, C_pad))
+            return c, kmin < INF
+
+        def start_dma(c, slot):
+            return pltpu.make_async_copy(
+                woop_ref.at[pl.ds(c * CLUSTER_TRIS, CLUSTER_TRIS), :],
+                tri_scratch.at[slot], sem.at[slot])
+
         def cond(state):
-            visit, _ = state
-            return visit < max_visits
+            visit, _, _, cur_ok = state
+            return (visit < max_visits) & cur_ok
 
         def body(state):
-            visit, visited = state              # visited: (C_pad, 1) f32
-            bt = bt_ref[...]                    # (1, B)
-            entry = entry_ref[...]              # (C, B)
-            live = entry < bt                   # (C, B)
-            needed = jnp.any(live, axis=1, keepdims=True) \
-                & (visited < 0.5)               # (C, 1)
-            block_entry = jnp.min(jnp.where(live, entry, INF), axis=1,
-                                  keepdims=True)          # (C, 1)
-            key = jnp.where(needed, block_entry, INF)     # (C, 1)
-            kmin = jnp.min(key)
-            cid_col = jax.lax.broadcasted_iota(jnp.int32, (C_pad, 1), 0)
-            c = jnp.min(jnp.where(key <= kmin, cid_col, C_pad))
+            # Double-buffered march: the CURRENT cluster's rows are already
+            # in flight (DMA started last iteration); pick and prefetch the
+            # NEXT candidate before waiting, so the test overlaps its DMA.
+            visit, visited, cur_c, cur_ok = state
+            slot = jax.lax.rem(visit, 2)
+            visited = jnp.where(cid_col == cur_c, 1.0, visited)
+            nxt_c, nxt_ok = pick(visited)
 
-            @pl.when(kmin < INF)
+            @pl.when(nxt_ok)
             def _():
-                dma = pltpu.make_async_copy(
-                    woop_ref.at[pl.ds(c * CLUSTER_TRIS, CLUSTER_TRIS), :],
-                    tri_scratch, sem)
-                dma.start()
-                dma.wait()
-                rows = tri_scratch[...]          # (W, 12)
+                start_dma(nxt_c, jax.lax.rem(visit + 1, 2)).start()
+
+            @pl.when(cur_ok)
+            def _():
+                start_dma(cur_c, slot).wait()
+                rows = tri_scratch[slot]         # (W, 128)
                 m0 = rows[:, 0:3]
                 m1 = rows[:, 3:6]
                 m2 = rows[:, 6:9]
@@ -124,18 +139,24 @@ def _make_kernel(C_pad: int, n_clusters: int, max_visits: int):
                              keepdims=True)
                 bv = jnp.max(jnp.where(winner, vv, -INF), axis=0,
                              keepdims=True)
-                slotf = (c * CLUSTER_TRIS + li).astype(jnp.float32)
+                slotf = (cur_c * CLUSTER_TRIS + li).astype(jnp.float32)
                 bt_ref[...] = jnp.where(closer, t_best, bt_cur)
                 slot_ref[...] = jnp.where(closer, slotf, slot_ref[...])
                 u_ref[...] = jnp.where(closer, bu, u_ref[...])
                 v_ref[...] = jnp.where(closer, bv, v_ref[...])
 
-            visited = jnp.where(cid_col == c, 1.0, visited)
-            visit = jnp.where(kmin < INF, visit + 1, max_visits)
-            return visit, visited
+            return visit + 1, visited, nxt_c, nxt_ok
+
+        # prime the pipeline: pick + DMA the first cluster
+        c0, ok0 = pick(jnp.zeros((C_pad, 1), jnp.float32))
+
+        @pl.when(ok0)
+        def _():
+            start_dma(c0, 0).start()
 
         jax.lax.while_loop(
-            cond, body, (jnp.int32(0), jnp.zeros((C_pad, 1), jnp.float32)))
+            cond, body,
+            (jnp.int32(0), jnp.zeros((C_pad, 1), jnp.float32), c0, ok0))
 
         out_ref[0, 0:1, :] = bt_ref[...]
         out_ref[0, 1:2, :] = slot_ref[...]
@@ -169,8 +190,8 @@ def _march_call(rays_packed_t, boxes, woop, c_pad: int, n_clusters: int,
             pltpu.VMEM((1, BLOCK_RAYS), jnp.float32),       # best slot (f32)
             pltpu.VMEM((1, BLOCK_RAYS), jnp.float32),       # best u
             pltpu.VMEM((1, BLOCK_RAYS), jnp.float32),       # best v
-            pltpu.VMEM((CLUSTER_TRIS, 128), jnp.float32),   # cluster tris
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, CLUSTER_TRIS, 128), jnp.float32),  # double buffer
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=jax.default_backend() == "cpu",
     )(rays_packed_t, boxes, woop)

@@ -128,6 +128,65 @@ def render_sharded(scene, materials, camera, width: int, height: int,
     return fn(scene, materials, camera, intersector)
 
 
+@partial(jax.jit,
+         static_argnames=("width", "height", "spp", "max_depth", "jitter",
+                          "mesh"))
+def render_path_sharded(scene, materials, lights, camera, width: int,
+                        height: int, spp: int, mesh: Mesh, seed: int = 0,
+                        background=(0.0, 0.0, 0.0), max_depth: int = 8,
+                        intersector=None, env=None, textures=None,
+                        jitter: bool = True):
+    """NEE+MIS path tracing over the (tile, sample) mesh — same sharding
+    contract as :func:`render_sharded` (exact under any mesh shape)."""
+    from optix_ray_tracer_tpu.render.pathtracer import trace_path
+
+    n_tile = mesh.shape["tile"]
+    n_sample = mesh.shape["sample"]
+    if height % n_tile != 0:
+        raise ValueError(f"height {height} not divisible by tile={n_tile}")
+    if spp % n_sample != 0:
+        raise ValueError(f"spp {spp} not divisible by sample={n_sample}")
+    rows_per = height // n_tile
+    spp_per = spp // n_sample
+
+    if intersector is None:
+        from optix_ray_tracer_tpu.ops.traverse import BruteForceIntersector
+        intersector = BruteForceIntersector()
+    background_a = jnp.asarray(background, jnp.float32)
+    replicated = P()
+
+    def shard_fn(scene, materials, lights, camera, intersector, env,
+                 textures):
+        tile_idx = jax.lax.axis_index("tile")
+        sample_idx = jax.lax.axis_index("sample")
+        spp_offset = sample_idx * spp_per
+        npix = rows_per * width
+        pixel_id = (tile_idx * npix
+                    + jnp.arange(npix, dtype=jnp.int32)).astype(jnp.int32)
+
+        def sample_step(acc, s_local):
+            o, d = _tile_rays(camera, width, height, rows_per, tile_idx,
+                              spp_offset, s_local, pixel_id, seed, jitter)
+            radiance, _, _ = trace_path(
+                scene, materials, lights, o, d, pixel_id,
+                spp_offset + s_local, seed, background_a, max_depth,
+                intersector, env, textures)
+            return acc + radiance, None
+
+        acc, _ = jax.lax.scan(sample_step,
+                              jnp.zeros((npix, 3), jnp.float32),
+                              jnp.arange(spp_per, dtype=jnp.int32))
+        acc = jax.lax.psum(acc, axis_name="sample")
+        return (acc / spp).reshape(rows_per, width, 3)
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(replicated,) * 7,
+        out_specs=P("tile", None, None),
+        check_vma=False)
+    return fn(scene, materials, lights, camera, intersector, env, textures)
+
+
 def broadcast_scene(scene_host):
     """Multi-host scene distribution: device_put the host scene once per
     process (DCN broadcast analog).  On a single host this is a plain

@@ -70,3 +70,23 @@ class TestSharding:
         assert img.shape == (H, W, 3)
         # sharding metadata present (named sharding along rows)
         assert img.sharding is not None
+
+
+class TestPathSharding:
+    def test_cornell_matches_single_device(self):
+        from optix_ray_tracer_tpu.parallel.sharding import render_path_sharded
+        from optix_ray_tracer_tpu.render.pathtracer import render_path
+        from optix_ray_tracer_tpu.scene.cornell import build_cornell_box
+        from optix_ray_tracer_tpu.scene.lights import collect_area_lights
+
+        scene, mats, cam = build_cornell_box(with_blocks=False)
+        lights = collect_area_lights(scene, mats)
+        ref, _, _ = render_path(scene, mats, lights, cam, 16, 16, spp=8,
+                                seed=3)
+        for tile, sample in ((4, 2), (8, 1)):
+            mesh = make_mesh(tile=tile, sample=sample)
+            img = render_path_sharded(scene, mats, lights, cam, 16, 16, 8,
+                                      mesh, seed=3)
+            np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                                       atol=1e-6,
+                                       err_msg=f"mesh ({tile},{sample})")
