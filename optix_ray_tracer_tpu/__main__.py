@@ -95,8 +95,7 @@ def main(argv=None) -> int:
 
 def _run_viewer(frontend, data, config, args, out_dir) -> int:
     """Interactive mode: render frame 0's scene under a live fly camera."""
-    from optix_ray_tracer_tpu.ops.bvh import build_scene_lbvh
-    from optix_ray_tracer_tpu.ops.traverse import BVHIntersector
+    from optix_ray_tracer_tpu.models.common import choose_intersector
     from optix_ray_tracer_tpu.render import wavefront
     from optix_ray_tracer_tpu.render.viewer import ViewerServer
     from optix_ray_tracer_tpu.utils.color import color_to_uint8
@@ -107,8 +106,7 @@ def _run_viewer(frontend, data, config, args, out_dir) -> int:
     width = args.width or min(ld.window_width, 400)
     height = args.height or min(ld.window_height, 300)
     scene = frontend.frame_scene(data, 0, 0, 1)
-    intersector = BVHIntersector(bvh=build_scene_lbvh(scene)) \
-        if scene.triangle_count + scene.sphere_count >= 2 else None
+    intersector = choose_intersector(scene)
 
     def render_fn(camera):
         img, _, _ = wavefront.render(
@@ -125,8 +123,7 @@ def _run_viewer(frontend, data, config, args, out_dir) -> int:
 
 def _run_progressive(frontend, data, config, args, out_dir) -> int:
     """Progressive accumulation on frame 0 with checkpoint/resume."""
-    from optix_ray_tracer_tpu.ops.bvh import build_scene_lbvh
-    from optix_ray_tracer_tpu.ops.traverse import BVHIntersector
+    from optix_ray_tracer_tpu.models.common import choose_intersector
     from optix_ray_tracer_tpu.render import wavefront
     from optix_ray_tracer_tpu.render.film import Film
     from optix_ray_tracer_tpu.utils.logging import LOG
@@ -138,8 +135,7 @@ def _run_progressive(frontend, data, config, args, out_dir) -> int:
     ckpt = args.checkpoint or os.path.join(out_dir, "progressive.npz")
 
     scene = frontend.frame_scene(data, 0, 0, 1)
-    intersector = BVHIntersector(bvh=build_scene_lbvh(scene)) \
-        if scene.triangle_count + scene.sphere_count >= 2 else None
+    intersector = choose_intersector(scene)
 
     if os.path.exists(ckpt):
         film = Film.restore(ckpt)

@@ -74,3 +74,18 @@ def pad_stack(arrays: list[np.ndarray], pad_value=0.0) -> np.ndarray:
     for i, a in enumerate(arrays):
         out[i, :a.shape[0]] = a
     return out
+
+
+def choose_intersector(scene):
+    """Per-frame intersector choice for the render loops.
+
+    Small scenes: chunked brute force (optimal under jit, no overhead).
+    Larger scenes: the fused Pallas block marcher (ops/march.py) — all its
+    ops (sort + one pallas call) are safe under an outer jit, unlike the
+    per-lane-stack BVH path which faults at large wavefronts on TPU.
+    """
+    total = scene.triangle_count + scene.sphere_count
+    if scene.triangle_count < 1024:
+        return None  # brute force
+    from optix_ray_tracer_tpu.ops.march import make_march_intersector
+    return make_march_intersector(scene)

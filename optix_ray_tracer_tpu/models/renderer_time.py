@@ -37,8 +37,6 @@ from optix_ray_tracer_tpu.io.config import RendererConfig
 from optix_ray_tracer_tpu.io.series import load_stl_directory, read_series
 from optix_ray_tracer_tpu.io.native_io import read_time_file
 from optix_ray_tracer_tpu.models import common
-from optix_ray_tracer_tpu.ops.bvh import build_scene_lbvh
-from optix_ray_tracer_tpu.ops.traverse import BVHIntersector
 from optix_ray_tracer_tpu.render import wavefront
 from optix_ray_tracer_tpu.render.film import Film
 from optix_ray_tracer_tpu.scene.geometry import (
@@ -214,8 +212,7 @@ def render_frames(data: TimeRendererData, width: int | None = None,
                 data.durations[fi], ld.fps, ld.render_speed_ratio)
             for k in range(n_frames):
                 scene = frame_scene(data, fi, k, n_frames)
-                intersector = BVHIntersector(bvh=build_scene_lbvh(scene)) \
-                    if scene.triangle_count + scene.sphere_count >= 2 else None
+                intersector = common.choose_intersector(scene)
                 img, alb, nrm = wavefront.render(
                     scene, data.materials, data.camera, width, height,
                     spp=spp, seed=cfg.seed + produced,

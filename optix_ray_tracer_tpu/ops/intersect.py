@@ -161,6 +161,10 @@ def intersect_scene_bruteforce(scene: Scene, o, d, t_min=DEFAULT_T_MIN,
     o2 = o.reshape(-1, 3)
     d2 = d.reshape(-1, 3)
     hit = Hit.none((o2.shape[0],))
+    # bound peak memory: the (R, chunk, 3) block intermediates must stay
+    # ~<=0.5 GB regardless of wavefront size (1M rays x 512 chunk would
+    # materialize 6 GB and OOM the chip)
+    chunk = min(chunk, max(32, (1 << 24) // max(o2.shape[0], 1)))
 
     if scene.sphere_count > 0:
         centers = _pad_to_chunks(scene.spheres.centers, chunk)
