@@ -159,7 +159,9 @@ def config5_sponza_class(n_cols: int = 8):
     mat_tex[floor_mat] = 0
     textures = build_texture_set([checker_texture(256, tiles=20)], mat_tex)
     env = gradient_sky(sun_dir=(0.4, 0.25, 0.88), sun_cos=0.9995)
-    cam = Camera.look_at((-9.0, 0.0, 1.8), (8.0, 0.0, 2.2), (0.0, 0.0, 1.0))
+    # NB: in the UVW model |target - center| sets the FOV
+    # (tan(half-fov) = 1/|W|); keep the target ~1.5 units out for ~35 deg
+    cam = Camera.look_at((-9.0, 0.0, 2.0), (-7.6, 0.25, 1.95), (0.0, 0.0, 1.0))
     return dict(name="sponza_class", scene=scene, materials=mb.build(),
                 camera=cam, width=1920, height=1088, spp=4, max_depth=6,
                 integrator="path", lights=None, env=env, textures=textures,

@@ -57,7 +57,9 @@ def _atrous_pass(img, normal, depth_weighting, step: int,
             acc = acc + sample * wgt
             wsum = wsum + wgt
 
-    return acc / jnp.maximum(wsum, 1e-8)
+    # pixels whose weights all vanish (e.g. sky/miss pixels have zero-normal
+    # guides, so every normal weight is 0) pass through unfiltered
+    return jnp.where(wsum > 1e-8, acc / jnp.maximum(wsum, 1e-8), img)
 
 
 @partial(jax.jit, static_argnames=("iterations",))

@@ -196,3 +196,12 @@ class TestDenoise:
     def test_skip_passthrough(self):
         x = jnp.ones((4, 4, 3))
         assert skip_denoise(x) is x
+
+    def test_sky_pixels_pass_through(self):
+        # miss pixels have zero-normal guides; they must not be zeroed
+        img = np.full((16, 16, 3), 0.8, np.float32)
+        albedo = np.zeros((16, 16, 3), np.float32)
+        normal = np.zeros((16, 16, 3), np.float32)
+        out = np.asarray(denoise(jnp.asarray(img), jnp.asarray(albedo),
+                                 jnp.asarray(normal)))
+        np.testing.assert_allclose(out, img, atol=1e-5)
