@@ -2,13 +2,15 @@
 
 One kernel performs the ENTIRE query for a 128-ray block per grid step:
 
-1. cull: slab-test all rays against ALL cluster AABBs -> a (C, 128)
-   entry matrix in VMEM scratch;
+1. cull: slab-test all rays against ALL cluster AABBs (and all 64-triangle
+   SUB-cluster AABBs) -> (C, 128) and (C*8, 128) entry matrices in VMEM;
 2. march: a scalar while-loop picks the nearest cluster any ray still
    needs (block-min entry, masked by per-ray best_t), DMAs its 512
-   Morton-sorted Woop rows from HBM into VMEM scratch, and
-3. tests densely: three (512x3)@(3x128) MXU matmuls per o/d + VPU masking,
-   updating per-ray bests held in VMEM scratch.
+   Morton-sorted Woop rows from HBM into VMEM (double-buffered: the next
+   candidate prefetches while the current one is tested), and
+3. tests densely at SUB-cluster granularity: each of the 8 64-triangle
+   sub-blocks runs only if some ray's entry into its sub-box is closer than
+   that ray's best hit — (64x3)@(3x128) MXU matmuls + VPU masking.
 
 LAYOUT RULE (Mosaic-friendliness): rays live on the LANE axis everywhere —
 rays are passed transposed (8, B) per block, cluster/triangle quantities on
@@ -33,32 +35,41 @@ from jax.experimental.pallas import tpu as pltpu
 from optix_ray_tracer_tpu.utils.vecmath import INF
 
 BLOCK_RAYS = 128
-CLUSTER_TRIS = 512       # must match ops.sweep.CHUNK * WINDOW_CHUNKS
+CLUSTER_TRIS = 512       # == ops.sweep.CHUNK * WINDOW_CHUNKS
+N_SUBS = 8               # == ops.sweep.SUBS_PER_CLUSTER
+SUB_TRIS = CLUSTER_TRIS // N_SUBS
 
 
-def _make_kernel(C_pad: int, n_clusters: int, max_visits: int):
-    def kernel(rays_ref, boxes_ref, woop_ref, out_ref, entry_ref,
-               bt_ref, slot_ref, u_ref, v_ref, tri_scratch, sem):
-        rays = rays_ref[...]                    # (8, B): ox oy oz dx dy dz tmin bt
+def _slab_rows(boxes, rays, inv_d, tmin, n_rows, n_valid):
+    """Entry values for (n_rows, B) boxes-vs-rays; INF where missed."""
+    ent = jnp.full((n_rows, BLOCK_RAYS), -INF, jnp.float32)
+    ext = jnp.full((n_rows, BLOCK_RAYS), INF, jnp.float32)
+    for ax in range(3):
+        t0 = (boxes[:, ax:ax + 1] - rays[ax:ax + 1, :]) * inv_d[ax:ax + 1, :]
+        t1 = (boxes[:, 3 + ax:4 + ax] - rays[ax:ax + 1, :]) * inv_d[ax:ax + 1, :]
+        ent = jnp.maximum(ent, jnp.minimum(t0, t1))
+        ext = jnp.minimum(ext, jnp.maximum(t0, t1))
+    ent = jnp.maximum(ent, tmin)
+    rid = jax.lax.broadcasted_iota(jnp.int32, (n_rows, BLOCK_RAYS), 0)
+    hit = (ent <= ext) & (rid < n_valid)
+    return jnp.where(hit, ent, INF)
+
+
+def _make_kernel(C_pad: int, C8_pad: int, n_clusters: int, max_visits: int):
+    def kernel(rays_ref, boxes_ref, sub_boxes_ref, woop_ref, out_ref,
+               entry_ref, sub_entry_ref, bt_ref, slot_ref, u_ref, v_ref,
+               tri_scratch, sem):
+        rays = rays_ref[...]                    # (8, B)
         inv_d = jnp.where(jnp.abs(rays[3:6, :]) > 1e-12,
-                          1.0 / rays[3:6, :], 1e12)   # (3, B)
-        tmin = rays[6:7, :]                     # (1, B)
-        bt0 = rays[7:8, :]                      # (1, B)
+                          1.0 / rays[3:6, :], 1e12)
+        tmin = rays[6:7, :]
+        bt0 = rays[7:8, :]
 
-        boxes = boxes_ref[...]                  # (C_pad, 8): min(3) max(3) pad
-
-        # ---- cull: (C, B) entry/exit ----
-        ent = jnp.full((C_pad, BLOCK_RAYS), -INF, jnp.float32)
-        ext = jnp.full((C_pad, BLOCK_RAYS), INF, jnp.float32)
-        for ax in range(3):
-            t0 = (boxes[:, ax:ax + 1] - rays[ax:ax + 1, :]) * inv_d[ax:ax + 1, :]
-            t1 = (boxes[:, 3 + ax:4 + ax] - rays[ax:ax + 1, :]) * inv_d[ax:ax + 1, :]
-            ent = jnp.maximum(ent, jnp.minimum(t0, t1))
-            ext = jnp.minimum(ext, jnp.maximum(t0, t1))
-        ent = jnp.maximum(ent, tmin)
-        cid_sub = jax.lax.broadcasted_iota(jnp.int32, (C_pad, BLOCK_RAYS), 0)
-        hit0 = (ent <= jnp.minimum(ext, bt0)) & (cid_sub < n_clusters)
-        entry_ref[...] = jnp.where(hit0, ent, INF)   # (C, B)
+        # ---- two-level cull ----
+        entry_ref[...] = _slab_rows(boxes_ref[...], rays, inv_d, tmin,
+                                    C_pad, n_clusters)
+        sub_entry_ref[...] = _slab_rows(sub_boxes_ref[...], rays, inv_d,
+                                        tmin, C8_pad, n_clusters * N_SUBS)
 
         bt_ref[...] = bt0
         slot_ref[...] = jnp.full((1, BLOCK_RAYS), -1.0, jnp.float32)
@@ -66,9 +77,8 @@ def _make_kernel(C_pad: int, n_clusters: int, max_visits: int):
         v_ref[...] = jnp.zeros((1, BLOCK_RAYS), jnp.float32)
 
         hp = jax.lax.Precision.HIGHEST
-        o_rows = rays[0:3, :]                   # (3, B)
+        o_rows = rays[0:3, :]
         d_rows = rays[3:6, :]
-
         cid_col = jax.lax.broadcasted_iota(jnp.int32, (C_pad, 1), 0)
 
         def pick(visited):
@@ -109,41 +119,52 @@ def _make_kernel(C_pad: int, n_clusters: int, max_visits: int):
             @pl.when(cur_ok)
             def _():
                 start_dma(cur_c, slot).wait()
-                rows = tri_scratch[slot]         # (W, 128)
-                m0 = rows[:, 0:3]
-                m1 = rows[:, 3:6]
-                m2 = rows[:, 6:9]
-                # (W, 3) @ (3, B) -> (W, B); triangles sublanes, rays lanes
-                opx = jnp.dot(m0, o_rows, precision=hp) - rows[:, 9:10]
-                opy = jnp.dot(m1, o_rows, precision=hp) - rows[:, 10:11]
-                opz = jnp.dot(m2, o_rows, precision=hp) - rows[:, 11:12]
-                dpx = jnp.dot(m0, d_rows, precision=hp)
-                dpy = jnp.dot(m1, d_rows, precision=hp)
-                dpz = jnp.dot(m2, d_rows, precision=hp)
-                safe = jnp.where(jnp.abs(dpz) > 1e-12, dpz, 1e-12)
-                t = -opz / safe
-                uu = opx + t * dpx
-                vv = opy + t * dpy
-                bt_cur = bt_ref[...]
-                ok = ((jnp.abs(dpz) > 1e-12) & (uu >= 0.0) & (vv >= 0.0)
-                      & (uu + vv <= 1.0) & (t > tmin) & (t < bt_cur))
-                t = jnp.where(ok, t, INF)
-                t_best = jnp.min(t, axis=0, keepdims=True)       # (1, B)
-                closer = t_best < bt_cur
-                tri_sub = jax.lax.broadcasted_iota(
-                    jnp.int32, (CLUSTER_TRIS, BLOCK_RAYS), 0)
-                li = jnp.min(jnp.where(t <= t_best, tri_sub, CLUSTER_TRIS),
-                             axis=0, keepdims=True)              # (1, B)
-                winner = tri_sub == li
-                bu = jnp.max(jnp.where(winner, uu, -INF), axis=0,
-                             keepdims=True)
-                bv = jnp.max(jnp.where(winner, vv, -INF), axis=0,
-                             keepdims=True)
-                slotf = (cur_c * CLUSTER_TRIS + li).astype(jnp.float32)
-                bt_ref[...] = jnp.where(closer, t_best, bt_cur)
-                slot_ref[...] = jnp.where(closer, slotf, slot_ref[...])
-                u_ref[...] = jnp.where(closer, bu, u_ref[...])
-                v_ref[...] = jnp.where(closer, bv, v_ref[...])
+                sub_rows = sub_entry_ref[pl.ds(cur_c * N_SUBS, N_SUBS), :]
+
+                for sub in range(N_SUBS):
+                    sub_live = sub_rows[sub:sub + 1, :] < bt_ref[...]
+
+                    @pl.when(jnp.any(sub_live))
+                    def _():
+                        rows = tri_scratch[
+                            slot, sub * SUB_TRIS:(sub + 1) * SUB_TRIS, :]
+                        m0 = rows[:, 0:3]
+                        m1 = rows[:, 3:6]
+                        m2 = rows[:, 6:9]
+                        opx = jnp.dot(m0, o_rows, precision=hp) - rows[:, 9:10]
+                        opy = jnp.dot(m1, o_rows, precision=hp) - rows[:, 10:11]
+                        opz = jnp.dot(m2, o_rows, precision=hp) - rows[:, 11:12]
+                        dpx = jnp.dot(m0, d_rows, precision=hp)
+                        dpy = jnp.dot(m1, d_rows, precision=hp)
+                        dpz = jnp.dot(m2, d_rows, precision=hp)
+                        safe = jnp.where(jnp.abs(dpz) > 1e-12, dpz, 1e-12)
+                        t = -opz / safe
+                        uu = opx + t * dpx
+                        vv = opy + t * dpy
+                        bt_cur = bt_ref[...]
+                        ok = ((jnp.abs(dpz) > 1e-12) & (uu >= 0.0)
+                              & (vv >= 0.0) & (uu + vv <= 1.0)
+                              & (t > tmin) & (t < bt_cur))
+                        t = jnp.where(ok, t, INF)
+                        t_best = jnp.min(t, axis=0, keepdims=True)
+                        closer = t_best < bt_cur
+                        tri_sub = jax.lax.broadcasted_iota(
+                            jnp.int32, (SUB_TRIS, BLOCK_RAYS), 0)
+                        li = jnp.min(
+                            jnp.where(t <= t_best, tri_sub, SUB_TRIS),
+                            axis=0, keepdims=True)
+                        winner = tri_sub == li
+                        bu = jnp.max(jnp.where(winner, uu, -INF), axis=0,
+                                     keepdims=True)
+                        bv = jnp.max(jnp.where(winner, vv, -INF), axis=0,
+                                     keepdims=True)
+                        slotf = (cur_c * CLUSTER_TRIS + sub * SUB_TRIS
+                                 + li).astype(jnp.float32)
+                        bt_ref[...] = jnp.where(closer, t_best, bt_cur)
+                        slot_ref[...] = jnp.where(closer, slotf,
+                                                  slot_ref[...])
+                        u_ref[...] = jnp.where(closer, bu, u_ref[...])
+                        v_ref[...] = jnp.where(closer, bv, v_ref[...])
 
             return visit + 1, visited, nxt_c, nxt_ok
 
@@ -166,12 +187,13 @@ def _make_kernel(C_pad: int, n_clusters: int, max_visits: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("c_pad", "n_clusters", "max_visits"))
-def _march_call(rays_packed_t, boxes, woop, c_pad: int, n_clusters: int,
-                max_visits: int):
-    """rays_packed_t: (8, R) transposed ray state; boxes: (c_pad, 8)."""
+@partial(jax.jit, static_argnames=("c_pad", "c8_pad", "n_clusters",
+                                   "max_visits"))
+def _march_call(rays_packed_t, boxes, sub_boxes, woop, c_pad: int,
+                c8_pad: int, n_clusters: int, max_visits: int):
+    """rays_packed_t: (8, R) transposed ray state."""
     nb = rays_packed_t.shape[1] // BLOCK_RAYS
-    kernel = _make_kernel(c_pad, n_clusters, max_visits)
+    kernel = _make_kernel(c_pad, c8_pad, n_clusters, max_visits)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nb, 4, BLOCK_RAYS), jnp.float32),
@@ -180,21 +202,32 @@ def _march_call(rays_packed_t, boxes, woop, c_pad: int, n_clusters: int,
             pl.BlockSpec((8, BLOCK_RAYS), lambda b: (0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),       # cluster boxes
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # sub-cluster boxes
             pl.BlockSpec(memory_space=pltpu.ANY),        # woop stays in HBM
         ],
         out_specs=pl.BlockSpec((1, 4, BLOCK_RAYS), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((c_pad, BLOCK_RAYS), jnp.float32),   # entry matrix
-            pltpu.VMEM((1, BLOCK_RAYS), jnp.float32),       # best t
-            pltpu.VMEM((1, BLOCK_RAYS), jnp.float32),       # best slot (f32)
-            pltpu.VMEM((1, BLOCK_RAYS), jnp.float32),       # best u
-            pltpu.VMEM((1, BLOCK_RAYS), jnp.float32),       # best v
+            pltpu.VMEM((c_pad, BLOCK_RAYS), jnp.float32),    # cluster entries
+            pltpu.VMEM((c8_pad, BLOCK_RAYS), jnp.float32),   # sub entries
+            pltpu.VMEM((1, BLOCK_RAYS), jnp.float32),        # best t
+            pltpu.VMEM((1, BLOCK_RAYS), jnp.float32),        # best slot (f32)
+            pltpu.VMEM((1, BLOCK_RAYS), jnp.float32),        # best u
+            pltpu.VMEM((1, BLOCK_RAYS), jnp.float32),        # best v
             pltpu.VMEM((2, CLUSTER_TRIS, 128), jnp.float32),  # double buffer
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=jax.default_backend() == "cpu",
-    )(rays_packed_t, boxes, woop)
+    )(rays_packed_t, boxes, sub_boxes, woop)
+
+
+def _pad_boxes(bmin, bmax, pad):
+    if pad:
+        nan = jnp.full((pad, 3), jnp.nan, jnp.float32)
+        bmin = jnp.concatenate([bmin, nan], 0)
+        bmax = jnp.concatenate([bmax, nan], 0)
+    return jnp.concatenate(
+        [bmin, bmax, jnp.zeros((bmin.shape[0], 2), jnp.float32)], axis=1)
 
 
 def block_march(clusters, o, d, t_min, t_max):
@@ -205,26 +238,19 @@ def block_march(clusters, o, d, t_min, t_max):
     Returns (t, slot, u, v); slot indexes the sorted prim arrays (-1 miss).
     """
     C = clusters.num_clusters
-    # pad the cluster axis to the fp32 sublane tile
     c_pad = ((C + 7) // 8) * 8
-    cmin = clusters.cluster_min
-    cmax = clusters.cluster_max
-    pad = c_pad - C
-    if pad:
-        nan = jnp.full((pad, 3), jnp.nan, jnp.float32)
-        cmin = jnp.concatenate([cmin, nan], 0)
-        cmax = jnp.concatenate([cmax, nan], 0)
-    boxes = jnp.concatenate([cmin, cmax, jnp.zeros((c_pad, 2), jnp.float32)],
-                            axis=1)             # (c_pad, 8)
+    c8_pad = ((C * N_SUBS + 7) // 8) * 8
+    boxes = _pad_boxes(clusters.cluster_min, clusters.cluster_max, c_pad - C)
+    sub_boxes = _pad_boxes(clusters.sub_min, clusters.sub_max,
+                           c8_pad - C * N_SUBS)
 
     rays_packed_t = jnp.concatenate(
         [o.T, d.T, t_min[None, :], t_max[None, :]], axis=0)  # (8, R)
-    # manual DMAs require 128-lane-aligned source rows: pad the 12-float
-    # woop rows to 128 (the extra lanes are dead weight on the wire but the
-    # per-cluster DMA is latency-bound regardless)
+    # manual DMAs require 128-lane-aligned source rows
     woop128 = jnp.pad(clusters.woop, ((0, 0), (0, 128 - 12)))
-    out = _march_call(rays_packed_t, boxes, woop128,
-                      c_pad=c_pad, n_clusters=C, max_visits=C + 1)
+    out = _march_call(rays_packed_t, boxes, sub_boxes, woop128,
+                      c_pad=c_pad, c8_pad=c8_pad, n_clusters=C,
+                      max_visits=C + 1)
     out = jnp.swapaxes(out, 1, 2).reshape(-1, 4)
     t = out[:, 0]
     slotf = out[:, 1]

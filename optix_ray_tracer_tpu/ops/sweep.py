@@ -52,6 +52,10 @@ WINDOW_CHUNKS = 1    # clusters swept per block window
 WINDOW_TRIS = CHUNK * WINDOW_CHUNKS
 
 
+SUBS_PER_CLUSTER = 8
+SUB_TRIS = CHUNK // SUBS_PER_CLUSTER
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ClusterSet:
@@ -61,11 +65,16 @@ class ClusterSet:
     prim_index:  (n_pad,) sorted slot -> original triangle id
     cluster_min: (C, 3) cluster AABBs
     cluster_max: (C, 3)
+    sub_min:     (C*8, 3) sub-cluster AABBs (64-tri granularity, used by the
+                 block marcher's in-kernel second-level cull)
+    sub_max:     (C*8, 3)
     """
     woop: jax.Array
     prim_index: jax.Array
     cluster_min: jax.Array
     cluster_max: jax.Array
+    sub_min: jax.Array
+    sub_max: jax.Array
 
     @property
     def num_clusters(self) -> int:
@@ -109,9 +118,16 @@ def build_clusters(tri_vertices) -> ClusterSet:
     # clusters that are pure padding keep NaN boxes: every slab comparison
     # is false, so they can never be hit (an (+INF,-INF) "empty box" FAILS
     # here — infinity arithmetic in the slab test yields ent=tmin, ext=bt)
+
+    sub_grouped = pad_tris.reshape(C * SUBS_PER_CLUSTER, SUB_TRIS, 3, 3)
+    with np.errstate(invalid="ignore"), warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        smin = np.nanmin(sub_grouped, axis=(1, 2))
+        smax = np.nanmax(sub_grouped, axis=(1, 2))
     return ClusterSet(
         woop=jnp.asarray(woop), prim_index=jnp.asarray(prim_index),
-        cluster_min=jnp.asarray(cmin), cluster_max=jnp.asarray(cmax))
+        cluster_min=jnp.asarray(cmin), cluster_max=jnp.asarray(cmax),
+        sub_min=jnp.asarray(smin), sub_max=jnp.asarray(smax))
 
 
 # ---------------------------------------------------------------------------
