@@ -17,8 +17,6 @@ import dataclasses
 import json
 import os
 
-import numpy as np
-
 
 @dataclasses.dataclass
 class SeriesManifest:

@@ -180,7 +180,6 @@ ALL_CONFIGS = {
 def run(config: dict, spp: int | None = None, width: int | None = None,
         height: int | None = None, use_packets: bool = True, seed: int = 0):
     """Execute a benchmark config; returns (image, stats dict)."""
-    import jax
 
     from optix_ray_tracer_tpu.ops.packet import make_packet_intersector
     from optix_ray_tracer_tpu.ops.traverse import make_intersector

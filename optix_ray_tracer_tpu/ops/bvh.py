@@ -26,7 +26,6 @@ Node layout (unified array of 2n-1 nodes):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

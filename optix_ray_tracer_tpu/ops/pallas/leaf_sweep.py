@@ -16,8 +16,6 @@ VPU masking and an argmin.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

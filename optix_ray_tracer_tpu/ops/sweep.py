@@ -41,7 +41,7 @@ import numpy as np
 from optix_ray_tracer_tpu.ops.bvh import morton_codes
 from optix_ray_tracer_tpu.ops.bvh_wide import woop_transforms
 from optix_ray_tracer_tpu.ops.intersect import (
-    DEFAULT_T_MIN, Hit, PRIM_NONE, PRIM_SPHERE, PRIM_TRIANGLE,
+    DEFAULT_T_MIN, Hit, PRIM_NONE, PRIM_TRIANGLE,
 )
 from optix_ray_tracer_tpu.scene.geometry import Scene
 from optix_ray_tracer_tpu.utils.vecmath import INF

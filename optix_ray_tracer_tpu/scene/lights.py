@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from optix_ray_tracer_tpu.scene.geometry import Scene
 from optix_ray_tracer_tpu.scene.materials import EMISSIVE, MaterialTable
 from optix_ray_tracer_tpu.utils import rng
-from optix_ray_tracer_tpu.utils.vecmath import dot, length_squared, normalize
+from optix_ray_tracer_tpu.utils.vecmath import dot, length_squared
 
 
 @jax.tree_util.register_dataclass
