@@ -32,7 +32,7 @@ class MarchIntersector:
     scene_hi: jax.Array
 
     def intersect(self, scene: Scene, o, d, t_min=DEFAULT_T_MIN,
-                  t_max=INF) -> Hit:
+                  t_max=INF, _any_hit: bool = False) -> Hit:
         shape = o.shape[:-1]
         o2 = o.reshape(-1, 3)
         d2 = d.reshape(-1, 3)
@@ -59,7 +59,8 @@ class MarchIntersector:
             tmin_s = jnp.pad(tmin_s, (0, pad), constant_values=1.0)
             tmax_s = jnp.pad(tmax_s, (0, pad), constant_values=0.0)
 
-        t, slot, u, v = block_march(self.clusters, o_s, d_s, tmin_s, tmax_s)
+        t, slot, u, v = block_march(self.clusters, o_s, d_s, tmin_s,
+                                    tmax_s, any_hit=_any_hit)
         inv = jnp.argsort(perm)
         t = t[:n][inv]
         slot = slot[:n][inv]
@@ -84,7 +85,8 @@ class MarchIntersector:
         return self.intersect(scene, o, d, t_min, t_max)
 
     def any_hit(self, scene: Scene, o, d, t_min=DEFAULT_T_MIN, t_max=INF):
-        return self.intersect(scene, o, d, t_min, t_max).is_hit
+        return self.intersect(scene, o, d, t_min, t_max,
+                              _any_hit=True).is_hit
 
 
 def make_march_intersector(scene: Scene) -> MarchIntersector:

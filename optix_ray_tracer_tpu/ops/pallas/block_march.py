@@ -55,7 +55,8 @@ def _slab_rows(boxes, rays, inv_d, tmin, n_rows, n_valid):
     return jnp.where(hit, ent, INF)
 
 
-def _make_kernel(C_pad: int, C8_pad: int, n_clusters: int, max_visits: int):
+def _make_kernel(C_pad: int, C8_pad: int, n_clusters: int, max_visits: int,
+                 any_hit: bool):
     def kernel(rays_ref, boxes_ref, sub_boxes_ref, woop_ref, out_ref,
                entry_ref, sub_entry_ref, bt_ref, slot_ref, u_ref, v_ref,
                tri_scratch, sem):
@@ -160,9 +161,16 @@ def _make_kernel(C_pad: int, C8_pad: int, n_clusters: int, max_visits: int):
                                      keepdims=True)
                         slotf = (cur_c * CLUSTER_TRIS + sub * SUB_TRIS
                                  + li).astype(jnp.float32)
-                        bt_ref[...] = jnp.where(closer, t_best, bt_cur)
-                        slot_ref[...] = jnp.where(closer, slotf,
-                                                  slot_ref[...])
+                        slot_new = jnp.where(closer, slotf, slot_ref[...])
+                        if any_hit:
+                            # occlusion query: a ray with ANY hit stops
+                            # needing clusters (entry < bt becomes false)
+                            bt_ref[...] = jnp.where(slot_new >= 0.0, -INF,
+                                                    jnp.where(closer, t_best,
+                                                              bt_cur))
+                        else:
+                            bt_ref[...] = jnp.where(closer, t_best, bt_cur)
+                        slot_ref[...] = slot_new
                         u_ref[...] = jnp.where(closer, bu, u_ref[...])
                         v_ref[...] = jnp.where(closer, bv, v_ref[...])
 
@@ -188,12 +196,13 @@ def _make_kernel(C_pad: int, C8_pad: int, n_clusters: int, max_visits: int):
 
 
 @partial(jax.jit, static_argnames=("c_pad", "c8_pad", "n_clusters",
-                                   "max_visits"))
+                                   "max_visits", "any_hit"))
 def _march_call(rays_packed_t, boxes, sub_boxes, woop, c_pad: int,
-                c8_pad: int, n_clusters: int, max_visits: int):
+                c8_pad: int, n_clusters: int, max_visits: int,
+                any_hit: bool = False):
     """rays_packed_t: (8, R) transposed ray state."""
     nb = rays_packed_t.shape[1] // BLOCK_RAYS
-    kernel = _make_kernel(c_pad, c8_pad, n_clusters, max_visits)
+    kernel = _make_kernel(c_pad, c8_pad, n_clusters, max_visits, any_hit)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nb, 4, BLOCK_RAYS), jnp.float32),
@@ -230,12 +239,14 @@ def _pad_boxes(bmin, bmax, pad):
         [bmin, bmax, jnp.zeros((bmin.shape[0], 2), jnp.float32)], axis=1)
 
 
-def block_march(clusters, o, d, t_min, t_max):
-    """Nearest-hit query via the fused kernel.
+def block_march(clusters, o, d, t_min, t_max, any_hit: bool = False):
+    """Nearest-hit (or, with ``any_hit``, occlusion) query via the fused
+    kernel.
 
     clusters: ops.sweep.ClusterSet; o, d (R, 3) with R % 128 == 0;
     t bounds (R,).  Rays must already be coherence-sorted by the caller.
     Returns (t, slot, u, v); slot indexes the sorted prim arrays (-1 miss).
+    With ``any_hit`` only slot's hit/miss distinction is meaningful.
     """
     C = clusters.num_clusters
     c_pad = ((C + 7) // 8) * 8
@@ -250,7 +261,7 @@ def block_march(clusters, o, d, t_min, t_max):
     woop128 = jnp.pad(clusters.woop, ((0, 0), (0, 128 - 12)))
     out = _march_call(rays_packed_t, boxes, sub_boxes, woop128,
                       c_pad=c_pad, c8_pad=c8_pad, n_clusters=C,
-                      max_visits=C + 1)
+                      max_visits=C + 1, any_hit=any_hit)
     out = jnp.swapaxes(out, 1, 2).reshape(-1, 4)
     t = out[:, 0]
     slotf = out[:, 1]

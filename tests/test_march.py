@@ -78,3 +78,18 @@ class TestMarch:
                                        seed=5, intersector=mi, jitter=False)
         diff = np.abs(np.asarray(img_bf) - np.asarray(img_m))
         assert np.median(diff) < 1e-5
+
+    def test_any_hit_matches_oracle(self):
+        from optix_ray_tracer_tpu.ops.intersect import intersect_any_bruteforce
+        scene = _scene(3000, ground=True)
+        mi = make_march_intersector(scene)
+        rng = np.random.default_rng(9)
+        o = jnp.asarray(rng.uniform(-1, 1, (256, 3)).astype(np.float32))
+        dd = rng.normal(size=(256, 3)).astype(np.float32)
+        dd /= np.linalg.norm(dd, axis=-1, keepdims=True)
+        d = jnp.asarray(dd)
+        full = mi(scene, o, d)
+        cap = jnp.where(full.is_hit, full.t + 0.1, 0.7)
+        got = np.asarray(mi.any_hit(scene, o, d, t_max=cap))
+        ref = np.asarray(intersect_any_bruteforce(scene, o, d, t_max=cap))
+        np.testing.assert_array_equal(got, ref)
