@@ -33,7 +33,7 @@ from optix_ray_tracer_tpu.scene.materials import (
 )
 from optix_ray_tracer_tpu.utils import rng
 from optix_ray_tracer_tpu.utils.vecmath import (
-    PI, dot, normalize, reflect, refract, schlick_fresnel,
+    INF, PI, dot, normalize, reflect, refract, schlick_fresnel,
 )
 
 _DIM_BSDF = 0x3C6EF372
@@ -89,8 +89,10 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
         normal_g=jnp.zeros((nrays, 3), jnp.float32))
 
     def bounce_step(s, b):
-        hit = intersector.intersect(scene, s["o"], s["d"])
         alive = s["alive"]
+        # dead lanes trace with t_max=0: free in the block-march kernel
+        hit = intersector.intersect(scene, s["o"], s["d"],
+                                    t_max=jnp.where(alive, INF, 0.0))
         missed = alive & ~hit.is_hit
         hit_alive = alive & hit.is_hit
 
@@ -142,7 +144,7 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
             # shadow ray (offset along the light direction; end before light)
             occluded = intersector.any_hit(
                 scene, point + n_unit * 1e-3, wl,
-                t_min=1e-4, t_max=dist - 2e-3)
+                t_min=1e-4, t_max=jnp.where(valid, dist - 2e-3, 0.0))
             visible = valid & ~occluded
             f = albedo / PI                               # Lambertian BRDF
             pdf_bsdf_for_light = jnp.maximum(cos_s, 0.0) / PI

@@ -38,7 +38,8 @@ from optix_ray_tracer_tpu.scene.materials import (
 )
 from optix_ray_tracer_tpu.utils import rng
 from optix_ray_tracer_tpu.utils.vecmath import (
-    EPS, dot, length_squared, normalize, reflect, refract, schlick_fresnel,
+    EPS, INF, dot, length_squared, normalize, reflect, refract,
+    schlick_fresnel,
 )
 
 # Decorrelation constants folded into the RNG seed per random *purpose*
@@ -148,8 +149,11 @@ def trace(scene: Scene, materials: MaterialTable, origins, directions,
     )
 
     def bounce_step(state, b):
-        hit = intersect_fn(scene, state["o"], state["d"])
         alive = state["alive"]
+        # dead lanes trace with t_max=0: in the block-march kernel they
+        # request no clusters, so mostly-dead blocks exit immediately
+        hit = intersect_fn(scene, state["o"], state["d"],
+                           t_max=jnp.where(alive, INF, 0.0))
         missed = alive & ~hit.is_hit
         hit_alive = alive & hit.is_hit
 
