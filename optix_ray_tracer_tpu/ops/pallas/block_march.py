@@ -36,7 +36,7 @@ from optix_ray_tracer_tpu.utils.vecmath import INF
 
 BLOCK_RAYS = 128
 CLUSTER_TRIS = 512       # == ops.sweep.CHUNK * WINDOW_CHUNKS
-N_SUBS = 8               # == ops.sweep.SUBS_PER_CLUSTER
+N_SUBS = 4               # == ops.sweep.SUBS_PER_CLUSTER
 SUB_TRIS = CLUSTER_TRIS // N_SUBS
 
 

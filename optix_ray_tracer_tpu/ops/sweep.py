@@ -52,7 +52,7 @@ WINDOW_CHUNKS = 1    # clusters swept per block window
 WINDOW_TRIS = CHUNK * WINDOW_CHUNKS
 
 
-SUBS_PER_CLUSTER = 8
+SUBS_PER_CLUSTER = 4
 SUB_TRIS = CHUNK // SUBS_PER_CLUSTER
 
 
