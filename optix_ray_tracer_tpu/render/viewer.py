@@ -9,7 +9,8 @@ wheel-speed).
 
 Endpoints:
   GET /            minimal HTML page with the stream + key bindings
-  GET /stream      multipart/x-mixed-replace MJPEG (PNG parts — no JPEG dep)
+  GET /stream      multipart/x-mixed-replace MJPEG (PNG parts if no JPEG
+                   encoder is importable)
   GET /key?k=w     press a movement key (w/a/s/d/space/shift)
   GET /look?dx=&dy=  mouse-look deltas
   GET /quit        stop the server (Esc analog)
@@ -46,6 +47,24 @@ document.addEventListener('mousemove', e=>{
 </script></body></html>"""
 
 
+def _encode_frame(rgba: np.ndarray) -> tuple[bytes, bytes]:
+    """uint8 (H, W, 3|4) -> (bytes, multipart content-type header value).
+
+    JPEG via Pillow when importable (a real MJPEG stream, ~10x smaller
+    parts); lossless PNG through utils.color otherwise.
+    """
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        from optix_ray_tracer_tpu.utils.color import png_bytes
+        return png_bytes(rgba), b"image/png"
+    buf = io.BytesIO()
+    Image.fromarray(rgba[..., :3]).save(buf, "JPEG", quality=85)
+    return buf.getvalue(), b"image/jpeg"
+
+
 class ViewerServer:
     """Serve rendered frames; drive the camera from HTTP input.
 
@@ -67,6 +86,7 @@ class ViewerServer:
         self.port = port
         self.fps_limit = fps_limit
         self._frame: bytes | None = None
+        self._frame_ctype: bytes = b"image/png"
         self._frame_lock = threading.Lock()
         self._input_lock = threading.Lock()
         self._pending: dict = {"dx": 0, "dy": 0, "keys": set()}
@@ -89,15 +109,15 @@ class ViewerServer:
     # ---- render loop ------------------------------------------------------
 
     def _render_loop(self):
-        from optix_ray_tracer_tpu.utils.color import png_bytes
         frame_interval = 1.0 / max(self.fps_limit, 1e-3)
         while not self._stop.is_set():
             t0 = time.time()
             camera = self._apply_input()
             rgba = np.asarray(self.render_fn(camera))
-            data = png_bytes(rgba)
+            data, ctype = _encode_frame(rgba)
             with self._frame_lock:
                 self._frame = data
+                self._frame_ctype = ctype
             # FPS limiter (reference: sleep-to-target; no spin needed here)
             dt = time.time() - t0
             if dt < frame_interval:
@@ -126,9 +146,14 @@ class ViewerServer:
                     self.send_response(204)
                     self.end_headers()
                 elif url.path == "/look":
+                    def _num(name):
+                        try:
+                            return int(float(q.get(name, ["0"])[0]))
+                        except ValueError:
+                            return 0
                     with viewer._input_lock:
-                        viewer._pending["dx"] += int(q.get("dx", ["0"])[0])
-                        viewer._pending["dy"] += int(q.get("dy", ["0"])[0])
+                        viewer._pending["dx"] += _num("dx")
+                        viewer._pending["dy"] += _num("dy")
                     self.send_response(204)
                     self.end_headers()
                 elif url.path == "/quit":
@@ -145,9 +170,11 @@ class ViewerServer:
                         while not viewer._stop.is_set():
                             with viewer._frame_lock:
                                 frame = viewer._frame
+                                ctype = viewer._frame_ctype
                             if frame is not None:
                                 self.wfile.write(b"--frame\r\n")
-                                self.wfile.write(b"Content-Type: image/png\r\n\r\n")
+                                self.wfile.write(b"Content-Type: " + ctype
+                                                 + b"\r\n\r\n")
                                 self.wfile.write(frame)
                                 self.wfile.write(b"\r\n")
                             time.sleep(1.0 / viewer.fps_limit)
@@ -180,6 +207,9 @@ class ViewerServer:
     def stop(self):
         self._stop.set()
 
-    def latest_frame_png(self) -> bytes | None:
+    def latest_frame(self) -> tuple[bytes, bytes] | None:
+        """(encoded bytes, content type) of the newest frame, or None."""
         with self._frame_lock:
-            return self._frame
+            if self._frame is None:
+                return None
+            return self._frame, self._frame_ctype
