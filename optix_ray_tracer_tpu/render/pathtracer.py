@@ -39,6 +39,7 @@ from optix_ray_tracer_tpu.utils.vecmath import (
 _DIM_BSDF = 0x3C6EF372
 _DIM_LIGHT = 0x27220A95
 _DIM_LOBE = 0x165667B1
+_DIM_RR = 0x2545F491
 
 
 def _onb(n):
@@ -61,14 +62,16 @@ def _cosine_sample(n, pixel_id, sample, bounce, seed):
     return normalize(d), pdf
 
 
-@partial(jax.jit, static_argnames=("max_depth",))
+@partial(jax.jit, static_argnames=("max_depth", "rr_start"))
 def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
                origins, directions, pixel_id, sample, seed, background,
                max_depth: int = 8, intersector=None, env=None,
-               textures=None):
+               textures=None, rr_start: int = 3):
     """Trace a wavefront with NEE+MIS.  Returns (radiance, albedo_g, normal_g).
 
     ``lights`` may be None (falls back to BSDF sampling only).
+    ``rr_start``: bounce index where Russian roulette begins (unbiased;
+    pass >= max_depth to disable).
     """
     if intersector is None:
         from optix_ray_tracer_tpu.ops.traverse import BruteForceIntersector
@@ -189,6 +192,22 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
 
         throughput = jnp.where(shading_alive[..., None],
                                s["throughput"] * atten, s["throughput"])
+
+        # ---- Russian roulette (unbiased path termination) ----------------
+        # From bounce rr_start on, continue with p = max-channel throughput
+        # (floored so dark paths still terminate in finite expectation) and
+        # compensate survivors by 1/p.  Killed lanes trace with t_max=0 next
+        # bounce, so on the block-march kernel RR converts deep-path work
+        # into immediate block exits.
+        if rr_start < max_depth:
+            u_rr = rng.uniform4(pixel_id, sample, b, seed ^ _DIM_RR)[0]
+            p_cont = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 1.0)
+            do_rr = shading_alive & (b >= rr_start)
+            survive = ~do_rr | (u_rr < p_cont)
+            throughput = jnp.where(
+                do_rr[..., None], throughput / p_cont[..., None], throughput)
+            shading_alive = shading_alive & survive
+
         o = jnp.where(shading_alive[..., None],
                       point + n_unit * jnp.where(
                           is_diel[..., 0] & ~do_reflect, -1e-3, 1e-3)[..., None],
@@ -205,12 +224,13 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
 
 
 @partial(jax.jit,
-         static_argnames=("width", "height", "spp", "max_depth", "jitter"))
+         static_argnames=("width", "height", "spp", "max_depth", "jitter",
+                          "rr_start"))
 def render_path(scene: Scene, materials: MaterialTable, lights, camera,
                 width: int, height: int, spp: int = 16, seed: int = 0,
                 background=(0.0, 0.0, 0.0), max_depth: int = 8,
                 intersector=None, env=None, textures=None,
-                jitter: bool = True):
+                jitter: bool = True, rr_start: int = 3):
     """Full-frame path trace; same conventions as wavefront.render."""
     npix = width * height
     pixel_id = jnp.arange(npix, dtype=jnp.int32)
@@ -225,7 +245,7 @@ def render_path(scene: Scene, materials: MaterialTable, lights, camera,
         radiance, alb, nrm = trace_path(
             scene, materials, lights, o.reshape(-1, 3), d.reshape(-1, 3),
             pixel_id, sidx, seed, background, max_depth, intersector, env,
-            textures)
+            textures, rr_start)
         return (acc[0] + radiance, acc[1] + alb, acc[2] + nrm), None
 
     zeros = jnp.zeros((npix, 3), jnp.float32)

@@ -1,6 +1,7 @@
 """Tests for the denoiser, OBJ loader, env maps, and textures."""
 
 import os
+import time
 
 import numpy as np
 import jax.numpy as jnp
@@ -205,3 +206,43 @@ class TestDenoise:
         out = np.asarray(denoise(jnp.asarray(img), jnp.asarray(albedo),
                                  jnp.asarray(normal)))
         np.testing.assert_allclose(out, img, atol=1e-5)
+
+
+class TestViewer:
+    def test_mjpeg_stream_and_input(self):
+        """ViewerServer end-to-end on a stub render_fn: JPEG multipart
+        parts, input endpoints, clean quit."""
+        import urllib.request
+        import numpy as np
+        from optix_ray_tracer_tpu.render.viewer import ViewerServer
+        from optix_ray_tracer_tpu.scene.camera import Camera
+
+        calls = []
+
+        def render_fn(camera):
+            calls.append(camera)
+            return np.full((12, 16, 4), 128, np.uint8)
+
+        cam = Camera.look_at((0, 0, 1), (0, 0, 0), (0, 1, 0))
+        srv = ViewerServer(cam, render_fn, port=0, fps_limit=60.0)
+        srv.serve(blocking=False)
+        port = srv._httpd.server_address[1]
+        base = f"http://127.0.0.1:{port}"
+        try:
+            deadline = time.time() + 10
+            while srv.latest_frame() is None and time.time() < deadline:
+                time.sleep(0.05)
+            frame = srv.latest_frame()
+            assert frame is not None
+            data, ctype = frame
+            assert ctype == b"image/jpeg"
+            assert data[:2] == b"\xff\xd8"          # JFIF SOI marker
+            with urllib.request.urlopen(f"{base}/stream", timeout=5) as r:
+                head = r.read(64)
+            assert b"--frame" in head and b"image/jpeg" in head
+            for path, code in [("/key?k=w", 204), ("/look?dx=5&dy=-3", 204),
+                               ("/look?dx=abc", 204)]:
+                req = urllib.request.urlopen(base + path, timeout=5)
+                assert req.status == code
+        finally:
+            urllib.request.urlopen(f"{base}/quit", timeout=5)

@@ -166,3 +166,25 @@ class TestFilm:
         film.save(p)
         with open(p, "rb") as f:
             assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+
+
+class TestRussianRoulette:
+    def test_unbiased_mean(self):
+        """RR-on and RR-off renders agree in the mean (unbiased estimator)."""
+        scene, mats, cam = build_cornell_box()
+        lights = collect_area_lights(scene, mats)
+        bi = make_intersector(scene)
+        img_rr, _, _ = render_path(scene, mats, lights, cam, 32, 32,
+                                   spp=96, seed=11, intersector=bi,
+                                   max_depth=8, rr_start=2)
+        img_no, _, _ = render_path(scene, mats, lights, cam, 32, 32,
+                                   spp=96, seed=11, intersector=bi,
+                                   max_depth=8, rr_start=8)
+        a = np.asarray(img_rr)
+        b = np.asarray(img_no)
+        assert not np.isnan(a).any()
+        # same-seed primary/NEE contributions are identical; RR only
+        # perturbs deep indirect light, so the means must agree closely
+        assert abs(a.mean() - b.mean()) / b.mean() < 0.03
+        # but RR must actually fire: deep-path contributions differ
+        assert np.abs(a - b).max() > 0.0
