@@ -47,8 +47,8 @@ def _tile_rays(camera, width, height, rows_per_shard, tile_idx, spp_offset,
           + jnp.float32(iy0))
     ix = jnp.arange(width, dtype=jnp.float32)[None, :]
     if jitter:
-        u1, u2, _, _ = rng_mod.uniform4(
-            pixel_id, spp_offset + sample_in_shard, jnp.int32(-1), seed)
+        u1, u2 = rng_mod.stratified_jitter(
+            pixel_id, spp_offset + sample_in_shard, seed)
         ox = u1.reshape(rows_per_shard, width)
         oy = u2.reshape(rows_per_shard, width)
     else:

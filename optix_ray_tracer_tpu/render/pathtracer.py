@@ -237,7 +237,7 @@ def render_path(scene: Scene, materials: MaterialTable, lights, camera,
 
     def sample_step(acc, sidx):
         if jitter:
-            u1, u2, _, _ = rng.uniform4(pixel_id, sidx, jnp.int32(-1), seed)
+            u1, u2 = rng.stratified_jitter(pixel_id, sidx, seed)
             jit_uv = jnp.stack([u1, u2], -1).reshape(height, width, 2)
         else:
             jit_uv = None

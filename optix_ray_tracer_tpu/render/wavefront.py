@@ -223,7 +223,7 @@ def render(scene: Scene, materials: MaterialTable, camera,
 
     def sample_step(acc, s):
         if jitter:
-            u1, u2, _, _ = rng.uniform4(pixel_id, s, jnp.int32(-1), seed)
+            u1, u2 = rng.stratified_jitter(pixel_id, s, seed)
             jit_uv = jnp.stack([u1, u2], -1).reshape(height, width, 2)
         else:
             jit_uv = None

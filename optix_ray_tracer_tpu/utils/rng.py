@@ -123,3 +123,20 @@ def random_in_unit_disk(pixel_id, sample, bounce, seed):
     r = jnp.sqrt(u1)
     phi = (2.0 * PI) * u2
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi)], axis=-1)
+
+
+def stratified_jitter(pixel_id, sample, seed):
+    """Pixel-filter jitter (u1, u2) stratified over a fixed 4x4 subpixel
+    grid cycled by sample index.
+
+    The cell depends only on the GLOBAL sample index, so progressive
+    batches and sharded renders continue the same stratum sequence
+    (bit-identical under any mesh shape, like all counter-RNG draws).
+    Within-cell offsets come from the usual PCG4D stream, so any spp is
+    unbiased; spp >= 16 gets full stratification per cycle.
+    """
+    u1, u2, _, _ = uniform4(pixel_id, sample, jnp.int32(-1), seed)
+    cell = jnp.asarray(sample, jnp.int32) % 16
+    cx = (cell % 4).astype(jnp.float32)
+    cy = (cell // 4).astype(jnp.float32)
+    return (cx + u1) * 0.25, (cy + u2) * 0.25

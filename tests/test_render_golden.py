@@ -101,6 +101,10 @@ def oracle_render(centers, radii, mat_ids, mats, cam, width, height,
             acc = np.zeros(3, np.float32)
             for s in range(spp):
                 u1, u2, _, _ = np_uniform4(pid, s, 0xFFFFFFFF, seed)
+                # stratified 4x4 subpixel grid (utils/rng.stratified_jitter)
+                cell = s % 16
+                u1 = np.float32((cell % 4 + u1) * 0.25)
+                u2 = np.float32((cell // 4 + u2) * 0.25)
                 ndc_x = np.float32(((ix + u1) / width) * 2 - 1)
                 ndc_y = np.float32(1 - ((iy + u2) / height) * 2)
                 d = ndc_x * aspect * U + ndc_y * V + W
