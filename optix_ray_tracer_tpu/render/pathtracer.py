@@ -66,12 +66,15 @@ def _cosine_sample(n, pixel_id, sample, bounce, seed):
 def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
                origins, directions, pixel_id, sample, seed, background,
                max_depth: int = 8, intersector=None, env=None,
-               textures=None, rr_start: int = 3):
+               textures=None, rr_start: int = 3, clamp: float = 0.0):
     """Trace a wavefront with NEE+MIS.  Returns (radiance, albedo_g, normal_g).
 
     ``lights`` may be None (falls back to BSDF sampling only).
     ``rr_start``: bounce index where Russian roulette begins (unbiased;
     pass >= max_depth to disable).
+    ``clamp``: if > 0, cap each INDIRECT per-bounce radiance contribution
+    (bounce >= 1) at this value per channel — the standard biased firefly
+    suppressor; direct light and camera-visible emitters are never clamped.
     """
     if intersector is None:
         from optix_ray_tracer_tpu.ops.traverse import BruteForceIntersector
@@ -99,9 +102,15 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
         missed = alive & ~hit.is_hit
         hit_alive = alive & hit.is_hit
 
+        def _cap(contrib):
+            """Firefly clamp for indirect bounces only (clamp is traced:
+            0 disables)."""
+            return jnp.where((b >= 1) & (clamp > 0.0),
+                             jnp.minimum(contrib, clamp), contrib)
+
         miss_radiance = env.sample(s["d"]) if env is not None else background
-        radiance = s["radiance"] + jnp.where(
-            missed[..., None], s["throughput"] * miss_radiance, 0.0)
+        radiance = s["radiance"] + _cap(jnp.where(
+            missed[..., None], s["throughput"] * miss_radiance, 0.0))
 
         point, normal, front_face, material_id = isect.shading_frame(
             scene, s["o"], s["d"], hit)
@@ -123,9 +132,9 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
                 1.0)
         else:
             w_bsdf = jnp.ones((nrays,), jnp.float32)
-        radiance = radiance + jnp.where(
+        radiance = radiance + _cap(jnp.where(
             is_emitter[..., None],
-            s["throughput"] * emission * w_bsdf[..., None], 0.0)
+            s["throughput"] * emission * w_bsdf[..., None], 0.0))
 
         # guide buffers
         first = hit_alive & (b == 0)
@@ -155,7 +164,8 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
             contrib = (s["throughput"] * f * emitted
                        * (jnp.maximum(cos_s, 0.0) / jnp.maximum(pdf_l, 1e-12)
                           * w_nee)[..., None])
-            radiance = radiance + jnp.where(visible[..., None], contrib, 0.0)
+            radiance = radiance + _cap(
+                jnp.where(visible[..., None], contrib, 0.0))
 
         # ---- BSDF sampling ----------------------------------------------
         # diffuse: cosine hemisphere
@@ -230,7 +240,7 @@ def render_path(scene: Scene, materials: MaterialTable, lights, camera,
                 width: int, height: int, spp: int = 16, seed: int = 0,
                 background=(0.0, 0.0, 0.0), max_depth: int = 8,
                 intersector=None, env=None, textures=None,
-                jitter: bool = True, rr_start: int = 3):
+                jitter: bool = True, rr_start: int = 3, clamp: float = 0.0):
     """Full-frame path trace; same conventions as wavefront.render."""
     npix = width * height
     pixel_id = jnp.arange(npix, dtype=jnp.int32)
@@ -245,7 +255,7 @@ def render_path(scene: Scene, materials: MaterialTable, lights, camera,
         radiance, alb, nrm = trace_path(
             scene, materials, lights, o.reshape(-1, 3), d.reshape(-1, 3),
             pixel_id, sidx, seed, background, max_depth, intersector, env,
-            textures, rr_start)
+            textures, rr_start, clamp)
         return (acc[0] + radiance, acc[1] + alb, acc[2] + nrm), None
 
     zeros = jnp.zeros((npix, 3), jnp.float32)

@@ -188,3 +188,25 @@ class TestRussianRoulette:
         assert abs(a.mean() - b.mean()) / b.mean() < 0.03
         # but RR must actually fire: deep-path contributions differ
         assert np.abs(a - b).max() > 0.0
+
+
+class TestFireflyClamp:
+    def test_clamp_suppresses_indirect_only(self):
+        scene, mats, cam = build_cornell_box(sphere_instead_of_tall_block=True)
+        lights = collect_area_lights(scene, mats)
+        base, alb, _ = render_path(scene, mats, lights, cam, 48, 48, spp=8,
+                                   seed=2, jitter=False)
+        tight, _, _ = render_path(scene, mats, lights, cam, 48, 48, spp=8,
+                                  seed=2, clamp=0.5, jitter=False)
+        loose, _, _ = render_path(scene, mats, lights, cam, 48, 48, spp=8,
+                                  seed=2, clamp=1e6, jitter=False)
+        a, t, l = np.asarray(base), np.asarray(tight), np.asarray(loose)
+        assert not np.isnan(t).any()
+        # tight clamp only darkens (and does darken somewhere)
+        assert (t <= a + 1e-6).all() and t.mean() < a.mean()
+        # camera-visible emitters (albedo guide = emission > 1) untouched
+        lamp = np.asarray(alb).max(-1) > 1.0
+        assert lamp.any()
+        np.testing.assert_allclose(t[lamp], a[lamp], atol=1e-6)
+        # huge clamp ~ no clamp (1-ulp fp reassociation tolerance)
+        np.testing.assert_allclose(l, a, atol=1e-6)
