@@ -89,3 +89,21 @@ def choose_intersector(scene):
         return None  # brute force
     from optix_ray_tracer_tpu.ops.march import make_march_intersector
     return make_march_intersector(scene)
+
+
+def refit_or_choose(prev, scene):
+    """Per-frame intersector: device-side refit of ``prev`` when possible
+    (same triangle count), full rebuild otherwise.
+
+    The reference's accel policy (RendererImpl.cu:210-242): build the accel
+    per file, *refit* it per animation frame.  Refit keeps the Morton slot
+    order and recomputes Woop rows + AABBs on device — exact for any
+    motion, no host round trip (see ops.sweep.refit_clusters).
+    """
+    from optix_ray_tracer_tpu.ops.march import (
+        MarchIntersector, refit_march_intersector,
+    )
+    if (isinstance(prev, MarchIntersector)
+            and scene.triangle_count == prev.num_tris):
+        return refit_march_intersector(prev, scene)
+    return choose_intersector(scene)

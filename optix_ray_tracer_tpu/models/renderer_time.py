@@ -210,9 +210,15 @@ def render_frames(data: TimeRendererData, width: int | None = None,
         for fi in range(data.file_count):
             n_frames = common.frame_count_for_file(
                 data.durations[fi], ld.fps, ld.render_speed_ratio)
+            intersector = None
             for k in range(n_frames):
                 scene = frame_scene(data, fi, k, n_frames)
-                intersector = common.choose_intersector(scene)
+                # accel policy matching the reference (RendererImpl.cu:
+                # 210-242): full build on the file's first frame, exact
+                # device-side refit for the remaining animation frames
+                intersector = (common.choose_intersector(scene) if k == 0
+                               else common.refit_or_choose(intersector,
+                                                           scene))
                 img, alb, nrm = wavefront.render(
                     scene, data.materials, data.camera, width, height,
                     spp=spp, seed=cfg.seed + produced,

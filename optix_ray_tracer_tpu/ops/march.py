@@ -9,6 +9,7 @@ the (few) analytic spheres.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -19,17 +20,23 @@ from optix_ray_tracer_tpu.ops.intersect import (
 )
 from optix_ray_tracer_tpu.ops.packet import ray_sort_keys, _sphere_bruteforce_merge
 from optix_ray_tracer_tpu.ops.pallas.block_march import BLOCK_RAYS, block_march
-from optix_ray_tracer_tpu.ops.sweep import ClusterSet, build_clusters
+from optix_ray_tracer_tpu.ops.sweep import (
+    ClusterSet, build_clusters, refit_clusters,
+)
 from optix_ray_tracer_tpu.scene.geometry import Scene
 from optix_ray_tracer_tpu.utils.vecmath import INF
 
 
-@jax.tree_util.register_dataclass
+@partial(jax.tree_util.register_dataclass,
+         data_fields=("clusters", "scene_lo", "scene_hi"),
+         meta_fields=("num_tris",))
 @dataclasses.dataclass(frozen=True)
 class MarchIntersector:
     clusters: ClusterSet
     scene_lo: jax.Array
     scene_hi: jax.Array
+    # build-time triangle count (static): refit requires an identical count
+    num_tris: int = 0
 
     def intersect(self, scene: Scene, o, d, t_min=DEFAULT_T_MIN,
                   t_max=INF, _any_hit: bool = False) -> Hit:
@@ -96,4 +103,21 @@ def make_march_intersector(scene: Scene) -> MarchIntersector:
         scene_lo=jnp.asarray(tv.min(axis=(0, 1)) if tv.size else np.zeros(3),
                              jnp.float32),
         scene_hi=jnp.asarray(tv.max(axis=(0, 1)) if tv.size else np.ones(3),
-                             jnp.float32))
+                             jnp.float32),
+        num_tris=int(tv.shape[0]))
+
+
+def refit_march_intersector(prev: MarchIntersector,
+                            scene: Scene) -> MarchIntersector:
+    """Per-frame refit (device-side, jittable): new vertex positions, same
+    Morton slot order — see ops.sweep.refit_clusters."""
+    tv = scene.triangles.vertices
+    if tv.shape[0] != prev.num_tris:
+        raise ValueError(
+            f"refit requires the build-time triangle count ({prev.num_tris});"
+            f" got {tv.shape[0]} — rebuild with make_march_intersector")
+    return MarchIntersector(
+        clusters=refit_clusters(prev.clusters, tv),
+        scene_lo=jnp.min(tv, axis=(0, 1)),
+        scene_hi=jnp.max(tv, axis=(0, 1)),
+        num_tris=prev.num_tris)

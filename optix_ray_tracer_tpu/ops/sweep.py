@@ -577,3 +577,61 @@ def make_sweep_intersector(scene: Scene, use_pallas: bool = False
     return SweepIntersector(
         clusters=build_clusters(_np.asarray(scene.triangles.vertices)),
         use_pallas=use_pallas)
+
+
+@jax.jit
+def refit_clusters(clusters: ClusterSet, tri_vertices) -> ClusterSet:
+    """Device-side refit: recompute Woop rows + cluster/sub AABBs for NEW
+    vertex positions while keeping the frame-0 Morton slot order.
+
+    The TPU-native analog of the reference's per-frame IAS refit
+    (src/Global/RendererImpl.cu:210-242): exact for any motion (boxes are
+    recomputed, so queries stay correct); only cull efficiency decays as
+    the stale Morton order stops matching the geometry — same tradeoff as
+    a hardware refit.  Everything is jnp: no host round trip, no re-sort.
+
+    ``tri_vertices`` must have the same triangle count the ClusterSet was
+    built with.
+    """
+    n = tri_vertices.shape[0]
+    n_pad = clusters.woop.shape[0]
+    order = clusters.prim_index                       # pad slots gather tri 0
+    sorted_tris = jnp.asarray(tri_vertices, jnp.float32)[order]
+    valid = jnp.arange(n_pad) < n                     # pad slots are a suffix
+
+    v0 = sorted_tris[:, 0]
+    e1 = sorted_tris[:, 1] - v0
+    e2 = sorted_tris[:, 2] - v0
+    nrm = jnp.cross(e1, e2)
+    # adjugate inverse of A = [e1 | e2 | nrm] (columns): row_i of inv(A) is
+    # the cross product of the other two columns over det
+    det = jnp.einsum("ni,ni->n", e1, jnp.cross(e2, nrm))
+    ok = (jnp.abs(det) > 1e-18) & valid
+    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)[:, None]
+    r0 = jnp.cross(e2, nrm) * inv_det
+    r1 = jnp.cross(nrm, e1) * inv_det
+    r2 = jnp.cross(e1, e2) * inv_det
+    c = jnp.stack([jnp.einsum("ni,ni->n", r0, v0),
+                   jnp.einsum("ni,ni->n", r1, v0),
+                   jnp.einsum("ni,ni->n", r2, v0)], axis=-1)
+    woop = jnp.concatenate([r0, r1, r2, c], axis=-1)  # (n_pad, 12)
+
+    C = n_pad // CHUNK
+    tmin = jnp.where(valid[:, None], jnp.min(sorted_tris, axis=1), INF)
+    tmax = jnp.where(valid[:, None], jnp.max(sorted_tris, axis=1), -INF)
+
+    def _boxes(lo, hi, groups):
+        glo = jnp.min(lo.reshape(groups, -1, 3), axis=1)
+        ghi = jnp.max(hi.reshape(groups, -1, 3), axis=1)
+        # pure-padding groups get NaN boxes (kernel validity convention:
+        # every slab comparison false => unreachable)
+        empty = glo[:, 0] > ghi[:, 0]
+        nan = jnp.float32(jnp.nan)
+        return (jnp.where(empty[:, None], nan, glo),
+                jnp.where(empty[:, None], nan, ghi))
+
+    cmin, cmax = _boxes(tmin, tmax, C)
+    smin, smax = _boxes(tmin, tmax, C * SUBS_PER_CLUSTER)
+    return ClusterSet(woop=woop, prim_index=order,
+                      cluster_min=cmin, cluster_max=cmax,
+                      sub_min=smin, sub_max=smax)

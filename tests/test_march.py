@@ -93,3 +93,50 @@ class TestMarch:
         got = np.asarray(mi.any_hit(scene, o, d, t_max=cap))
         ref = np.asarray(intersect_any_bruteforce(scene, o, d, t_max=cap))
         np.testing.assert_array_equal(got, ref)
+
+    def test_refit_exact_after_motion(self):
+        """Device-side refit stays exact (oracle prim-id equality) even
+        when the frame-0 Morton order is completely stale."""
+        from optix_ray_tracer_tpu.ops.march import refit_march_intersector
+        v, n = sphere_with_n_triangles(5000)
+        scene0 = Scene(spheres=Spheres.empty(),
+                       triangles=Triangles.from_arrays(v, n))
+        mi = make_march_intersector(scene0)
+
+        # violent motion: rotate 180deg, translate, squash
+        rot = np.array([[-1, 0, 0], [0, -1, 0], [0, 0, 1]], np.float32)
+        v2 = (v.reshape(-1, 3) @ rot.T).reshape(v.shape)
+        v2 = v2 * np.array([1.0, 0.4, 1.7], np.float32) + \
+            np.array([2.0, -1.0, 0.5], np.float32)
+        scene1 = Scene(spheres=Spheres.empty(),
+                       triangles=Triangles.from_arrays(v2, n))
+        mi2 = refit_march_intersector(mi, scene1)
+
+        cam = Camera.look_at((6, -1, 1.2), (2, -1, 0.5), (0, 0, 1))
+        o, d = cam.generate_rays(32, 24)
+        o = o.reshape(-1, 3)
+        d = d.reshape(-1, 3)
+        h1 = mi2(scene1, o, d)
+        h2 = intersect_scene_bruteforce(scene1, o, d)
+        assert np.asarray(h2.is_hit).mean() > 0.2   # scene actually in view
+        np.testing.assert_array_equal(np.asarray(h1.prim_id),
+                                      np.asarray(h2.prim_id))
+        np.testing.assert_allclose(np.asarray(h1.t), np.asarray(h2.t),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_refit_identity_matches_build(self):
+        """Refit with unchanged vertices reproduces fresh-build results."""
+        from optix_ray_tracer_tpu.ops.march import refit_march_intersector
+        scene = _scene(3000)
+        mi = make_march_intersector(scene)
+        mi2 = refit_march_intersector(mi, scene)
+        cam = Camera.look_at((3, 0, 0.3), (0, 0, 0), (0, 0, 1))
+        o, d = cam.generate_rays(24, 16)
+        o = o.reshape(-1, 3)
+        d = d.reshape(-1, 3)
+        h1 = mi(scene, o, d)
+        h2 = mi2(scene, o, d)
+        np.testing.assert_array_equal(np.asarray(h1.prim_id),
+                                      np.asarray(h2.prim_id))
+        np.testing.assert_allclose(np.asarray(h1.t), np.asarray(h2.t),
+                                   rtol=1e-5, atol=1e-6)
