@@ -9,11 +9,22 @@ of 1M coherent primary rays, then 1M shadow (any-hit) rays toward a point
 above the scene from the primary hit points — the two wavefront stages a
 deferred renderer issues per sample.  Timed over repeated dispatches after
 one warmup (compile excluded).
+
+Guards: before timing, 1k rays are checked for exact prim-id equality
+against the brute-force oracle ON THE BENCH BACKEND — a Mosaic compile
+regression fails the bench loudly instead of silently corrupting numbers.
+
+Extras (stderr, not the driver line): incoherent-ray throughput, and
+optional multi-device sharding via --shard (tiles the wavefront over
+jax.devices() with jax.sharding; on one chip it reproduces the
+single-chip number).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
+import sys
 import time
 
 import numpy as np
@@ -24,7 +35,43 @@ N_TRIS = 100_000
 REPS = 3
 
 
+def _sync(*arrays):
+    """Host-sync via a reduction fetch — block_until_ready resolves before
+    remote execution completes on the tunneled TPU runtime."""
+    import jax.numpy as jnp
+    return sum(float(jnp.sum(jnp.asarray(a, jnp.float32))) for a in arrays)
+
+
+def _exactness_check(scene, intersector):
+    """1k coherent+incoherent rays vs the brute-force oracle, prim-id
+    equality, on the CURRENT backend (the Mosaic compile path when the
+    bench runs on TPU)."""
+    import jax.numpy as jnp
+
+    from optix_ray_tracer_tpu.ops.intersect import intersect_scene_bruteforce
+
+    rng = np.random.default_rng(7)
+    o = jnp.asarray(rng.uniform(-1.5, 1.5, (1024, 3)).astype(np.float32))
+    dd = rng.normal(size=(1024, 3)).astype(np.float32)
+    dd /= np.linalg.norm(dd, axis=-1, keepdims=True)
+    d = jnp.asarray(dd)
+    h1 = intersector.intersect(scene, o, d)
+    h2 = intersect_scene_bruteforce(scene, o, d)
+    bad = int(np.sum(np.asarray(h1.prim_id) != np.asarray(h2.prim_id)))
+    if bad:
+        raise SystemExit(
+            f"bench exactness check FAILED: {bad}/1024 prim ids differ "
+            f"from the brute-force oracle on backend "
+            f"{__import__('jax').default_backend()}")
+    print(f"exactness: 1024/1024 prim ids match the oracle", file=sys.stderr)
+
+
 def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--shard", action="store_true",
+                        help="shard the wavefront over all jax.devices()")
+    args = parser.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -44,6 +91,8 @@ def main() -> None:
     d = d.reshape(-1, 3)
     light = jnp.asarray([3.0, 3.0, 3.0], jnp.float32)
 
+    _exactness_check(scene, intersector)
+
     def step(o, d):
         hit = intersector.intersect(scene, o, d)
         point = o + hit.t[..., None] * d
@@ -55,22 +104,56 @@ def main() -> None:
                                        t_max=dist[..., 0])
         return hit.t, shadowed
 
-    # warmup / compile.  NOTE: sync via a host fetch of a reduction —
-    # block_until_ready resolves before remote execution completes on the
-    # tunneled TPU runtime, so it cannot be used for timing here.
-    t_vals, sh = step(o, d)
-    _ = float(jnp.sum(t_vals == 0)) + float(jnp.sum(sh))
+    n_dev = 1
+    if args.shard:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        devs = jax.devices()
+        n_dev = len(devs)
+        mesh = Mesh(np.asarray(devs), ("tile",))
+        sh = NamedSharding(mesh, P("tile"))
+        o = jax.device_put(o, sh)
+        d = jax.device_put(d, sh)
+        print(f"sharding wavefront over {n_dev} device(s)", file=sys.stderr)
+
+    # warmup / compile
+    t_vals, sh_ = step(o, d)
+    _sync(t_vals == 0, sh_)
 
     t0 = time.perf_counter()
     for _ in range(REPS):
-        t_vals, sh = step(o, d)
-    _ = float(jnp.sum(t_vals == 0)) + float(jnp.sum(sh))
+        t_vals, sh_ = step(o, d)
+    _sync(t_vals == 0, sh_)
     dt = (time.perf_counter() - t0) / REPS
 
     nrays = 2 * WIDTH * HEIGHT  # primary + shadow
     mrays = nrays / dt / 1e6
+
+    # secondary metric: fully incoherent rays (random origins/directions
+    # inside the scene bounds) — every bounce >= 1 of every integrator
+    # pays this path
+    rng = np.random.default_rng(11)
+    R = WIDTH * HEIGHT
+    oi = jnp.asarray(rng.uniform(-0.9, 0.9, (R, 3)).astype(np.float32))
+    di = rng.normal(size=(R, 3)).astype(np.float32)
+    di /= np.linalg.norm(di, axis=-1, keepdims=True)
+    di = jnp.asarray(di)
+    if args.shard:
+        oi = jax.device_put(oi, sh)
+        di = jax.device_put(di, sh)
+    hit = intersector.intersect(scene, oi, di)
+    _sync(hit.t == 0)
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        hit = intersector.intersect(scene, oi, di)
+    _sync(hit.t == 0)
+    dti = (time.perf_counter() - t0) / REPS
+    print(f"incoherent: {R / dti / 1e6:.2f} Mrays/s", file=sys.stderr)
+
+    label = "primary+shadow Mrays/sec/chip, 100k-tri mesh, 1024x1024"
+    if args.shard and n_dev > 1:
+        label = f"primary+shadow Mrays/sec ({n_dev} devices), 100k-tri mesh"
     print(json.dumps({
-        "metric": "primary+shadow Mrays/sec/chip, 100k-tri mesh, 1024x1024",
+        "metric": label,
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / TARGET_MRAYS, 4),

@@ -40,6 +40,9 @@ def main(argv=None) -> int:
                     help="checkpoint path for --progressive (resumes if it "
                          "exists)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--no-denoise", action="store_true",
+                    help="bypass the per-frame denoiser (the reference's "
+                         "Tab-key analog)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -56,6 +59,13 @@ def main(argv=None) -> int:
     except ConfigError as e:
         LOG.error("config error: %s", e)
         return 2
+    if args.no_denoise:
+        config.denoise = False
+    if config.debug_mode:
+        # reference semantics: OptiX validation mode / VK validation layers
+        # behind one flag (RendererImpl.cu:14, docs/configuration.md:43-49)
+        from optix_ray_tracer_tpu.utils.debug import enable_debug_mode
+        enable_debug_mode()
 
     if config.mesh and config.cache:
         # "cache": true bakes and exits (Main.cu:23-25)
@@ -94,9 +104,9 @@ def main(argv=None) -> int:
 
 
 def _run_viewer(frontend, data, config, args, out_dir) -> int:
-    """Interactive mode: render frame 0's scene under a live fly camera."""
-    from optix_ray_tracer_tpu.models.common import choose_intersector
-    from optix_ray_tracer_tpu.render import wavefront
+    """Interactive mode: live fly camera + animation stepping + denoiser
+    toggle (the SDL window loop analog, SDL_GraphicsWindow.cu:79-214)."""
+    from optix_ray_tracer_tpu.models import common
     from optix_ray_tracer_tpu.render.viewer import ViewerServer
     from optix_ray_tracer_tpu.utils.color import color_to_uint8
     from optix_ray_tracer_tpu.utils.logging import LOG
@@ -105,26 +115,53 @@ def _run_viewer(frontend, data, config, args, out_dir) -> int:
     ld = config.loop_data
     width = args.width or min(ld.window_width, 400)
     height = args.height or min(ld.window_height, 300)
-    scene = frontend.frame_scene(data, 0, 0, 1)
-    intersector = choose_intersector(scene)
 
-    def render_fn(camera):
-        img, _, _ = wavefront.render(
-            scene, data.materials, camera, width, height,
+    # animation schedule: (file, frame, frame_count) per viewer frame, cycled
+    schedule = []
+    for fi in range(data.file_count):
+        n_frames = common.frame_count_for_file(
+            data.durations[fi], ld.fps, ld.render_speed_ratio)
+        schedule.extend((fi, k, n_frames) for k in range(n_frames))
+
+    state = {"step": 0, "intersector": None, "key": None, "lights": None}
+
+    def render_fn(camera, denoise_on=True, animate=False):
+        fi, k, n_frames = schedule[state["step"] % len(schedule)]
+        if animate:
+            state["step"] += 1
+        scene = frontend.frame_scene(data, fi, k, n_frames)
+        if state["key"] != fi:
+            state["intersector"] = common.choose_intersector(scene)
+            state["key"] = fi
+        else:
+            state["intersector"] = common.refit_or_choose(
+                state["intersector"], scene)
+        if state["lights"] is None:
+            state["lights"] = common.collect_lights(config, scene,
+                                                    data.materials)
+        img, _, _ = common.render_frame(
+            config, scene, data.materials, camera, width, height,
             spp=args.spp or 1, seed=config.seed,
-            background=config.background, max_depth=config.max_depth,
-            intersector=intersector)
+            intersector=state["intersector"], env=data.env,
+            textures=data.textures, lights=state["lights"],
+            denoise_override=denoise_on and config.denoise)
         return np.asarray(color_to_uint8(img))
 
     LOG.info("interactive viewer: %dx%d", width, height)
-    ViewerServer(data.camera, render_fn, port=args.port).serve(blocking=True)
+    ViewerServer(data.camera, render_fn, port=args.port,
+                 move_speed=ld.camera_speed_stride
+                 * ld.camera_initial_speed_ratio * 25,
+                 mouse_sensitivity=ld.mouse_sensitivity,
+                 pitch_limit_degree=ld.camera_pitch_limit_degree
+                 ).serve(blocking=True)
     return 0
 
 
 def _run_progressive(frontend, data, config, args, out_dir) -> int:
     """Progressive accumulation on frame 0 with checkpoint/resume."""
-    from optix_ray_tracer_tpu.models.common import choose_intersector
-    from optix_ray_tracer_tpu.render import wavefront
+    import numpy as np
+
+    from optix_ray_tracer_tpu.models import common
     from optix_ray_tracer_tpu.render.film import Film
     from optix_ray_tracer_tpu.utils.logging import LOG
 
@@ -135,7 +172,8 @@ def _run_progressive(frontend, data, config, args, out_dir) -> int:
     ckpt = args.checkpoint or os.path.join(out_dir, "progressive.npz")
 
     scene = frontend.frame_scene(data, 0, 0, 1)
-    intersector = choose_intersector(scene)
+    intersector = common.choose_intersector(scene)
+    lights = common.collect_lights(config, scene, data.materials)
 
     if os.path.exists(ckpt):
         film = Film.restore(ckpt)
@@ -145,20 +183,29 @@ def _run_progressive(frontend, data, config, args, out_dir) -> int:
 
     while int(film.spp) < target_spp:
         # seed offset = accumulated spp => bit-exact continuation after
-        # resume (counter-based RNG)
+        # resume (counter-based RNG).  Batches accumulate RAW radiance;
+        # denoising (non-linear) happens once at save.
         done = int(film.spp)
         batch = max(1, min(16, target_spp - done))
-        img, alb, nrm = wavefront.render(
-            scene, data.materials, data.camera, width, height,
-            spp=batch, seed=config.seed + done,
-            background=config.background, max_depth=config.max_depth,
-            intersector=intersector)
+        img, alb, nrm = common.render_frame(
+            config, scene, data.materials, data.camera, width, height,
+            spp=batch, seed=config.seed + done, intersector=intersector,
+            env=data.env, textures=data.textures, lights=lights,
+            denoise_override=False)
         film = film.add(img, alb, nrm, batch)
         film.checkpoint(ckpt, meta={"seed": config.seed, "target": target_spp})
         LOG.info("progressive: %d/%d spp", int(film.spp), target_spp)
 
     out = os.path.join(out_dir, "progressive.png")
-    film.save(out)
+    if config.denoise:
+        from optix_ray_tracer_tpu.render.denoise import denoise
+        from optix_ray_tracer_tpu.utils.color import color_to_uint8, write_png
+        inv = 1.0 / max(int(film.spp), 1)
+        img = denoise(film.mean(), film.albedo_accum * inv,
+                      film.normal_accum * inv)
+        write_png(out, np.asarray(color_to_uint8(img)))
+    else:
+        film.save(out)
     LOG.info("progressive render done -> %s", out)
     return 0
 

@@ -99,6 +99,24 @@ class RendererConfig:
     background: tuple = (0.7, 0.8, 0.9)
     seed: int = 0
     output_dir: str = "./out"
+    # integrator: "whitted" (reference parity, background-lit) or "path"
+    # (NEE+MIS path tracer with area lights auto-collected from EMISSIVE
+    # materials)
+    integrator: str = "whitted"
+    # denoise every frame like the reference hot loop (RendererImpl.cu:
+    # 680-734); the CLI --no-denoise flag is the Tab-bypass analog
+    denoise: bool = True
+    # extension material lists (reference has only roughs/metals)
+    dielectrics: list = dataclasses.field(default_factory=list)   # iors
+    emissives: list = dataclasses.field(default_factory=list)     # emission
+    # environment map: {"type": "gradient-sky"|"constant", ...} or
+    # {"file": "x.hdr"} (equirectangular Radiance RGBE)
+    envmap: dict | None = None
+    # textures: [{"file": png|"checker": true, "mat-type": t, "mat-index": i}]
+    textures_cfg: list = dataclasses.field(default_factory=list)
+    # static extra meshes: [{"obj": path, "mat-type": t, "mat-index": i,
+    #   "shift": v3, "rotate": v3, "scale": v3}]
+    meshes: list = dataclasses.field(default_factory=list)
 
     base_dir: str = "."
 
@@ -139,6 +157,38 @@ def parse_config_dict(data: dict, base_dir: str = ".") -> RendererConfig:
                 shift=_vec3(s.get("shift", (0, 0, 0)), "sphere.shift"),
                 rotate=_vec3(s.get("rotate", (0, 0, 0)), "sphere.rotate"),
                 scale=_vec3(s.get("scale", (1, 1, 1)), "sphere.scale")))
+
+        integrator = str(data.get("integrator", "whitted"))
+        if integrator not in ("whitted", "path"):
+            raise ConfigError(
+                f"unknown integrator '{integrator}' (whitted|path)")
+
+        dielectrics = [float(d_.get("ior", 1.5))
+                       for d_ in data.get("dielectrics", [])]
+        emissives = [_vec3(e["emission"], "emissives.emission")
+                     for e in data.get("emissives", [])]
+
+        envmap = data.get("envmap")
+        if envmap is not None:
+            if not isinstance(envmap, dict):
+                raise ConfigError("'envmap' must be an object")
+            if "file" not in envmap and envmap.get("type") not in (
+                    "gradient-sky", "constant"):
+                raise ConfigError(
+                    "envmap needs 'file' or type gradient-sky|constant")
+
+        meshes = []
+        for m in data.get("meshes", []):
+            if "obj" not in m:
+                raise ConfigError("each meshes[] entry needs an 'obj' path")
+            meshes.append(dict(m))
+
+        textures_cfg = []
+        for t in data.get("textures", []):
+            if "file" not in t and not t.get("checker"):
+                raise ConfigError(
+                    "each textures[] entry needs 'file' or 'checker'")
+            textures_cfg.append(dict(t))
 
         ld = data.get("loop-data", {})
         api = str(ld.get("api", "HEADLESS"))
@@ -182,11 +232,18 @@ def parse_config_dict(data: dict, base_dir: str = ".") -> RendererConfig:
                              "background"),
             seed=int(data.get("seed", 0)),
             output_dir=str(data.get("output-dir", "./out")),
+            integrator=integrator,
+            denoise=bool(data.get("denoise", True)),
+            dielectrics=dielectrics, emissives=emissives,
+            envmap=envmap, textures_cfg=textures_cfg, meshes=meshes,
             base_dir=base_dir)
 
+        counts = {"ROUGH": len(cfg.roughs), "METAL": len(cfg.metals),
+                  "DIELECTRIC": len(cfg.dielectrics),
+                  "EMISSIVE": len(cfg.emissives)}
         for s in cfg.spheres:
-            n_of_type = len(cfg.roughs) if s.mat_type == "ROUGH" else len(cfg.metals)
-            if s.mat_type in ("ROUGH", "METAL") and s.mat_index >= n_of_type:
+            n_of_type = counts[s.mat_type]
+            if s.mat_index >= n_of_type:
                 raise ConfigError(
                     f"sphere mat-index {s.mat_index} out of range for "
                     f"{s.mat_type} (have {n_of_type})")

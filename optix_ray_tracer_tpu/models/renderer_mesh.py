@@ -35,7 +35,6 @@ from optix_ray_tracer_tpu.io import cache as cache_io
 from optix_ray_tracer_tpu.io.config import RendererConfig
 from optix_ray_tracer_tpu.io.series import read_series
 from optix_ray_tracer_tpu.models import common
-from optix_ray_tracer_tpu.render import wavefront
 from optix_ray_tracer_tpu.render.film import Film
 from optix_ray_tracer_tpu.scene.geometry import Scene, Spheres, Triangles
 from optix_ray_tracer_tpu.utils.logging import LOG
@@ -48,6 +47,9 @@ class MeshRendererData:
     materials: object             # MaterialTable
     material_offset: int
     extra_spheres: Spheres
+    extra_triangles: Triangles    # static config meshes (appended per frame)
+    env: object | None            # EnvMap from config, or None
+    textures: object | None      # TextureSet from config, or None
     durations: list[float]
     # stacked per-file device arrays, padded to max triangle / particle count
     vertices: jax.Array           # (F, Tmax, 3, 3) object-space
@@ -73,9 +75,12 @@ def commit(config: RendererConfig) -> MeshRendererData:
         use_cache=True, thread_count=config.cache_process_thread_count)
 
     max_cells = max((len(f.ids) for f in frames), default=0)
-    materials, _, metal_base, material_offset = common.build_materials(
-        config, max_cells)
-    extra_spheres = common.build_extra_spheres(config, metal_base)
+    materials, bases = common.build_materials(config, max_cells)
+    material_offset = bases.material_offset
+    extra_spheres = common.build_extra_spheres(config, bases)
+    extra_triangles = common.build_extra_triangles(config, bases)
+    env = common.build_envmap(config)
+    textures = common.build_textures(config, bases, materials.count)
 
     # pad + stack across files
     verts = common.pad_stack([f.vertices for f in frames])
@@ -102,7 +107,8 @@ def commit(config: RendererConfig) -> MeshRendererData:
 
     return MeshRendererData(
         config=config, materials=materials, material_offset=material_offset,
-        extra_spheres=extra_spheres, durations=series.durations,
+        extra_spheres=extra_spheres, extra_triangles=extra_triangles,
+        env=env, textures=textures, durations=series.durations,
         vertices=jnp.asarray(verts), normals=jnp.asarray(normals),
         tri_particle=jnp.asarray(np.stack(tri_pid) if tri_pid else
                                  np.zeros((0, 0), np.int32)),
@@ -167,6 +173,11 @@ def frame_scene(data: MeshRendererData, file_index: int, frame_index: int,
         jnp.asarray(cfg.particle_shift, jnp.float32),
         jnp.asarray(cfg.particle_scale, jnp.float32))
     tris = Triangles(world_v, normals, mat)
+    if data.extra_triangles.count:
+        # static extras appended AFTER the (static-size) particle block, so
+        # their indices — and any lights collected from them — are stable
+        # across frames
+        tris = tris.concat(data.extra_triangles)
 
     spheres = data.extra_spheres
     if data.update_fn is not None:
@@ -194,6 +205,7 @@ def render_frames(data: MeshRendererData, width: int | None = None,
     spp = spp or cfg.spp
 
     produced = 0
+    lights = None
     while True:
         for fi in range(data.file_count):
             n_frames = common.frame_count_for_file(
@@ -201,17 +213,21 @@ def render_frames(data: MeshRendererData, width: int | None = None,
             intersector = None
             for k in range(n_frames):
                 scene = frame_scene(data, fi, k, n_frames)
+                if produced == 0:
+                    # emissives only come from static extras, so the light
+                    # table collected once stays valid for every frame
+                    lights = common.collect_lights(cfg, scene, data.materials)
                 # accel policy matching the reference (RendererImpl.cu:
                 # 210-242): full build on the file's first frame, exact
                 # device-side refit for the remaining animation frames
                 intersector = (common.choose_intersector(scene) if k == 0
                                else common.refit_or_choose(intersector,
                                                            scene))
-                img, alb, nrm = wavefront.render(
-                    scene, data.materials, data.camera, width, height,
+                img, alb, nrm = common.render_frame(
+                    cfg, scene, data.materials, data.camera, width, height,
                     spp=spp, seed=cfg.seed + produced,
-                    background=cfg.background, max_depth=cfg.max_depth,
-                    intersector=intersector)
+                    intersector=intersector, env=data.env,
+                    textures=data.textures, lights=lights)
                 film = Film.create(width, height).add(img, alb, nrm, spp)
                 yield fi, k, film
                 produced += 1

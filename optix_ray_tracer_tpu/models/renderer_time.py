@@ -37,7 +37,6 @@ from optix_ray_tracer_tpu.io.config import RendererConfig
 from optix_ray_tracer_tpu.io.series import load_stl_directory, read_series
 from optix_ray_tracer_tpu.io.native_io import read_time_file
 from optix_ray_tracer_tpu.models import common
-from optix_ray_tracer_tpu.render import wavefront
 from optix_ray_tracer_tpu.render.film import Film
 from optix_ray_tracer_tpu.scene.geometry import (
     Scene, ShapeLibrary, Spheres, Triangles,
@@ -55,6 +54,9 @@ class TimeRendererData:
     materials: object
     material_offset: int
     extra_spheres: Spheres
+    extra_triangles: Triangles
+    env: object | None
+    textures: object | None
     durations: list[float]
     library: ShapeLibrary
     # padded per-file particle state (F, Pmax, ...)
@@ -83,9 +85,12 @@ def commit(config: RendererConfig,
     LOG.info("time mode: %d pose files", len(frames))
 
     max_points = max((len(f.ids) for f in frames), default=0)
-    materials, _, metal_base, material_offset = common.build_materials(
-        config, max_points)
-    extra_spheres = common.build_extra_spheres(config, metal_base)
+    materials, bases = common.build_materials(config, max_points)
+    material_offset = bases.material_offset
+    extra_spheres = common.build_extra_spheres(config, bases)
+    extra_triangles = common.build_extra_triangles(config, bases)
+    env = common.build_envmap(config)
+    textures = common.build_textures(config, bases, materials.count)
 
     pmax = max(max_points, 1)
     F = len(frames)
@@ -106,7 +111,8 @@ def commit(config: RendererConfig,
 
     return TimeRendererData(
         config=config, materials=materials, material_offset=material_offset,
-        extra_spheres=extra_spheres, durations=series.durations,
+        extra_spheres=extra_spheres, extra_triangles=extra_triangles,
+        env=env, textures=textures, durations=series.durations,
         library=library,
         positions=jnp.asarray(pos), quats=jnp.asarray(quat),
         velocities=jnp.asarray(vel), shape_ids=jnp.asarray(sid),
@@ -185,6 +191,10 @@ def frame_scene(data: TimeRendererData, file_index: int, frame_index: int,
             jnp.asarray(cfg.particle_scale, jnp.float32),
             budget=budget, euler_path=data.reference_euler_path)
         tris = Triangles(v, n, mat)
+    if data.extra_triangles.count:
+        # static extras appended AFTER the (static-size) particle block, so
+        # their indices — and any lights collected from them — are stable
+        tris = tris.concat(data.extra_triangles)
 
     spheres = data.extra_spheres
     if data.update_fn is not None:
@@ -206,6 +216,7 @@ def render_frames(data: TimeRendererData, width: int | None = None,
     spp = spp or cfg.spp
 
     produced = 0
+    lights = None
     while True:
         for fi in range(data.file_count):
             n_frames = common.frame_count_for_file(
@@ -213,17 +224,21 @@ def render_frames(data: TimeRendererData, width: int | None = None,
             intersector = None
             for k in range(n_frames):
                 scene = frame_scene(data, fi, k, n_frames)
+                if produced == 0:
+                    # emissives only come from static extras, so the light
+                    # table collected once stays valid for every frame
+                    lights = common.collect_lights(cfg, scene, data.materials)
                 # accel policy matching the reference (RendererImpl.cu:
                 # 210-242): full build on the file's first frame, exact
                 # device-side refit for the remaining animation frames
                 intersector = (common.choose_intersector(scene) if k == 0
                                else common.refit_or_choose(intersector,
                                                            scene))
-                img, alb, nrm = wavefront.render(
-                    scene, data.materials, data.camera, width, height,
+                img, alb, nrm = common.render_frame(
+                    cfg, scene, data.materials, data.camera, width, height,
                     spp=spp, seed=cfg.seed + produced,
-                    background=cfg.background, max_depth=cfg.max_depth,
-                    intersector=intersector)
+                    intersector=intersector, env=data.env,
+                    textures=data.textures, lights=lights)
                 film = Film.create(width, height).add(img, alb, nrm, spp)
                 yield fi, k, film
                 produced += 1

@@ -2,15 +2,25 @@
 
 One kernel performs the ENTIRE query for a 128-ray block per grid step:
 
-1. cull: slab-test all rays against ALL cluster AABBs (and all 64-triangle
-   SUB-cluster AABBs) -> (C, 128) and (C*8, 128) entry matrices in VMEM;
+1. cull: slab-test all rays against ALL cluster AABBs -> a (C, 128) entry
+   matrix in VMEM;
 2. march: a scalar while-loop picks the nearest cluster any ray still
    needs (block-min entry, masked by per-ray best_t), DMAs its 512
-   Morton-sorted Woop rows from HBM into VMEM (double-buffered: the next
-   candidate prefetches while the current one is tested), and
-3. tests densely at SUB-cluster granularity: each of the 8 64-triangle
-   sub-blocks runs only if some ray's entry into its sub-box is closer than
-   that ray's best hit — (64x3)@(3x128) MXU matmuls + VPU masking.
+   Morton-sorted transposed Woop rows (32 KB) from HBM into VMEM
+   (double-buffered: the next candidate prefetches while the current one
+   is tested), and
+3. tests the whole cluster densely: 6 lhs-transposed (4,512)x(4,128)
+   MXU matmuls (the homogeneous -1 origin row folds the Woop translation
+   into the dot) + VPU masking/reduction for the winner.
+
+SCALAR-SYNC RULE (measured: per-visit cost is dominated by scalar
+reductions, not DMA bytes — shrinking the cluster DMA 8x moved nothing):
+the march body performs exactly ONE scalar reduction per visit.  ``pick``
+packs (entry bits | cluster id) into one int32 key — non-negative fp32
+bit patterns are order-isomorphic to int32, and stealing the low 12
+mantissa bits only perturbs the HEURISTIC visit order, never correctness
+— so block-min entry + argmin cluster + any-needed all come out of a
+single ``jnp.min``.
 
 LAYOUT RULE (Mosaic-friendliness): rays live on the LANE axis everywhere —
 rays are passed transposed (8, B) per block, cluster/triangle quantities on
@@ -36,8 +46,11 @@ from optix_ray_tracer_tpu.utils.vecmath import INF
 
 BLOCK_RAYS = 128
 CLUSTER_TRIS = 512       # == ops.sweep.CHUNK * WINDOW_CHUNKS
-N_SUBS = 4               # == ops.sweep.SUBS_PER_CLUSTER
-SUB_TRIS = CLUSTER_TRIS // N_SUBS
+
+_CID_BITS = 12           # low mantissa bits carrying the cluster id
+_CID_MASK = (1 << _CID_BITS) - 1
+MAX_CLUSTERS = 1 << _CID_BITS
+_INF_BITS = 0x7F800000   # bit pattern of float32 +inf
 
 
 def _slab_rows(boxes, rays, inv_d, tmin, n_rows, n_valid):
@@ -55,10 +68,10 @@ def _slab_rows(boxes, rays, inv_d, tmin, n_rows, n_valid):
     return jnp.where(hit, ent, INF)
 
 
-def _make_kernel(C_pad: int, C8_pad: int, n_clusters: int, max_visits: int,
+def _make_kernel(C_pad: int, n_clusters: int, max_visits: int,
                  any_hit: bool):
-    def kernel(rays_ref, boxes_ref, sub_boxes_ref, woop_ref, out_ref,
-               entry_ref, sub_entry_ref, bt_ref, slot_ref, u_ref, v_ref,
+    def kernel(rays_ref, boxes_ref, woop_ref, out_ref,
+               entry_ref, bt_ref, slot_ref, u_ref, v_ref,
                tri_scratch, sem):
         rays = rays_ref[...]                    # (8, B)
         inv_d = jnp.where(jnp.abs(rays[3:6, :]) > 1e-12,
@@ -66,11 +79,9 @@ def _make_kernel(C_pad: int, C8_pad: int, n_clusters: int, max_visits: int,
         tmin = rays[6:7, :]
         bt0 = rays[7:8, :]
 
-        # ---- two-level cull ----
+        # ---- cull ----
         entry_ref[...] = _slab_rows(boxes_ref[...], rays, inv_d, tmin,
                                     C_pad, n_clusters)
-        sub_entry_ref[...] = _slab_rows(sub_boxes_ref[...], rays, inv_d,
-                                        tmin, C8_pad, n_clusters * N_SUBS)
 
         bt_ref[...] = bt0
         slot_ref[...] = jnp.full((1, BLOCK_RAYS), -1.0, jnp.float32)
@@ -80,25 +91,32 @@ def _make_kernel(C_pad: int, C8_pad: int, n_clusters: int, max_visits: int,
         hp = jax.lax.Precision.HIGHEST
         o_rows = rays[0:3, :]
         d_rows = rays[3:6, :]
+        # homogeneous origin (4, B): the -1 row folds the Woop translation
+        # into the transposed matmul (opx = r0.o - cx in ONE dot_general)
+        o4 = jnp.concatenate(
+            [o_rows, -jnp.ones((1, BLOCK_RAYS), jnp.float32)], axis=0)
+        dn_t = (((0,), (0,)), ((), ()))   # contract sublanes: lhs transposed
         cid_col = jax.lax.broadcasted_iota(jnp.int32, (C_pad, 1), 0)
 
         def pick(visited):
-            """Nearest cluster any ray still needs; (c, any) scalars."""
+            """Nearest unvisited cluster any ray still needs, via ONE
+            scalar reduction of a packed (entry bits | cid) key."""
             bt = bt_ref[...]
             entry = entry_ref[...]
-            live = entry < bt
-            needed = jnp.any(live, axis=1, keepdims=True) & (visited < 0.5)
-            block_entry = jnp.min(jnp.where(live, entry, INF), axis=1,
-                                  keepdims=True)
-            key = jnp.where(needed, block_entry, INF)
-            kmin = jnp.min(key)
-            c = jnp.min(jnp.where(key <= kmin, cid_col, C_pad))
-            return c, kmin < INF
+            block_entry = jnp.min(jnp.where(entry < bt, entry, INF),
+                                  axis=1, keepdims=True)       # (C_pad, 1)
+            key_f = jnp.where(visited < 0.5, block_entry, INF)
+            bits = jax.lax.bitcast_convert_type(jnp.maximum(key_f, 0.0),
+                                                jnp.int32)
+            key = jnp.bitwise_or(
+                jnp.bitwise_and(bits, ~jnp.int32(_CID_MASK)), cid_col)
+            kmin = jnp.min(key)                 # the visit's ONE scalar sync
+            c = jnp.bitwise_and(kmin, jnp.int32(_CID_MASK))
+            return c, kmin < _INF_BITS
 
         def start_dma(c, slot):
             return pltpu.make_async_copy(
-                woop_ref.at[pl.ds(c * CLUSTER_TRIS, CLUSTER_TRIS), :],
-                tri_scratch.at[slot], sem.at[slot])
+                woop_ref.at[c], tri_scratch.at[slot], sem.at[slot])
 
         def cond(state):
             visit, _, _, cur_ok = state
@@ -120,59 +138,55 @@ def _make_kernel(C_pad: int, C8_pad: int, n_clusters: int, max_visits: int,
             @pl.when(cur_ok)
             def _():
                 start_dma(cur_c, slot).wait()
-                sub_rows = sub_entry_ref[pl.ds(cur_c * N_SUBS, N_SUBS), :]
-
-                for sub in range(N_SUBS):
-                    sub_live = sub_rows[sub:sub + 1, :] < bt_ref[...]
-
-                    @pl.when(jnp.any(sub_live))
-                    def _():
-                        rows = tri_scratch[
-                            slot, sub * SUB_TRIS:(sub + 1) * SUB_TRIS, :]
-                        m0 = rows[:, 0:3]
-                        m1 = rows[:, 3:6]
-                        m2 = rows[:, 6:9]
-                        opx = jnp.dot(m0, o_rows, precision=hp) - rows[:, 9:10]
-                        opy = jnp.dot(m1, o_rows, precision=hp) - rows[:, 10:11]
-                        opz = jnp.dot(m2, o_rows, precision=hp) - rows[:, 11:12]
-                        dpx = jnp.dot(m0, d_rows, precision=hp)
-                        dpy = jnp.dot(m1, d_rows, precision=hp)
-                        dpz = jnp.dot(m2, d_rows, precision=hp)
-                        safe = jnp.where(jnp.abs(dpz) > 1e-12, dpz, 1e-12)
-                        t = -opz / safe
-                        uu = opx + t * dpx
-                        vv = opy + t * dpy
-                        bt_cur = bt_ref[...]
-                        ok = ((jnp.abs(dpz) > 1e-12) & (uu >= 0.0)
-                              & (vv >= 0.0) & (uu + vv <= 1.0)
-                              & (t > tmin) & (t < bt_cur))
-                        t = jnp.where(ok, t, INF)
-                        t_best = jnp.min(t, axis=0, keepdims=True)
-                        closer = t_best < bt_cur
-                        tri_sub = jax.lax.broadcasted_iota(
-                            jnp.int32, (SUB_TRIS, BLOCK_RAYS), 0)
-                        li = jnp.min(
-                            jnp.where(t <= t_best, tri_sub, SUB_TRIS),
-                            axis=0, keepdims=True)
-                        winner = tri_sub == li
-                        bu = jnp.max(jnp.where(winner, uu, -INF), axis=0,
-                                     keepdims=True)
-                        bv = jnp.max(jnp.where(winner, vv, -INF), axis=0,
-                                     keepdims=True)
-                        slotf = (cur_c * CLUSTER_TRIS + sub * SUB_TRIS
-                                 + li).astype(jnp.float32)
-                        slot_new = jnp.where(closer, slotf, slot_ref[...])
-                        if any_hit:
-                            # occlusion query: a ray with ANY hit stops
-                            # needing clusters (entry < bt becomes false)
-                            bt_ref[...] = jnp.where(slot_new >= 0.0, -INF,
-                                                    jnp.where(closer, t_best,
-                                                              bt_cur))
-                        else:
-                            bt_ref[...] = jnp.where(closer, t_best, bt_cur)
-                        slot_ref[...] = slot_new
-                        u_ref[...] = jnp.where(closer, bu, u_ref[...])
-                        v_ref[...] = jnp.where(closer, bv, v_ref[...])
+                # (16, CLUSTER_TRIS) transposed Woop rows: 4-row groups
+                # [r0|cx][r1|cy][r2|cz] (ops.sweep._WOOP_T_PERM); the whole
+                # cluster is tested unconditionally — gating sub-blocks on
+                # jnp.any costs a scalar sync each, which outweighs the
+                # saved VPU/MXU work
+                ws = tri_scratch[slot]
+                dot = partial(jax.lax.dot_general,
+                              dimension_numbers=dn_t, precision=hp,
+                              preferred_element_type=jnp.float32)
+                opx = dot(ws[0:4], o4)
+                opy = dot(ws[4:8], o4)
+                opz = dot(ws[8:12], o4)
+                dpx = dot(ws[0:3], d_rows)
+                dpy = dot(ws[4:7], d_rows)
+                dpz = dot(ws[8:11], d_rows)
+                safe = jnp.where(jnp.abs(dpz) > 1e-12, dpz, 1e-12)
+                t = -opz / safe
+                uu = opx + t * dpx
+                vv = opy + t * dpy
+                bt_cur = bt_ref[...]
+                ok = ((jnp.abs(dpz) > 1e-12) & (uu >= 0.0)
+                      & (vv >= 0.0) & (uu + vv <= 1.0)
+                      & (t > tmin) & (t < bt_cur))
+                t = jnp.where(ok, t, INF)
+                t_best = jnp.min(t, axis=0, keepdims=True)
+                closer = t_best < bt_cur
+                tri_row = jax.lax.broadcasted_iota(
+                    jnp.int32, (CLUSTER_TRIS, BLOCK_RAYS), 0)
+                li = jnp.min(
+                    jnp.where(t <= t_best, tri_row, CLUSTER_TRIS),
+                    axis=0, keepdims=True)
+                winner = tri_row == li
+                bu = jnp.max(jnp.where(winner, uu, -INF), axis=0,
+                             keepdims=True)
+                bv = jnp.max(jnp.where(winner, vv, -INF), axis=0,
+                             keepdims=True)
+                slotf = (cur_c * CLUSTER_TRIS + li).astype(jnp.float32)
+                slot_new = jnp.where(closer, slotf, slot_ref[...])
+                if any_hit:
+                    # occlusion query: a ray with ANY hit stops
+                    # needing clusters (entry < bt becomes false)
+                    bt_ref[...] = jnp.where(slot_new >= 0.0, -INF,
+                                            jnp.where(closer, t_best,
+                                                      bt_cur))
+                else:
+                    bt_ref[...] = jnp.where(closer, t_best, bt_cur)
+                slot_ref[...] = slot_new
+                u_ref[...] = jnp.where(closer, bu, u_ref[...])
+                v_ref[...] = jnp.where(closer, bv, v_ref[...])
 
             return visit + 1, visited, nxt_c, nxt_ok
 
@@ -195,14 +209,14 @@ def _make_kernel(C_pad: int, C8_pad: int, n_clusters: int, max_visits: int,
     return kernel
 
 
-@partial(jax.jit, static_argnames=("c_pad", "c8_pad", "n_clusters",
+@partial(jax.jit, static_argnames=("c_pad", "n_clusters",
                                    "max_visits", "any_hit"))
-def _march_call(rays_packed_t, boxes, sub_boxes, woop, c_pad: int,
-                c8_pad: int, n_clusters: int, max_visits: int,
+def _march_call(rays_packed_t, boxes, woop, c_pad: int,
+                n_clusters: int, max_visits: int,
                 any_hit: bool = False):
     """rays_packed_t: (8, R) transposed ray state."""
     nb = rays_packed_t.shape[1] // BLOCK_RAYS
-    kernel = _make_kernel(c_pad, c8_pad, n_clusters, max_visits, any_hit)
+    kernel = _make_kernel(c_pad, n_clusters, max_visits, any_hit)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nb, 4, BLOCK_RAYS), jnp.float32),
@@ -211,23 +225,21 @@ def _march_call(rays_packed_t, boxes, sub_boxes, woop, c_pad: int,
             pl.BlockSpec((8, BLOCK_RAYS), lambda b: (0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),       # cluster boxes
-            pl.BlockSpec(memory_space=pltpu.VMEM),       # sub-cluster boxes
-            pl.BlockSpec(memory_space=pltpu.ANY),        # woop stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),           # woop_t stays in HBM
         ],
         out_specs=pl.BlockSpec((1, 4, BLOCK_RAYS), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((c_pad, BLOCK_RAYS), jnp.float32),    # cluster entries
-            pltpu.VMEM((c8_pad, BLOCK_RAYS), jnp.float32),   # sub entries
             pltpu.VMEM((1, BLOCK_RAYS), jnp.float32),        # best t
             pltpu.VMEM((1, BLOCK_RAYS), jnp.float32),        # best slot (f32)
             pltpu.VMEM((1, BLOCK_RAYS), jnp.float32),        # best u
             pltpu.VMEM((1, BLOCK_RAYS), jnp.float32),        # best v
-            pltpu.VMEM((2, CLUSTER_TRIS, 128), jnp.float32),  # double buffer
+            pltpu.VMEM((2, 16, CLUSTER_TRIS), jnp.float32),  # double buffer
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=jax.default_backend() == "cpu",
-    )(rays_packed_t, boxes, sub_boxes, woop)
+    )(rays_packed_t, boxes, woop)
 
 
 def _pad_boxes(bmin, bmax, pad):
@@ -249,18 +261,18 @@ def block_march(clusters, o, d, t_min, t_max, any_hit: bool = False):
     With ``any_hit`` only slot's hit/miss distinction is meaningful.
     """
     C = clusters.num_clusters
+    if C > MAX_CLUSTERS:
+        raise ValueError(
+            f"scene has {C} clusters; the packed pick key carries "
+            f"{_CID_BITS} id bits (max {MAX_CLUSTERS} clusters = "
+            f"{MAX_CLUSTERS * CLUSTER_TRIS} triangles) — raise CHUNK")
     c_pad = ((C + 7) // 8) * 8
-    c8_pad = ((C * N_SUBS + 7) // 8) * 8
     boxes = _pad_boxes(clusters.cluster_min, clusters.cluster_max, c_pad - C)
-    sub_boxes = _pad_boxes(clusters.sub_min, clusters.sub_max,
-                           c8_pad - C * N_SUBS)
 
     rays_packed_t = jnp.concatenate(
         [o.T, d.T, t_min[None, :], t_max[None, :]], axis=0)  # (8, R)
-    # manual DMAs require 128-lane-aligned source rows
-    woop128 = jnp.pad(clusters.woop, ((0, 0), (0, 128 - 12)))
-    out = _march_call(rays_packed_t, boxes, sub_boxes, woop128,
-                      c_pad=c_pad, c8_pad=c8_pad, n_clusters=C,
+    out = _march_call(rays_packed_t, boxes, clusters.woop_t,
+                      c_pad=c_pad, n_clusters=C,
                       max_visits=C + 1, any_hit=any_hit)
     out = jnp.swapaxes(out, 1, 2).reshape(-1, 4)
     t = out[:, 0]

@@ -55,6 +55,21 @@ WINDOW_TRIS = CHUNK * WINDOW_CHUNKS
 SUBS_PER_CLUSTER = 4
 SUB_TRIS = CHUNK // SUBS_PER_CLUSTER
 
+# woop_t row order: each 4-row group is one contiguous matmul operand for
+# the marcher ([inverse row | translation component])
+_WOOP_T_PERM = (0, 1, 2, 9, 3, 4, 5, 10, 6, 7, 8, 11)
+WOOP_T_ROWS = 16  # 12 data rows padded to the fp32 sublane tile
+
+
+def _transpose_woop(woop, reshape_mod):
+    """(n_pad, 12) Woop rows -> (C, WOOP_T_ROWS, CHUNK) per-cluster blocks."""
+    n_pad = woop.shape[0]
+    C = n_pad // CHUNK
+    wt = woop[:, list(_WOOP_T_PERM)].reshape(C, CHUNK, 12)
+    wt = reshape_mod.swapaxes(wt, 1, 2)              # (C, 12, CHUNK)
+    pad = reshape_mod.zeros((C, WOOP_T_ROWS - 12, CHUNK), woop.dtype)
+    return reshape_mod.concatenate([wt, pad], axis=1)
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -62,6 +77,11 @@ class ClusterSet:
     """Morton-sorted scene clusters (device arrays).
 
     woop:        (n_pad, 12) sorted-triangle Woop transforms
+    woop_t:      (C, 16, CHUNK) per-cluster TRANSPOSED Woop rows for the
+                 block marcher's DMA: row layout [r0xyz, cx, r1xyz, cy,
+                 r2xyz, cz, 0*4], triangles on the lane axis.  One cluster
+                 is a contiguous 32 KB block (vs 256 KB for 128-padded
+                 row-major rows — the DMA is the marcher's bottleneck)
     prim_index:  (n_pad,) sorted slot -> original triangle id
     cluster_min: (C, 3) cluster AABBs
     cluster_max: (C, 3)
@@ -70,6 +90,7 @@ class ClusterSet:
     sub_max:     (C*8, 3)
     """
     woop: jax.Array
+    woop_t: jax.Array
     prim_index: jax.Array
     cluster_min: jax.Array
     cluster_max: jax.Array
@@ -125,7 +146,8 @@ def build_clusters(tri_vertices) -> ClusterSet:
         smin = np.nanmin(sub_grouped, axis=(1, 2))
         smax = np.nanmax(sub_grouped, axis=(1, 2))
     return ClusterSet(
-        woop=jnp.asarray(woop), prim_index=jnp.asarray(prim_index),
+        woop=jnp.asarray(woop), woop_t=jnp.asarray(_transpose_woop(woop, np)),
+        prim_index=jnp.asarray(prim_index),
         cluster_min=jnp.asarray(cmin), cluster_max=jnp.asarray(cmax),
         sub_min=jnp.asarray(smin), sub_max=jnp.asarray(smax))
 
@@ -632,6 +654,7 @@ def refit_clusters(clusters: ClusterSet, tri_vertices) -> ClusterSet:
 
     cmin, cmax = _boxes(tmin, tmax, C)
     smin, smax = _boxes(tmin, tmax, C * SUBS_PER_CLUSTER)
-    return ClusterSet(woop=woop, prim_index=order,
+    return ClusterSet(woop=woop, woop_t=_transpose_woop(woop, jnp),
+                      prim_index=order,
                       cluster_min=cmin, cluster_max=cmax,
                       sub_min=smin, sub_max=smax)

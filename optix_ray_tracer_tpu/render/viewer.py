@@ -13,6 +13,11 @@ Endpoints:
                    encoder is importable)
   GET /key?k=w     press a movement key (w/a/s/d/space/shift)
   GET /look?dx=&dy=  mouse-look deltas
+  GET /wheel?d=1   mouse wheel: movement speed up/down
+                   (SDL_GraphicsWindow.cu:150-162 analog)
+  GET /denoise     toggle the denoiser (the reference's Tab bypass,
+                   SDL_GraphicsWindow.cu:171-176)
+  GET /anim        toggle animation stepping (advance the series per frame)
   GET /quit        stop the server (Esc analog)
 """
 
@@ -32,12 +37,17 @@ _PAGE = b"""<!doctype html><html><body style="background:#111;color:#eee;
 font-family:monospace"><h3>optix_ray_tracer_tpu viewer</h3>
 <img src="/stream" style="image-rendering:pixelated;width:75%%">
 <p>keys: GET /key?k=[w|a|s|d|space|shift] &mdash; look: GET /look?dx=10&dy=0
-&mdash; quit: GET /quit</p>
+&mdash; wheel: GET /wheel?d=1 &mdash; Tab: toggle denoiser &mdash;
+p: toggle animation &mdash; quit: GET /quit</p>
 <script>
 document.addEventListener('keydown', e => {
   const m = {w:'w',a:'a',s:'s',d:'d',' ':'space',Shift:'shift'};
   if (m[e.key]) fetch('/key?k='+m[e.key]);
+  if (e.key === 'Tab') { e.preventDefault(); fetch('/denoise'); }
+  if (e.key === 'p') fetch('/anim');
 });
+document.addEventListener('wheel',
+  e => fetch('/wheel?d=' + (e.deltaY < 0 ? 1 : -1)));
 let drag=false, lx=0, ly=0;
 document.addEventListener('mousedown', e=>{drag=true;lx=e.x;ly=e.y;});
 document.addEventListener('mouseup', ()=>drag=false);
@@ -89,17 +99,30 @@ class ViewerServer:
         self._frame_ctype: bytes = b"image/png"
         self._frame_lock = threading.Lock()
         self._input_lock = threading.Lock()
-        self._pending: dict = {"dx": 0, "dy": 0, "keys": set()}
+        self._pending: dict = {"dx": 0, "dy": 0, "wheel": 0, "keys": set()}
+        self.denoise_on = True     # Tab-bypass analog: GET /denoise toggles
+        self.animate = False       # GET /anim toggles animation stepping
         self._stop = threading.Event()
         self._httpd: ThreadingHTTPServer | None = None
+        # render_fn may be the legacy 1-arg form (camera) or the full form
+        # (camera, denoise_on=..., animate=...)
+        import inspect
+        try:
+            self._rich_render = len(
+                inspect.signature(render_fn).parameters) >= 3
+        except (TypeError, ValueError):
+            self._rich_render = False
 
     # ---- input & camera ---------------------------------------------------
 
     def _apply_input(self):
         with self._input_lock:
             dx, dy = self._pending["dx"], self._pending["dy"]
+            wheel = self._pending["wheel"]
             keys = set(self._pending["keys"])
-            self._pending = {"dx": 0, "dy": 0, "keys": set()}
+            self._pending = {"dx": 0, "dy": 0, "wheel": 0, "keys": set()}
+        if wheel:
+            self.controller.scroll(wheel)
         return self.controller.update(
             mouse_dx=dx, mouse_dy=dy,
             forward="w" in keys, back="s" in keys,
@@ -113,7 +136,11 @@ class ViewerServer:
         while not self._stop.is_set():
             t0 = time.time()
             camera = self._apply_input()
-            rgba = np.asarray(self.render_fn(camera))
+            if self._rich_render:
+                rgba = np.asarray(self.render_fn(
+                    camera, denoise_on=self.denoise_on, animate=self.animate))
+            else:
+                rgba = np.asarray(self.render_fn(camera))
             data, ctype = _encode_frame(rgba)
             with self._frame_lock:
                 self._frame = data
@@ -156,6 +183,27 @@ class ViewerServer:
                         viewer._pending["dy"] += _num("dy")
                     self.send_response(204)
                     self.end_headers()
+                elif url.path == "/wheel":
+                    try:
+                        d = int(float(q.get("d", ["0"])[0]))
+                    except ValueError:
+                        d = 0
+                    with viewer._input_lock:
+                        viewer._pending["wheel"] += d
+                    self.send_response(204)
+                    self.end_headers()
+                elif url.path == "/denoise":
+                    viewer.denoise_on = not viewer.denoise_on
+                    self.send_response(200)
+                    self.end_headers()
+                    self.wfile.write(
+                        b"denoise on" if viewer.denoise_on else b"denoise off")
+                elif url.path == "/anim":
+                    viewer.animate = not viewer.animate
+                    self.send_response(200)
+                    self.end_headers()
+                    self.wfile.write(
+                        b"animation on" if viewer.animate else b"animation off")
                 elif url.path == "/quit":
                     self.send_response(200)
                     self.end_headers()

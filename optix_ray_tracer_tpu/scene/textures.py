@@ -100,6 +100,19 @@ def checker_texture(res: int = 128, tiles: int = 8,
     return img.astype(np.float32)
 
 
+def load_texture(path: str) -> np.ndarray:
+    """Read an image file as a linear-space float texture.
+
+    PPM natively; PNG/JPEG via Pillow when importable."""
+    if path.lower().endswith(".ppm"):
+        return read_ppm_texture(path)
+    from PIL import Image
+
+    from optix_ray_tracer_tpu.utils.color import srgb_to_linear
+    img = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+    return np.asarray(srgb_to_linear(jnp.asarray(img)), np.float32)
+
+
 def read_ppm_texture(path: str) -> np.ndarray:
     """Read a binary PPM as a linear-space float texture (sRGB-decoded)."""
     from optix_ray_tracer_tpu.utils.color import srgb_to_linear

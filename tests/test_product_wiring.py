@@ -1,0 +1,248 @@
+"""Config-reachable extensions + debug-mode + denoiser wiring.
+
+VERDICT round-1 items 5/8/9: the denoiser runs in the product loop, the
+``debug-mode`` flag maps to real validation, and integrator/envmap/
+textures/meshes/extra materials are reachable from config.json.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from optix_ray_tracer_tpu.io.config import ConfigError, parse_config_dict
+from optix_ray_tracer_tpu.models import common, renderer_mesh
+
+from test_frontends import _mesh_config, MESH_VTK  # noqa: F401 (fixture src)
+
+QUAD_OBJ = """\
+v -1 -1 0
+v 1 -1 0
+v 1 1 0
+v -1 1 0
+f 1 2 3
+f 1 3 4
+"""
+
+
+def _base_dict(tmp_path, n_files=1):
+    cfg = _mesh_config(tmp_path, n_files=n_files)
+    # round-trip: rebuild the raw dict for extension edits
+    return cfg
+
+
+class TestConfigExtensions:
+    def test_integrator_and_denoise_keys(self, tmp_path):
+        cfg = parse_config_dict({"integrator": "path", "denoise": False})
+        assert cfg.integrator == "path"
+        assert cfg.denoise is False
+        # defaults: whitted + denoise on (reference hot-loop parity)
+        cfg2 = parse_config_dict({})
+        assert cfg2.integrator == "whitted"
+        assert cfg2.denoise is True
+
+    def test_invalid_integrator_rejected(self):
+        with pytest.raises(ConfigError):
+            parse_config_dict({"integrator": "bidirectional"})
+
+    def test_extension_materials(self):
+        cfg = parse_config_dict({
+            "dielectrics": [{"ior": 1.33}],
+            "emissives": [{"emission": [10, 10, 8]}],
+            "roughs": [{"albedo": [0.5, 0.5, 0.5]}],
+            "spheres": [{"center": [0, 0, 0], "radius": 1.0,
+                         "mat-type": "DIELECTRIC", "mat-index": 0}],
+        })
+        assert cfg.dielectrics == [1.33]
+        assert cfg.emissives == [(10.0, 10.0, 8.0)]
+        table, bases = common.build_materials(cfg, 0)
+        from optix_ray_tracer_tpu.scene.materials import DIELECTRIC, EMISSIVE
+        assert int(table.mtype[bases.dielectric]) == DIELECTRIC
+        assert int(table.mtype[bases.emissive]) == EMISSIVE
+        spheres = common.build_extra_spheres(cfg, bases)
+        assert int(spheres.material_id[0]) == bases.dielectric
+
+    def test_extension_mat_index_validated(self):
+        with pytest.raises(ConfigError):
+            parse_config_dict({
+                "spheres": [{"center": [0, 0, 0], "radius": 1.0,
+                             "mat-type": "EMISSIVE", "mat-index": 0}]})
+
+    def test_envmap_key(self):
+        cfg = parse_config_dict({"envmap": {"type": "gradient-sky",
+                                            "sun-direction": [0, 0, 1]}})
+        env = common.build_envmap(cfg)
+        assert env is not None
+        up = env.sample(np.asarray([[0.0, 0.0, 1.0]], np.float32))
+        assert np.all(np.asarray(up) > 0)
+        with pytest.raises(ConfigError):
+            parse_config_dict({"envmap": {"type": "cubemap"}})
+
+    def test_textures_key(self, tmp_path):
+        cfg = parse_config_dict({
+            "roughs": [{"albedo": [1, 1, 1]}],
+            "textures": [{"checker": True, "tiles": 4,
+                          "mat-type": "ROUGH", "mat-index": 0}]})
+        tex = common.build_textures(cfg, common.build_materials(cfg, 0)[1], 1)
+        assert tex is not None
+        assert int(tex.material_texture[0]) == 0
+
+    def test_meshes_key(self, tmp_path):
+        obj = tmp_path / "quad.obj"
+        obj.write_text(QUAD_OBJ)
+        cfg = parse_config_dict({
+            "emissives": [{"emission": [5, 5, 5]}],
+            "meshes": [{"obj": "quad.obj", "mat-type": "EMISSIVE",
+                        "mat-index": 0, "shift": [0, 0, 2],
+                        "scale": [0.5, 0.5, 0.5]}],
+        }, base_dir=str(tmp_path))
+        _, bases = common.build_materials(cfg, 0)
+        tris = common.build_extra_triangles(cfg, bases)
+        assert tris.count == 2
+        v = np.asarray(tris.vertices)
+        np.testing.assert_allclose(v[..., 2], 2.0, atol=1e-6)  # shifted
+        assert np.abs(v[..., :2]).max() <= 0.5 + 1e-6          # scaled
+        assert int(tris.material_id[0]) == bases.emissive
+
+    def test_meshes_require_obj(self):
+        with pytest.raises(ConfigError):
+            parse_config_dict({"meshes": [{"mat-type": "ROUGH"}]})
+
+
+class TestProductLoop:
+    def test_denoise_on_by_default_and_bypass(self, tmp_path):
+        cfg = _mesh_config(tmp_path, n_files=1)
+        assert cfg.denoise is True
+        data = renderer_mesh.commit(cfg)
+        _, _, film_dn = next(renderer_mesh.render_frames(data, max_frames=1))
+        cfg.denoise = False
+        _, _, film_raw = next(renderer_mesh.render_frames(data, max_frames=1))
+        a = np.asarray(film_dn.mean())
+        b = np.asarray(film_raw.mean())
+        assert np.isfinite(a).all() and np.isfinite(b).all()
+        # the 1-spp Lambertian frame is noisy; the a-trous pass must change it
+        assert not np.allclose(a, b)
+
+    def test_path_integrator_from_config(self, tmp_path):
+        obj = tmp_path / "light.obj"
+        obj.write_text(QUAD_OBJ)
+        cfg = _mesh_config(tmp_path, n_files=1)
+        cfg.integrator = "path"
+        cfg.background = (0.0, 0.0, 0.0)
+        cfg.emissives = [(20.0, 20.0, 16.0)]
+        cfg.meshes = [{"obj": str(obj), "mat-type": "EMISSIVE",
+                       "mat-index": 0, "shift": [0.5, 0.5, 3.0]}]
+        data = renderer_mesh.commit(cfg)
+        assert data.extra_triangles.count == 2
+        scene = renderer_mesh.frame_scene(data, 0, 0, 1)
+        lights = common.collect_lights(cfg, scene, data.materials)
+        assert lights is not None and lights.count == 2
+        _, _, film = next(renderer_mesh.render_frames(data, max_frames=1))
+        img = np.asarray(film.mean())
+        assert np.isfinite(img).all()
+        assert img.max() > 0.0   # the area light illuminates the scene
+
+    def test_envmap_from_config(self, tmp_path):
+        cfg = _mesh_config(tmp_path, n_files=1)
+        cfg.envmap = {"type": "constant", "color": [2.0, 0.0, 0.0]}
+        data = renderer_mesh.commit(cfg)
+        assert data.env is not None
+        _, _, film = next(renderer_mesh.render_frames(data, max_frames=1))
+        img = np.asarray(film.mean())
+        # sky pixels show the red constant env instead of the background
+        assert img[0, 0, 0] > 1.5 and img[0, 0, 1] < 0.1
+
+
+class TestDebugMode:
+    def test_enable_maps_to_jax_debug_nans(self):
+        import jax
+
+        from optix_ray_tracer_tpu.utils import debug
+
+        prev = jax.config.jax_debug_nans
+        try:
+            debug.enable_debug_mode()
+            assert debug.DEBUG_MODE
+            assert jax.config.jax_debug_nans
+        finally:
+            debug.DEBUG_MODE = False
+            jax.config.update("jax_debug_nans", prev)
+
+    def test_accel_validation_catches_corruption(self):
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from optix_ray_tracer_tpu.io.meshgen import sphere_with_n_triangles
+        from optix_ray_tracer_tpu.ops.sweep import build_clusters
+        from optix_ray_tracer_tpu.utils import debug
+        from optix_ray_tracer_tpu.utils.logging import RendererError
+
+        v, _ = sphere_with_n_triangles(2000)
+        clusters = build_clusters(v)
+        debug.validate_clusters(clusters, jnp.asarray(v), len(v))  # passes
+
+        bad = dataclasses.replace(
+            clusters, cluster_max=clusters.cluster_max.at[0].set(
+                clusters.cluster_min[0]))
+        with pytest.raises(RendererError):
+            debug.validate_clusters(bad, jnp.asarray(v), len(v))
+
+    def test_debug_mode_cli_flag(self, tmp_path, monkeypatch):
+        import jax
+
+        from optix_ray_tracer_tpu.utils import debug
+
+        prev = jax.config.jax_debug_nans
+        cfg = parse_config_dict({"debug-mode": True})
+        assert cfg.debug_mode
+        try:
+            debug.enable_debug_mode()
+            # frontends validate on build in debug mode (smoke)
+            from optix_ray_tracer_tpu.io.meshgen import sphere_with_n_triangles
+            from optix_ray_tracer_tpu.scene.geometry import (
+                Scene, Spheres, Triangles,
+            )
+            v, n = sphere_with_n_triangles(2000)
+            scene = Scene(spheres=Spheres.empty(),
+                          triangles=Triangles.from_arrays(v, n))
+            assert common.choose_intersector(scene) is not None
+        finally:
+            debug.DEBUG_MODE = False
+            jax.config.update("jax_debug_nans", prev)
+
+
+class TestViewerEndpoints:
+    def test_wheel_denoise_anim(self):
+        import urllib.request
+
+        from optix_ray_tracer_tpu.render.viewer import ViewerServer
+        from optix_ray_tracer_tpu.scene.camera import Camera
+
+        cam = Camera.look_at((3, 0, 0), (0, 0, 0), (0, 0, 1))
+        calls = []
+
+        def render_fn(camera, denoise_on=True, animate=False):
+            calls.append((denoise_on, animate))
+            return np.zeros((8, 8, 4), np.uint8)
+
+        srv = ViewerServer(cam, render_fn, port=0, fps_limit=200.0)
+        srv.serve(blocking=False)
+        port = srv._httpd.server_address[1]
+        base = f"http://127.0.0.1:{port}"
+        try:
+            assert urllib.request.urlopen(f"{base}/denoise").read() \
+                == b"denoise off"
+            assert urllib.request.urlopen(f"{base}/anim").read() \
+                == b"animation on"
+            urllib.request.urlopen(f"{base}/wheel?d=2")
+            import time
+            deadline = time.time() + 5.0
+            while time.time() < deadline:
+                if any(c == (False, True) for c in calls):
+                    break
+                time.sleep(0.02)
+            assert any(c == (False, True) for c in calls)
+        finally:
+            srv.stop()
