@@ -13,6 +13,12 @@ TPU-first redesign:
   ranges (``ShapeLibrary``); per-frame instancing is a device-side gather +
   batched affine ("flatten instancing"), replacing pinned OptixInstance
   arrays + H2D copies + IAS refit.
+* Instancing is PACKED: per-file gather tables map each output triangle
+  slot to (library triangle, instance), so frame geometry is sized by the
+  SUM of the instanced shapes' triangle counts — not particles x the max
+  shape size (the two-level-IAS memory behavior of
+  RendererImpl.cu:174-242, without per-ray instance transforms, which the
+  measured TPU cost model prices far above one dense gather+FMA pass).
 * Orientation math: the reference converts the slerped quaternion to Euler
   XYZ degrees and rebuilds Rx@Ry@Rz (RendererTime.cu:343-370 +
   DeviceFunctions.cuh:128-133) — a lossy decompose/recompose round-trip
@@ -66,6 +72,12 @@ class TimeRendererData:
     shape_ids: jax.Array      # (F, Pmax) int32
     particle_mat: jax.Array   # (F, Pmax) int32
     particle_valid: jax.Array  # (F, Pmax) bool
+    # packed instancing tables: per-file maps from output triangle slot to
+    # (library triangle, instance) — frame geometry is sized by the SUM of
+    # instanced shape sizes, not Pmax * max shape size
+    tri_lib_idx: jax.Array    # (F, T_pack) int32 into the packed library
+    tri_inst: jax.Array       # (F, T_pack) int32 particle index
+    tri_ok: jax.Array         # (F, T_pack) bool
     file_count: int
     camera: object
     reference_euler_path: bool = False
@@ -109,6 +121,31 @@ def commit(config: RendererConfig,
         pmat[i, :p] = f.ids.astype(np.int32) + material_offset
         valid[i, :p] = True
 
+    # packed instancing tables (one gather row per ACTUAL instanced
+    # triangle; T_pack = max over files of sum of shape sizes)
+    offs = np.asarray(library.offsets, np.int64) if library.num_shapes \
+        else np.zeros(1, np.int64)
+    cnts = np.asarray(library.counts, np.int64) if library.num_shapes \
+        else np.zeros(1, np.int64)
+    per_file_tot = [int(cnts[sid[i][valid[i]]].sum()) for i in range(F)]
+    t_pack = max(max(per_file_tot, default=0), 1)
+    lib_idx = np.zeros((F, t_pack), np.int32)
+    inst_idx = np.zeros((F, t_pack), np.int32)
+    tri_ok = np.zeros((F, t_pack), bool)
+    for i in range(F):
+        w = 0
+        for p in range(pmax):
+            if not valid[i, p]:
+                continue
+            c = int(cnts[sid[i, p]])
+            lib_idx[i, w:w + c] = offs[sid[i, p]] + np.arange(c)
+            inst_idx[i, w:w + c] = p
+            tri_ok[i, w:w + c] = True
+            w += c
+    LOG.info("time mode: packed instancing %d triangles/frame "
+             "(flat padding would be %d)", t_pack,
+             int(cnts.max() if library.num_shapes else 0) * pmax)
+
     return TimeRendererData(
         config=config, materials=materials, material_offset=material_offset,
         extra_spheres=extra_spheres, extra_triangles=extra_triangles,
@@ -117,6 +154,8 @@ def commit(config: RendererConfig,
         positions=jnp.asarray(pos), quats=jnp.asarray(quat),
         velocities=jnp.asarray(vel), shape_ids=jnp.asarray(sid),
         particle_mat=jnp.asarray(pmat), particle_valid=jnp.asarray(valid),
+        tri_lib_idx=jnp.asarray(lib_idx), tri_inst=jnp.asarray(inst_idx),
+        tri_ok=jnp.asarray(tri_ok),
         file_count=F, camera=common.camera_from_config(config),
         reference_euler_path=reference_euler_path)
 
@@ -125,18 +164,23 @@ def set_update_fn(data: TimeRendererData, fn: Callable) -> None:
     data.update_fn = fn
 
 
-@partial(jax.jit, static_argnames=("budget", "euler_path"))
-def _frame_triangles(lib_vertices, lib_normals, lib_offsets, lib_counts,
-                     pos_cur, quat_cur, quat_next, vel, shape_id, pmat, valid,
+@partial(jax.jit, static_argnames=("euler_path",))
+def _frame_triangles(lib_vertices, lib_normals,
+                     tri_lib_idx, tri_inst, tri_ok,
+                     pos_cur, quat_cur, quat_next, vel, pmat,
                      duration, frame_idx, inv_frames_minus1, inv_frame_count,
                      particle_shift, particle_scale,
-                     budget: int, euler_path: bool):
-    """Device-side per-frame instancing:
+                     euler_path: bool):
+    """Device-side per-frame PACKED instancing:
 
     position(t) = pos + velocity*duration*frame/frameCount + global shift
     orientation(t) = slerp(quat_cur, quat_next, frame/(frameCount-1))
     world_verts = R @ (v * scale) + position            per instance, gathered
     (RendererTime.cu:436-472 semantics, fully on device.)
+
+    ``tri_lib_idx``/``tri_inst`` map each packed output slot to (library
+    triangle, particle), so the gather touches exactly the instanced
+    triangles — sum of shape sizes, not particles x max shape size.
     """
     factor = jnp.clip(frame_idx * inv_frames_minus1, 0.0, 1.0)
     q = quat_slerp(quat_cur, quat_next, jnp.broadcast_to(factor, quat_cur.shape[:-1]))
@@ -148,48 +192,40 @@ def _frame_triangles(lib_vertices, lib_normals, lib_offsets, lib_counts,
     shift = (pos_cur + vel * (duration * frame_idx * inv_frame_count)
              + particle_shift[None, :])                       # (P, 3)
 
-    base = lib_offsets[shape_id]                              # (P,)
-    cnt = lib_counts[shape_id]
-    slot = jnp.arange(budget, dtype=jnp.int32)[None, :]
-    tri_idx = base[:, None] + slot
-    tri_ok = (slot < cnt[:, None]) & valid[:, None]
-    tri_idx = jnp.where(tri_ok, tri_idx, 0)
+    v = lib_vertices[tri_lib_idx]                             # (T, 3, 3)
+    n = lib_normals[tri_lib_idx]
+    rot_t = rot[tri_inst]                                     # (T, 3, 3)
+    shift_t = shift[tri_inst]                                 # (T, 3)
+    v = v * particle_scale                                    # object space
+    v = jnp.einsum('tij,tkj->tki', rot_t, v) + shift_t[:, None, :]
+    n = jnp.einsum('tij,tkj->tki', rot_t, n)
+    v = jnp.where(tri_ok[:, None, None], v, 0.0)
 
-    v = lib_vertices[tri_idx]                                 # (P, B, 3, 3)
-    n = lib_normals[tri_idx]
-    v = v * particle_scale                                    # scale in object space
-    v = jnp.einsum('pij,pbkj->pbki', rot, v) + shift[:, None, None, :]
-    n = jnp.einsum('pij,pbkj->pbki', rot, n)
-    v = jnp.where(tri_ok[..., None, None], v, 0.0)
-
-    mat = jnp.broadcast_to(pmat[:, None], tri_ok.shape)
-    return (v.reshape(-1, 3, 3), n.reshape(-1, 3, 3),
-            mat.reshape(-1).astype(jnp.int32))
+    mat = pmat[tri_inst]
+    return v, n, mat.astype(jnp.int32)
 
 
 def frame_scene(data: TimeRendererData, file_index: int, frame_index: int,
                 frame_count: int) -> Scene:
     cfg = data.config.loop_data
     next_index = min(file_index + 1, data.file_count - 1)
-    budget = int(data.library.counts.max()) if data.library.num_shapes else 0
-    if budget == 0:
+    if data.library.num_shapes == 0:
         tris = Triangles.empty()
     else:
         v, n, mat = _frame_triangles(
             data.library.vertices, data.library.normals,
-            jnp.asarray(data.library.offsets, jnp.int32),
-            jnp.asarray(data.library.counts, jnp.int32),
+            data.tri_lib_idx[file_index], data.tri_inst[file_index],
+            data.tri_ok[file_index],
             data.positions[file_index], data.quats[file_index],
             data.quats[next_index], data.velocities[file_index],
-            data.shape_ids[file_index], data.particle_mat[file_index],
-            data.particle_valid[file_index],
+            data.particle_mat[file_index],
             jnp.float32(data.durations[file_index]),
             jnp.float32(frame_index),
             jnp.float32(1.0 / max(frame_count - 1, 1)),
             jnp.float32(1.0 / max(frame_count, 1)),
             jnp.asarray(cfg.particle_shift, jnp.float32),
             jnp.asarray(cfg.particle_scale, jnp.float32),
-            budget=budget, euler_path=data.reference_euler_path)
+            euler_path=data.reference_euler_path)
         tris = Triangles(v, n, mat)
     if data.extra_triangles.count:
         # static extras appended AFTER the (static-size) particle block, so

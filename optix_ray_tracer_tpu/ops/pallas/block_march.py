@@ -52,6 +52,11 @@ _CID_MASK = (1 << _CID_BITS) - 1
 MAX_CLUSTERS = 1 << _CID_BITS
 _INF_BITS = 0x7F800000   # bit pattern of float32 +inf
 
+# debug knobs (bisecting Mosaic device faults): pick implementation and
+# triangle-test granularity
+PICK_MODE = "packed"     # "packed" (1 scalar sync) | "float" (2 syncs)
+TEST_SPLIT = 1           # sub-blocks per cluster test (1 = whole cluster)
+
 
 def _slab_rows(boxes, rays, inv_d, tmin, n_rows, n_valid):
     """Entry values for (n_rows, B) boxes-vs-rays; INF where missed."""
@@ -106,6 +111,10 @@ def _make_kernel(C_pad: int, n_clusters: int, max_visits: int,
             block_entry = jnp.min(jnp.where(entry < bt, entry, INF),
                                   axis=1, keepdims=True)       # (C_pad, 1)
             key_f = jnp.where(visited < 0.5, block_entry, INF)
+            if PICK_MODE == "float":
+                kmin = jnp.min(key_f)
+                c = jnp.min(jnp.where(key_f <= kmin, cid_col, C_pad))
+                return c, kmin < INF
             bits = jax.lax.bitcast_convert_type(jnp.maximum(key_f, 0.0),
                                                 jnp.int32)
             key = jnp.bitwise_or(
@@ -143,50 +152,54 @@ def _make_kernel(C_pad: int, n_clusters: int, max_visits: int,
                 # cluster is tested unconditionally — gating sub-blocks on
                 # jnp.any costs a scalar sync each, which outweighs the
                 # saved VPU/MXU work
-                ws = tri_scratch[slot]
-                dot = partial(jax.lax.dot_general,
-                              dimension_numbers=dn_t, precision=hp,
-                              preferred_element_type=jnp.float32)
-                opx = dot(ws[0:4], o4)
-                opy = dot(ws[4:8], o4)
-                opz = dot(ws[8:12], o4)
-                dpx = dot(ws[0:3], d_rows)
-                dpy = dot(ws[4:7], d_rows)
-                dpz = dot(ws[8:11], d_rows)
-                safe = jnp.where(jnp.abs(dpz) > 1e-12, dpz, 1e-12)
-                t = -opz / safe
-                uu = opx + t * dpx
-                vv = opy + t * dpy
-                bt_cur = bt_ref[...]
-                ok = ((jnp.abs(dpz) > 1e-12) & (uu >= 0.0)
-                      & (vv >= 0.0) & (uu + vv <= 1.0)
-                      & (t > tmin) & (t < bt_cur))
-                t = jnp.where(ok, t, INF)
-                t_best = jnp.min(t, axis=0, keepdims=True)
-                closer = t_best < bt_cur
-                tri_row = jax.lax.broadcasted_iota(
-                    jnp.int32, (CLUSTER_TRIS, BLOCK_RAYS), 0)
-                li = jnp.min(
-                    jnp.where(t <= t_best, tri_row, CLUSTER_TRIS),
-                    axis=0, keepdims=True)
-                winner = tri_row == li
-                bu = jnp.max(jnp.where(winner, uu, -INF), axis=0,
-                             keepdims=True)
-                bv = jnp.max(jnp.where(winner, vv, -INF), axis=0,
-                             keepdims=True)
-                slotf = (cur_c * CLUSTER_TRIS + li).astype(jnp.float32)
-                slot_new = jnp.where(closer, slotf, slot_ref[...])
-                if any_hit:
-                    # occlusion query: a ray with ANY hit stops
-                    # needing clusters (entry < bt becomes false)
-                    bt_ref[...] = jnp.where(slot_new >= 0.0, -INF,
-                                            jnp.where(closer, t_best,
-                                                      bt_cur))
-                else:
-                    bt_ref[...] = jnp.where(closer, t_best, bt_cur)
-                slot_ref[...] = slot_new
-                u_ref[...] = jnp.where(closer, bu, u_ref[...])
-                v_ref[...] = jnp.where(closer, bv, v_ref[...])
+                step = CLUSTER_TRIS // TEST_SPLIT
+                for part in range(TEST_SPLIT):
+                    ws = tri_scratch[slot, :,
+                                     part * step:(part + 1) * step]
+                    dot = partial(jax.lax.dot_general,
+                                  dimension_numbers=dn_t, precision=hp,
+                                  preferred_element_type=jnp.float32)
+                    opx = dot(ws[0:4], o4)
+                    opy = dot(ws[4:8], o4)
+                    opz = dot(ws[8:12], o4)
+                    dpx = dot(ws[0:3], d_rows)
+                    dpy = dot(ws[4:7], d_rows)
+                    dpz = dot(ws[8:11], d_rows)
+                    safe = jnp.where(jnp.abs(dpz) > 1e-12, dpz, 1e-12)
+                    t = -opz / safe
+                    uu = opx + t * dpx
+                    vv = opy + t * dpy
+                    bt_cur = bt_ref[...]
+                    ok = ((jnp.abs(dpz) > 1e-12) & (uu >= 0.0)
+                          & (vv >= 0.0) & (uu + vv <= 1.0)
+                          & (t > tmin) & (t < bt_cur))
+                    t = jnp.where(ok, t, INF)
+                    t_best = jnp.min(t, axis=0, keepdims=True)
+                    closer = t_best < bt_cur
+                    tri_row = jax.lax.broadcasted_iota(
+                        jnp.int32, (step, BLOCK_RAYS), 0)
+                    li = jnp.min(
+                        jnp.where(t <= t_best, tri_row, step),
+                        axis=0, keepdims=True)
+                    winner = tri_row == li
+                    bu = jnp.max(jnp.where(winner, uu, -INF), axis=0,
+                                 keepdims=True)
+                    bv = jnp.max(jnp.where(winner, vv, -INF), axis=0,
+                                 keepdims=True)
+                    slotf = (cur_c * CLUSTER_TRIS + part * step
+                             + li).astype(jnp.float32)
+                    slot_new = jnp.where(closer, slotf, slot_ref[...])
+                    if any_hit:
+                        # occlusion query: a ray with ANY hit stops
+                        # needing clusters (entry < bt becomes false)
+                        bt_ref[...] = jnp.where(slot_new >= 0.0, -INF,
+                                                jnp.where(closer, t_best,
+                                                          bt_cur))
+                    else:
+                        bt_ref[...] = jnp.where(closer, t_best, bt_cur)
+                    slot_ref[...] = slot_new
+                    u_ref[...] = jnp.where(closer, bu, u_ref[...])
+                    v_ref[...] = jnp.where(closer, bv, v_ref[...])
 
             return visit + 1, visited, nxt_c, nxt_ok
 
