@@ -54,7 +54,7 @@ _INF_BITS = 0x7F800000   # bit pattern of float32 +inf
 
 # debug knobs (bisecting Mosaic device faults): pick implementation and
 # triangle-test granularity
-PICK_MODE = "packed"     # "packed" (1 scalar sync) | "float" (2 syncs)
+PICK_MODE = "float"     # "packed" (1 scalar sync) | "float" (2 syncs)
 TEST_SPLIT = 1           # sub-blocks per cluster test (1 = whole cluster)
 
 
