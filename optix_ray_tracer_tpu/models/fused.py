@@ -1,0 +1,213 @@
+"""Fused animation segments — refit + render + denoise for a CHUNK of
+frames in ONE XLA dispatch.
+
+Round-1 perf finding (PERF.md): this runtime has a ~6 ms dispatch+sync
+floor, and the per-frame loop in the frontends paid it several times per
+frame (transform, refit, render, denoise, fetch).  The reference instead
+keeps its whole hot loop on one CUDA stream (RendererMesh.cu:315-454).
+The TPU-native equivalent is to put the per-frame work inside a
+``lax.scan`` over the frame index: instance transforms, cluster refit
+(the updateIAS analog, RendererImpl.cu:210-242), the integrator, and the
+denoiser (RendererImpl.cu:680-734) all trace into one program; frames
+leave the device as one stacked fetch per chunk.
+
+Both frontends route through ``fused_chunk`` whenever no host-side
+per-frame hook is installed (``update_fn``) and debug-mode validation is
+off; otherwise they fall back to the per-frame path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from optix_ray_tracer_tpu.scene.geometry import Scene, Triangles
+
+# target device bytes for one chunk's stacked output buffers
+_CHUNK_BYTES = 192 * 1024 * 1024
+
+
+def chunk_size(width: int, height: int, n_frames: int) -> int:
+    """Frames per fused dispatch, bounded by output-buffer memory
+    (3 float32 RGB buffers per frame)."""
+    per_frame = width * height * 3 * 4 * 3
+    return max(1, min(n_frames, 16, _CHUNK_BYTES // max(per_frame, 1)))
+
+
+def _mesh_scene(fd, k, extra_spheres, extra_triangles, has_extras: bool):
+    from optix_ray_tracer_tpu.models.renderer_mesh import _frame_world
+
+    shift_scale = fd["duration"] * k * fd["inv_frame_count"]
+    world_v, normals, mat = _frame_world(
+        fd["vertices"], fd["normals"], fd["tri_particle"], fd["tri_valid"],
+        fd["velocities"], fd["particle_mat"], shift_scale,
+        fd["particle_shift"], fd["particle_scale"])
+    tris = Triangles(world_v, normals, mat)
+    if has_extras:
+        tris = tris.concat(extra_triangles)
+    return Scene(spheres=extra_spheres, triangles=tris)
+
+
+def _time_scene(fd, k, extra_spheres, extra_triangles, has_extras: bool,
+                euler_path: bool):
+    from optix_ray_tracer_tpu.models.renderer_time import _frame_triangles
+
+    v, n, mat = _frame_triangles(
+        fd["lib_vertices"], fd["lib_normals"],
+        fd["tri_lib_idx"], fd["tri_inst"], fd["tri_ok"],
+        fd["positions"], fd["quats"], fd["quats_next"],
+        fd["velocities"], fd["particle_mat"],
+        fd["duration"], k, fd["inv_frames_minus1"], fd["inv_frame_count"],
+        fd["particle_shift"], fd["particle_scale"],
+        euler_path=euler_path)
+    tris = Triangles(v, n, mat)
+    if has_extras:
+        tris = tris.concat(extra_triangles)
+    return Scene(spheres=extra_spheres, triangles=tris)
+
+
+@partial(jax.jit, static_argnames=(
+    "mode", "width", "height", "spp", "integrator", "do_denoise",
+    "max_depth", "use_march", "has_extras", "euler_path"))
+def fused_chunk(fd, ks, seeds, base_inter, materials, camera,
+                extra_spheres, extra_triangles, env, textures, lights,
+                background, *, mode: str, width: int, height: int,
+                spp: int, integrator: str, do_denoise: bool,
+                max_depth: int, use_march: bool, has_extras: bool,
+                euler_path: bool = False):
+    """Render frames ``ks`` (float32 frame indices) of one animation file
+    in a single dispatch.  Returns stacked (imgs, albedos, normals), each
+    (len(ks), H, W, 3).
+
+    ``fd`` is the per-file data dict (equal shapes across files, so one
+    compile serves the whole series)."""
+    from optix_ray_tracer_tpu.ops.march import refit_march_intersector
+    from optix_ray_tracer_tpu.render import pathtracer, wavefront
+
+    def step(carry, xs):
+        k, seed = xs
+        if mode == "mesh":
+            scene = _mesh_scene(fd, k, extra_spheres, extra_triangles,
+                                has_extras)
+        else:
+            scene = _time_scene(fd, k, extra_spheres, extra_triangles,
+                                has_extras, euler_path)
+        # the updateIAS-refit analog, on device, inside the scan
+        inter = (refit_march_intersector(base_inter, scene)
+                 if use_march else None)
+        # NOTE: call the UNJITTED implementations (__wrapped__): first-
+        # tracing a public jitted entry inside this scan poisons its
+        # top-level dispatch cache on this jax version ("Execution
+        # supplied 18 buffers but compiled program expected 20")
+        if integrator == "path":
+            img, alb, nrm = pathtracer.render_path.__wrapped__(
+                scene, materials, lights, camera, width=width,
+                height=height, spp=spp, seed=seed, background=background,
+                max_depth=max_depth, intersector=inter, env=env,
+                textures=textures)
+        else:
+            img, alb, nrm = wavefront.render.__wrapped__(
+                scene, materials, camera, width, height, spp=spp,
+                seed=seed, background=background, max_depth=max_depth,
+                intersector=inter, env=env)
+        if do_denoise:
+            from optix_ray_tracer_tpu.render.denoise import denoise
+            img = denoise.__wrapped__(img, alb, nrm)
+        return carry, (img, alb, nrm)
+
+    _, out = jax.lax.scan(step, None, (ks, seeds))
+    return out
+
+
+def render_frames_fused(data, mode: str, file_data_fn, width: int,
+                        height: int, spp: int, max_frames, loop: bool):
+    """Shared fused render loop for both frontends: yields
+    (file_index, frame_index, Film).
+
+    ``file_data_fn(data, fi, n_frames) -> fd dict`` supplies the per-file
+    arrays consumed by the scene builders above."""
+    import numpy as np
+
+    from optix_ray_tracer_tpu.models import common
+    from optix_ray_tracer_tpu.ops.march import MarchIntersector
+    from optix_ray_tracer_tpu.render.film import Film
+
+    cfg = data.config
+    ld = cfg.loop_data
+    produced = 0
+    lights = None
+    bg = jnp.asarray(cfg.background, jnp.float32)
+    while True:
+        for fi in range(data.file_count):
+            n_frames = common.frame_count_for_file(
+                data.durations[fi], ld.fps, ld.render_speed_ratio)
+            # build once per file (buildGAS analog); refit happens in-scan
+            from optix_ray_tracer_tpu.models import (
+                renderer_mesh, renderer_time,
+            )
+            frontend = renderer_mesh if mode == "mesh" else renderer_time
+            scene0 = frontend.frame_scene(data, fi, 0, n_frames)
+            if produced == 0:
+                lights = common.collect_lights(cfg, scene0, data.materials)
+            base_inter = common.choose_intersector(scene0)
+            use_march = isinstance(base_inter, MarchIntersector)
+            fd = file_data_fn(data, fi, n_frames)
+            chunk = chunk_size(width, height, n_frames)
+            for k0 in range(0, n_frames, chunk):
+                kn = min(k0 + chunk, n_frames)
+                ks = jnp.arange(k0, kn, dtype=jnp.float32)
+                seeds = jnp.arange(
+                    cfg.seed + produced, cfg.seed + produced + (kn - k0),
+                    dtype=jnp.int32)
+                imgs, albs, nrms = fused_chunk(
+                    fd, ks, seeds, base_inter, data.materials, data.camera,
+                    data.extra_spheres, data.extra_triangles, data.env,
+                    data.textures, lights, bg,
+                    mode=mode, width=width, height=height, spp=spp,
+                    integrator=cfg.integrator, do_denoise=cfg.denoise,
+                    max_depth=cfg.max_depth, use_march=use_march,
+                    has_extras=bool(data.extra_triangles.count),
+                    euler_path=getattr(data, "reference_euler_path", False))
+                imgs = np.asarray(imgs)
+                albs = np.asarray(albs)
+                nrms = np.asarray(nrms)
+                for j in range(kn - k0):
+                    film = Film.create(width, height).add(
+                        imgs[j], albs[j], nrms[j], spp)
+                    yield fi, k0 + j, film
+                    produced += 1
+                    if max_frames is not None and produced >= max_frames:
+                        return
+        if not loop:
+            return
+
+
+def mesh_file_data(data, fi: int, n_frames: int) -> dict:
+    cfg = data.config.loop_data
+    return dict(
+        vertices=data.vertices[fi], normals=data.normals[fi],
+        tri_particle=data.tri_particle[fi], tri_valid=data.tri_valid[fi],
+        velocities=data.velocities[fi], particle_mat=data.particle_mat[fi],
+        duration=jnp.float32(data.durations[fi]),
+        inv_frame_count=jnp.float32(1.0 / max(n_frames, 1)),
+        particle_shift=jnp.asarray(cfg.particle_shift, jnp.float32),
+        particle_scale=jnp.asarray(cfg.particle_scale, jnp.float32))
+
+
+def time_file_data(data, fi: int, n_frames: int) -> dict:
+    cfg = data.config.loop_data
+    nxt = min(fi + 1, data.file_count - 1)
+    return dict(
+        lib_vertices=data.library.vertices, lib_normals=data.library.normals,
+        tri_lib_idx=data.tri_lib_idx[fi], tri_inst=data.tri_inst[fi],
+        tri_ok=data.tri_ok[fi],
+        positions=data.positions[fi], quats=data.quats[fi],
+        quats_next=data.quats[nxt], velocities=data.velocities[fi],
+        particle_mat=data.particle_mat[fi],
+        duration=jnp.float32(data.durations[fi]),
+        inv_frames_minus1=jnp.float32(1.0 / max(n_frames - 1, 1)),
+        inv_frame_count=jnp.float32(1.0 / max(n_frames, 1)),
+        particle_shift=jnp.asarray(cfg.particle_shift, jnp.float32),
+        particle_scale=jnp.asarray(cfg.particle_scale, jnp.float32))

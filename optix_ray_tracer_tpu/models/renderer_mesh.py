@@ -204,6 +204,17 @@ def render_frames(data: MeshRendererData, width: int | None = None,
     height = height or ld.window_height
     spp = spp or cfg.spp
 
+    from optix_ray_tracer_tpu.utils.debug import DEBUG_MODE
+    if data.update_fn is None and not DEBUG_MODE and data.file_count:
+        # fused path: refit+render+denoise for a whole frame chunk in one
+        # dispatch (models/fused.py) — the per-frame host loop below pays
+        # the ~6 ms dispatch floor several times per frame
+        from optix_ray_tracer_tpu.models import fused
+        yield from fused.render_frames_fused(
+            data, "mesh", fused.mesh_file_data, width, height, spp,
+            max_frames, loop)
+        return
+
     produced = 0
     lights = None
     while True:

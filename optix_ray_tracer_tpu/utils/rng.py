@@ -23,7 +23,10 @@ import jax.numpy as jnp
 from optix_ray_tracer_tpu.utils.vecmath import PI
 
 _U32 = jnp.uint32
-_INV_2_24 = jnp.float32(1.0 / (1 << 24))
+_INV_2_24 = float(1.0 / (1 << 24))   # python float: a module-level jnp scalar
+# becomes a hoisted runtime const buffer in every caller jaxpr, and jax
+# 0.9 mis-counts such consts on the C++ fastpath after nested-jit traces
+# ("Execution supplied 18 buffers but compiled program expected 20")
 
 
 def pcg4d(a, b, c, d):
