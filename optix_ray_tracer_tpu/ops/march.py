@@ -26,6 +26,24 @@ from optix_ray_tracer_tpu.ops.sweep import (
 from optix_ray_tracer_tpu.scene.geometry import Scene
 from optix_ray_tracer_tpu.utils.vecmath import INF
 
+#: wavefront coherence-sort key: "morton" (origin+direction Morton — best
+#: for camera rays, no extra pass) or "probe" (nearest-cluster id from a
+#: cull-only Pallas pass + direction Morton — groups INCOHERENT rays by
+#: where traversal starts, shrinking the block-union of needed clusters)
+SORT_MODE = "morton"
+
+
+def ray_probe_keys(clusters, o, d, t_min, t_max):
+    """(first-cluster id << 18) | direction-Morton — see SORT_MODE."""
+    from optix_ray_tracer_tpu.ops.bvh import morton_codes
+    from optix_ray_tracer_tpu.ops.pallas.block_march import (
+        probe_first_cluster,
+    )
+
+    cid = probe_first_cluster(clusters, o, d, t_min, t_max)
+    d_m = morton_codes(d, jnp.full(3, -1.0), jnp.full(3, 1.0))
+    return (cid.astype(jnp.uint32) << 18) | (d_m.astype(jnp.uint32) >> 12)
+
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=("clusters", "scene_lo", "scene_hi"),
@@ -51,12 +69,20 @@ class MarchIntersector:
             jnp.asarray(t_max, jnp.float32).reshape(-1) if jnp.ndim(t_max)
             else jnp.asarray(t_max, jnp.float32), (n,))
 
-        key = ray_sort_keys(o2, d2, self.scene_lo, self.scene_hi)
+        if SORT_MODE == "probe":
+            key = ray_probe_keys(self.clusters, o2, d2, t_min_a, t_max_a)
+        else:
+            key = ray_sort_keys(o2, d2, self.scene_lo, self.scene_hi)
         perm = jnp.argsort(key)
-        o_s = o2[perm]
-        d_s = d2[perm]
-        tmin_s = t_min_a[perm]
-        tmax_s = t_max_a[perm]
+        # ONE (R, 8) gather for the whole sorted ray state (separate
+        # per-field gathers measurably dent incoherent throughput — the
+        # XLA gather path runs ~5 GB/s, PERF.md)
+        packed = jnp.concatenate(
+            [o2, d2, t_min_a[:, None], t_max_a[:, None]], axis=1)[perm]
+        o_s = packed[:, 0:3]
+        d_s = packed[:, 3:6]
+        tmin_s = packed[:, 6]
+        tmax_s = packed[:, 7]
 
         pad = (-n) % BLOCK_RAYS
         if pad:
@@ -69,10 +95,12 @@ class MarchIntersector:
         t, slot, u, v = block_march(self.clusters, o_s, d_s, tmin_s,
                                     tmax_s, any_hit=_any_hit)
         inv = jnp.argsort(perm)
-        t = t[:n][inv]
-        slot = slot[:n][inv]
-        u = u[:n][inv]
-        v = v[:n][inv]
+        # one (R, 4) unsort gather instead of four (R,) gathers
+        out4 = jnp.stack([t, slot.astype(jnp.float32), u, v], axis=1)[:n][inv]
+        t = out4[:, 0]
+        slot = out4[:, 1].astype(jnp.int32)
+        u = out4[:, 2]
+        v = out4[:, 3]
 
         missed = slot < 0
         prim_id = self.clusters.prim_index[jnp.maximum(slot, 0)]

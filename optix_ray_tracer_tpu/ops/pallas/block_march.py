@@ -1,30 +1,31 @@
 """All-in-Pallas block marcher — the fused nearest-hit kernel.
 
-One kernel performs the ENTIRE query for a 128-ray block per grid step:
+One kernel performs the ENTIRE query for a W-ray block per grid step
+(W = 128..512 lanes, chosen by VMEM budget — wider blocks amortize the
+per-visit scalar sync and the 32 KB cluster DMA over more rays):
 
-1. cull: slab-test all rays against ALL cluster AABBs -> a (C, 128) entry
+1. cull: slab-test all rays against ALL cluster AABBs -> a (C, W) entry
    matrix in VMEM;
 2. march: a scalar while-loop picks the nearest cluster any ray still
    needs (block-min entry, masked by per-ray best_t), DMAs its 512
    Morton-sorted transposed Woop rows (32 KB) from HBM into VMEM
    (double-buffered: the next candidate prefetches while the current one
    is tested), and
-3. tests the whole cluster densely: 6 lhs-transposed (4,512)x(4,128)
+3. tests the whole cluster densely: 6 lhs-transposed (4,512)x(4,W)
    MXU matmuls (the homogeneous -1 origin row folds the Woop translation
    into the dot) + VPU masking/reduction for the winner.
 
 SCALAR-SYNC RULE (measured: per-visit cost is dominated by scalar
 reductions, not DMA bytes — shrinking the cluster DMA 8x moved nothing):
-the march body performs exactly ONE scalar reduction per visit.  ``pick``
-packs (entry bits | cluster id) into one int32 key — non-negative fp32
-bit patterns are order-isomorphic to int32, and stealing the low 12
-mantissa bits only perturbs the HEURISTIC visit order, never correctness
-— so block-min entry + argmin cluster + any-needed all come out of a
-single ``jnp.min``.
+the march body performs exactly TWO scalar reductions per visit (min
+entry, then argmin cluster).  A single-reduction packed (entry bits |
+cid) pick exists behind PICK_MODE="packed" but HALTS real TPUs at scene
+scale (device FailedPrecondition; fine in interpret mode and in isolated
+micro-kernels) — do not enable it on hardware without re-validating.
 
 LAYOUT RULE (Mosaic-friendliness): rays live on the LANE axis everywhere —
-rays are passed transposed (8, B) per block, cluster/triangle quantities on
-the sublane axis, per-ray state as (1, B) rows.  No 1-D values, no
+rays are passed transposed (8, W) per block, cluster/triangle quantities on
+the sublane axis, per-ray state as (1, W) rows.  No 1-D values, no
 transposes, no cross-layout concatenations.
 
 Nothing leaves the chip between passes: no XLA sorts, no host round trips,
@@ -44,7 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from optix_ray_tracer_tpu.utils.vecmath import INF
 
-BLOCK_RAYS = 128
+BLOCK_RAYS = 128         # minimum block granularity callers pad to
 CLUSTER_TRIS = 512       # == ops.sweep.CHUNK * WINDOW_CHUNKS
 
 _CID_BITS = 12           # low mantissa bits carrying the cluster id
@@ -52,33 +53,54 @@ _CID_MASK = (1 << _CID_BITS) - 1
 MAX_CLUSTERS = 1 << _CID_BITS
 _INF_BITS = 0x7F800000   # bit pattern of float32 +inf
 
+# VMEM budget for the (C_pad, W) entry matrix when auto-sizing W
+_ENTRY_VMEM_BUDGET = 6 * 1024 * 1024
+
 # debug knobs (bisecting Mosaic device faults): pick implementation and
 # triangle-test granularity
-PICK_MODE = "float"     # "packed" (1 scalar sync) | "float" (2 syncs)
-TEST_SPLIT = 1           # sub-blocks per cluster test (1 = whole cluster)
+PICK_MODE = "float"      # "float" (2 syncs) | "packed" (1 sync; TPU-FAULTS)
+N_SUBS = 4               # second-level cull granularity (1 = off); gates
+                         # each 128-tri sub-block on any(sub entry < best_t)
+# VMEM budget for the (C_pad*N_SUBS, W) sub-entry matrix; past it the
+# kernel falls back to whole-cluster tests
+_SUB_VMEM_BUDGET = 6 * 1024 * 1024
 
 
-def _slab_rows(boxes, rays, inv_d, tmin, n_rows, n_valid):
-    """Entry values for (n_rows, B) boxes-vs-rays; INF where missed."""
-    ent = jnp.full((n_rows, BLOCK_RAYS), -INF, jnp.float32)
-    ext = jnp.full((n_rows, BLOCK_RAYS), INF, jnp.float32)
+def choose_block_rays(n_clusters: int) -> int:
+    """Block width.  Measured on-chip (100k-tri bench): W=128 wins —
+    5.08/4.46/3.23 Mrays/s coherent at W=128/256/512.  Per-visit cost is
+    dominated by the dense (tris, W) test VPU work, which scales with W,
+    while the union of needed clusters still grows with the block's pixel
+    footprint — wider blocks lose on both.  Kept as a tuning point for
+    parts with different VPU/sync cost ratios."""
+    return BLOCK_RAYS
+
+
+def _slab_rows(boxes, rays, inv_d, tmin, n_rows, n_valid, W):
+    """Entry values for (n_rows, W) boxes-vs-rays; INF where missed."""
+    ent = jnp.full((n_rows, W), -INF, jnp.float32)
+    ext = jnp.full((n_rows, W), INF, jnp.float32)
     for ax in range(3):
         t0 = (boxes[:, ax:ax + 1] - rays[ax:ax + 1, :]) * inv_d[ax:ax + 1, :]
         t1 = (boxes[:, 3 + ax:4 + ax] - rays[ax:ax + 1, :]) * inv_d[ax:ax + 1, :]
         ent = jnp.maximum(ent, jnp.minimum(t0, t1))
         ext = jnp.minimum(ext, jnp.maximum(t0, t1))
     ent = jnp.maximum(ent, tmin)
-    rid = jax.lax.broadcasted_iota(jnp.int32, (n_rows, BLOCK_RAYS), 0)
+    rid = jax.lax.broadcasted_iota(jnp.int32, (n_rows, W), 0)
     hit = (ent <= ext) & (rid < n_valid)
     return jnp.where(hit, ent, INF)
 
 
 def _make_kernel(C_pad: int, n_clusters: int, max_visits: int,
-                 any_hit: bool):
-    def kernel(rays_ref, boxes_ref, woop_ref, out_ref,
-               entry_ref, bt_ref, slot_ref, u_ref, v_ref,
-               tri_scratch, sem):
-        rays = rays_ref[...]                    # (8, B)
+                 any_hit: bool, W: int, n_subs: int):
+    def kernel(rays_ref, boxes_ref, *rest):
+        if n_subs > 1:
+            (sub_boxes_ref, woop_ref, out_ref, entry_ref, sub_entry_ref,
+             bt_ref, slot_ref, tri_scratch, sem) = rest
+        else:
+            (woop_ref, out_ref, entry_ref,
+             bt_ref, slot_ref, tri_scratch, sem) = rest
+        rays = rays_ref[...]                    # (8, W)
         inv_d = jnp.where(jnp.abs(rays[3:6, :]) > 1e-12,
                           1.0 / rays[3:6, :], 1e12)
         tmin = rays[6:7, :]
@@ -86,26 +108,30 @@ def _make_kernel(C_pad: int, n_clusters: int, max_visits: int,
 
         # ---- cull ----
         entry_ref[...] = _slab_rows(boxes_ref[...], rays, inv_d, tmin,
-                                    C_pad, n_clusters)
+                                    C_pad, n_clusters, W)
+        if n_subs > 1:
+            # second-level cull: 128-tri sub-block AABBs; the march gates
+            # each sub-test on any(sub entry < best_t) — most visits test
+            # only 1-2 of the 4 sub-blocks (round-1 on-chip tuning)
+            sub_entry_ref[...] = _slab_rows(
+                sub_boxes_ref[...], rays, inv_d, tmin,
+                C_pad * n_subs, n_clusters * n_subs, W)
 
         bt_ref[...] = bt0
-        slot_ref[...] = jnp.full((1, BLOCK_RAYS), -1.0, jnp.float32)
-        u_ref[...] = jnp.zeros((1, BLOCK_RAYS), jnp.float32)
-        v_ref[...] = jnp.zeros((1, BLOCK_RAYS), jnp.float32)
+        slot_ref[...] = jnp.full((1, W), -1.0, jnp.float32)
 
         hp = jax.lax.Precision.HIGHEST
         o_rows = rays[0:3, :]
         d_rows = rays[3:6, :]
-        # homogeneous origin (4, B): the -1 row folds the Woop translation
+        # homogeneous origin (4, W): the -1 row folds the Woop translation
         # into the transposed matmul (opx = r0.o - cx in ONE dot_general)
         o4 = jnp.concatenate(
-            [o_rows, -jnp.ones((1, BLOCK_RAYS), jnp.float32)], axis=0)
+            [o_rows, -jnp.ones((1, W), jnp.float32)], axis=0)
         dn_t = (((0,), (0,)), ((), ()))   # contract sublanes: lhs transposed
         cid_col = jax.lax.broadcasted_iota(jnp.int32, (C_pad, 1), 0)
 
         def pick(visited):
-            """Nearest unvisited cluster any ray still needs, via ONE
-            scalar reduction of a packed (entry bits | cid) key."""
+            """Nearest unvisited cluster any ray still needs."""
             bt = bt_ref[...]
             entry = entry_ref[...]
             block_entry = jnp.min(jnp.where(entry < bt, entry, INF),
@@ -119,7 +145,7 @@ def _make_kernel(C_pad: int, n_clusters: int, max_visits: int,
                                                 jnp.int32)
             key = jnp.bitwise_or(
                 jnp.bitwise_and(bits, ~jnp.int32(_CID_MASK)), cid_col)
-            kmin = jnp.min(key)                 # the visit's ONE scalar sync
+            kmin = jnp.min(key)
             c = jnp.bitwise_and(kmin, jnp.int32(_CID_MASK))
             return c, kmin < _INF_BITS
 
@@ -148,12 +174,14 @@ def _make_kernel(C_pad: int, n_clusters: int, max_visits: int,
             def _():
                 start_dma(cur_c, slot).wait()
                 # (16, CLUSTER_TRIS) transposed Woop rows: 4-row groups
-                # [r0|cx][r1|cy][r2|cz] (ops.sweep._WOOP_T_PERM); the whole
-                # cluster is tested unconditionally — gating sub-blocks on
-                # jnp.any costs a scalar sync each, which outweighs the
-                # saved VPU/MXU work
-                step = CLUSTER_TRIS // TEST_SPLIT
-                for part in range(TEST_SPLIT):
+                # [r0|cx][r1|cy][r2|cz] (ops.sweep._WOOP_T_PERM), tested in
+                # n_subs sub-blocks, each gated by its sub-box cull row
+                # (single-row dynamic loads: Mosaic requires multi-row
+                # dynamic sublane slices to be 8-aligned, cur_c*n_subs
+                # is not)
+                step = CLUSTER_TRIS // n_subs
+
+                def test_part(part):
                     ws = tri_scratch[slot, :,
                                      part * step:(part + 1) * step]
                     dot = partial(jax.lax.dot_general,
@@ -177,15 +205,14 @@ def _make_kernel(C_pad: int, n_clusters: int, max_visits: int,
                     t_best = jnp.min(t, axis=0, keepdims=True)
                     closer = t_best < bt_cur
                     tri_row = jax.lax.broadcasted_iota(
-                        jnp.int32, (step, BLOCK_RAYS), 0)
+                        jnp.int32, (step, W), 0)
+                    # winner = LOWEST index with t == t_best (the oracle's
+                    # tie rule); u/v for the winner are recomputed OUTSIDE
+                    # the kernel from its Woop row — keeping per-sub work
+                    # to two reductions
                     li = jnp.min(
                         jnp.where(t <= t_best, tri_row, step),
                         axis=0, keepdims=True)
-                    winner = tri_row == li
-                    bu = jnp.max(jnp.where(winner, uu, -INF), axis=0,
-                                 keepdims=True)
-                    bv = jnp.max(jnp.where(winner, vv, -INF), axis=0,
-                                 keepdims=True)
                     slotf = (cur_c * CLUSTER_TRIS + part * step
                              + li).astype(jnp.float32)
                     slot_new = jnp.where(closer, slotf, slot_ref[...])
@@ -198,8 +225,17 @@ def _make_kernel(C_pad: int, n_clusters: int, max_visits: int,
                     else:
                         bt_ref[...] = jnp.where(closer, t_best, bt_cur)
                     slot_ref[...] = slot_new
-                    u_ref[...] = jnp.where(closer, bu, u_ref[...])
-                    v_ref[...] = jnp.where(closer, bv, v_ref[...])
+
+                for part in range(n_subs):
+                    if n_subs > 1:
+                        row = sub_entry_ref[
+                            pl.ds(cur_c * n_subs + part, 1), :]
+
+                        @pl.when(jnp.any(row < bt_ref[...]))
+                        def _(part=part):
+                            test_part(part)
+                    else:
+                        test_part(part)
 
             return visit + 1, visited, nxt_c, nxt_ok
 
@@ -216,43 +252,107 @@ def _make_kernel(C_pad: int, n_clusters: int, max_visits: int,
 
         out_ref[0, 0:1, :] = bt_ref[...]
         out_ref[0, 1:2, :] = slot_ref[...]
-        out_ref[0, 2:3, :] = u_ref[...]
-        out_ref[0, 3:4, :] = v_ref[...]
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("c_pad", "n_clusters",
-                                   "max_visits", "any_hit"))
-def _march_call(rays_packed_t, boxes, woop, c_pad: int,
+                                   "max_visits", "any_hit", "w", "n_subs"))
+def _march_call(rays_packed_t, boxes, sub_boxes, woop, c_pad: int,
                 n_clusters: int, max_visits: int,
-                any_hit: bool = False):
-    """rays_packed_t: (8, R) transposed ray state."""
-    nb = rays_packed_t.shape[1] // BLOCK_RAYS
-    kernel = _make_kernel(c_pad, n_clusters, max_visits, any_hit)
+                any_hit: bool = False, w: int = BLOCK_RAYS,
+                n_subs: int = 1):
+    """rays_packed_t: (8, R) transposed ray state, R % w == 0."""
+    nb = rays_packed_t.shape[1] // w
+    kernel = _make_kernel(c_pad, n_clusters, max_visits, any_hit, w, n_subs)
+    in_specs = [
+        pl.BlockSpec((8, w), lambda b: (0, b), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),           # cluster boxes
+    ]
+    inputs = [rays_packed_t, boxes]
+    if n_subs > 1:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # sub boxes
+        inputs.append(sub_boxes)
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # woop_t in HBM
+    inputs.append(woop)
+    scratch = [pltpu.VMEM((c_pad, w), jnp.float32)]      # cluster entries
+    if n_subs > 1:
+        scratch.append(pltpu.VMEM((c_pad * n_subs, w), jnp.float32))
+    scratch += [
+        pltpu.VMEM((1, w), jnp.float32),                 # best t
+        pltpu.VMEM((1, w), jnp.float32),                 # best slot (f32)
+        pltpu.VMEM((2, 16, CLUSTER_TRIS), jnp.float32),  # double buffer
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nb, 4, BLOCK_RAYS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb, 2, w), jnp.float32),
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 2, w), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+        interpret=jax.default_backend() == "cpu",
+    )(*inputs)
+
+
+def _make_probe_kernel(C_pad: int, n_clusters: int, W: int):
+    def kernel(rays_ref, boxes_ref, out_ref):
+        rays = rays_ref[...]
+        inv_d = jnp.where(jnp.abs(rays[3:6, :]) > 1e-12,
+                          1.0 / rays[3:6, :], 1e12)
+        entry = _slab_rows(boxes_ref[...], rays, inv_d, rays[6:7, :],
+                           C_pad, n_clusters, W)
+        entry = jnp.where(entry < rays[7:8, :], entry, INF)
+        emin = jnp.min(entry, axis=0, keepdims=True)          # (1, W)
+        cid = jax.lax.broadcasted_iota(jnp.int32, (C_pad, W), 0)
+        first = jnp.min(jnp.where(entry <= emin, cid, C_pad),
+                        axis=0, keepdims=True)
+        out_ref[0, :, :] = jnp.where(emin < INF, first, C_pad)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("c_pad", "n_clusters", "w"))
+def _probe_call(rays_packed_t, boxes, c_pad: int, n_clusters: int, w: int):
+    nb = rays_packed_t.shape[1] // w
+    return pl.pallas_call(
+        _make_probe_kernel(c_pad, n_clusters, w),
+        out_shape=jax.ShapeDtypeStruct((nb, 1, w), jnp.int32),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((8, BLOCK_RAYS), lambda b: (0, b),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),       # cluster boxes
-            pl.BlockSpec(memory_space=pl.ANY),           # woop_t stays in HBM
+            pl.BlockSpec((8, w), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 4, BLOCK_RAYS), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, w), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((c_pad, BLOCK_RAYS), jnp.float32),    # cluster entries
-            pltpu.VMEM((1, BLOCK_RAYS), jnp.float32),        # best t
-            pltpu.VMEM((1, BLOCK_RAYS), jnp.float32),        # best slot (f32)
-            pltpu.VMEM((1, BLOCK_RAYS), jnp.float32),        # best u
-            pltpu.VMEM((1, BLOCK_RAYS), jnp.float32),        # best v
-            pltpu.VMEM((2, 16, CLUSTER_TRIS), jnp.float32),  # double buffer
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
         interpret=jax.default_backend() == "cpu",
-    )(rays_packed_t, boxes, woop)
+    )(rays_packed_t, boxes)
+
+
+def probe_first_cluster(clusters, o, d, t_min, t_max):
+    """Per-ray id of the nearest cluster the ray enters (C_pad if none) —
+    a cheap cull-only pass used to coherence-sort INCOHERENT wavefronts:
+    grouping rays by where their traversal starts (origin AND direction
+    jointly) shrinks the block-union of needed clusters far more than a
+    positional Morton key can (see ops.march.ray_probe_keys)."""
+    C = clusters.num_clusters
+    c_pad = ((C + 7) // 8) * 8
+    boxes = _pad_boxes(clusters.cluster_min, clusters.cluster_max, c_pad - C)
+    n = o.shape[0]
+    W = BLOCK_RAYS
+    pad = (-n) % W
+    if pad:
+        o = jnp.pad(o, ((0, pad), (0, 0)))
+        d = jnp.pad(d, ((0, pad), (0, 0)))
+        d = d.at[n:, 2].set(1.0)
+        t_min = jnp.pad(t_min, (0, pad), constant_values=1.0)
+        t_max = jnp.pad(t_max, (0, pad), constant_values=0.0)
+    t_max = jnp.minimum(t_max, INF)
+    rays_packed_t = jnp.concatenate(
+        [o.T, d.T, t_min[None, :], t_max[None, :]], axis=0)
+    out = _probe_call(rays_packed_t, boxes, c_pad=c_pad, n_clusters=C, w=W)
+    return out.reshape(-1)[:n]
 
 
 def _pad_boxes(bmin, bmax, pad):
@@ -264,12 +364,15 @@ def _pad_boxes(bmin, bmax, pad):
         [bmin, bmax, jnp.zeros((bmin.shape[0], 2), jnp.float32)], axis=1)
 
 
-def block_march(clusters, o, d, t_min, t_max, any_hit: bool = False):
+def block_march(clusters, o, d, t_min, t_max, any_hit: bool = False,
+                block_rays: int | None = None):
     """Nearest-hit (or, with ``any_hit``, occlusion) query via the fused
     kernel.
 
     clusters: ops.sweep.ClusterSet; o, d (R, 3) with R % 128 == 0;
     t bounds (R,).  Rays must already be coherence-sorted by the caller.
+    ``block_rays`` overrides the auto-sized block width (wider = fewer
+    scalar syncs per ray; more union divergence).
     Returns (t, slot, u, v); slot indexes the sorted prim arrays (-1 miss).
     With ``any_hit`` only slot's hit/miss distinction is meaningful.
     """
@@ -282,15 +385,53 @@ def block_march(clusters, o, d, t_min, t_max, any_hit: bool = False):
     c_pad = ((C + 7) // 8) * 8
     boxes = _pad_boxes(clusters.cluster_min, clusters.cluster_max, c_pad - C)
 
+    W = block_rays or choose_block_rays(C)
+    n_subs = N_SUBS if (N_SUBS > 1 and
+                        c_pad * N_SUBS * W * 4 <= _SUB_VMEM_BUDGET) else 1
+    if n_subs > 1:
+        sub_boxes = _pad_boxes(clusters.sub_min, clusters.sub_max,
+                               (c_pad - C) * n_subs)
+    else:
+        sub_boxes = boxes
+    n = o.shape[0]
+    pad = (-n) % W
+    if pad:
+        # dead-ray padding: t_max=0 keeps padded lanes out of every pick
+        o = jnp.pad(o, ((0, pad), (0, 0)))
+        d = jnp.pad(d, ((0, pad), (0, 0)))
+        d = d.at[n:, 2].set(1.0)
+        t_min = jnp.pad(t_min, (0, pad), constant_values=1.0)
+        t_max = jnp.pad(t_max, (0, pad), constant_values=0.0)
+
+    # INF (1e16) is the kernel's miss sentinel: a larger t_max (e.g. a
+    # caller passing float inf) would make sentinel entries look "needed"
+    # and INF-t triangle misses look like hits
+    t_max = jnp.minimum(t_max, INF)
     rays_packed_t = jnp.concatenate(
         [o.T, d.T, t_min[None, :], t_max[None, :]], axis=0)  # (8, R)
-    out = _march_call(rays_packed_t, boxes, clusters.woop_t,
+    out = _march_call(rays_packed_t, boxes, sub_boxes, clusters.woop_t,
                       c_pad=c_pad, n_clusters=C,
-                      max_visits=C + 1, any_hit=any_hit)
-    out = jnp.swapaxes(out, 1, 2).reshape(-1, 4)
+                      max_visits=C + 1, any_hit=any_hit, w=W,
+                      n_subs=n_subs)
+    out = jnp.swapaxes(out, 1, 2).reshape(-1, 2)[:n]
     t = out[:, 0]
     slotf = out[:, 1]
     miss = slotf < 0.0
-    return (jnp.where(miss, INF, t),
-            jnp.where(miss, -1, slotf.astype(jnp.int32)),
-            out[:, 2], out[:, 3])
+    slot = jnp.where(miss, -1, slotf.astype(jnp.int32))
+    t = jnp.where(miss, INF, t)
+    if any_hit:
+        return t, slot, jnp.zeros_like(t), jnp.zeros_like(t)
+    # barycentrics for the winner, recomputed from its Woop row (one
+    # (R, 12) gather) — cheaper than carrying u/v winner reductions
+    # through every sub-block test inside the kernel
+    w_rows = clusters.woop[jnp.maximum(slot, 0)]
+    o_h = o[:n]
+    d_h = d[:n]
+    t_safe = jnp.where(miss, 0.0, t)   # keep INF out of the arithmetic
+    u = (jnp.einsum("ri,ri->r", w_rows[:, 0:3], o_h) - w_rows[:, 9]
+         + t_safe * jnp.einsum("ri,ri->r", w_rows[:, 0:3], d_h))
+    v = (jnp.einsum("ri,ri->r", w_rows[:, 3:6], o_h) - w_rows[:, 10]
+         + t_safe * jnp.einsum("ri,ri->r", w_rows[:, 3:6], d_h))
+    u = jnp.where(miss, 0.0, u)
+    v = jnp.where(miss, 0.0, v)
+    return t, slot, u, v
