@@ -79,6 +79,9 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
     if intersector is None:
         from optix_ray_tracer_tpu.ops.traverse import BruteForceIntersector
         intersector = BruteForceIntersector()
+    # probe-sorted variant for incoherent waves: bounce >= 1 extension
+    # rays and ALL shadow rays (ops/march.py sort_mode)
+    incoh = getattr(intersector, "for_incoherent", lambda: intersector)()
     nrays = origins.shape[0]
     background = jnp.asarray(background, jnp.float32)
     have_lights = lights is not None and lights.count > 0
@@ -94,11 +97,11 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
         albedo_g=jnp.zeros((nrays, 3), jnp.float32),
         normal_g=jnp.zeros((nrays, 3), jnp.float32))
 
-    def bounce_step(s, b):
+    def bounce_step(s, b, ext_isect=None):
         alive = s["alive"]
         # dead lanes trace with t_max=0: free in the block-march kernel
-        hit = intersector.intersect(scene, s["o"], s["d"],
-                                    t_max=jnp.where(alive, INF, 0.0))
+        hit = (ext_isect or incoh).intersect(
+            scene, s["o"], s["d"], t_max=jnp.where(alive, INF, 0.0))
         missed = alive & ~hit.is_hit
         hit_alive = alive & hit.is_hit
 
@@ -154,7 +157,7 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
             cos_s = dot(wl, n_unit)
             valid = shading_alive & is_diffuse & (cos_s > 0.0) & (pdf_l > 0.0)
             # shadow ray (offset along the light direction; end before light)
-            occluded = intersector.any_hit(
+            occluded = incoh.any_hit(
                 scene, point + n_unit * 1e-3, wl,
                 t_min=1e-4, t_max=jnp.where(valid, dist - 2e-3, 0.0))
             visible = valid & ~occluded
@@ -228,8 +231,12 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
                     alive=shading_alive, prev_pdf=prev_pdf,
                     albedo_g=albedo_g, normal_g=normal_g), None
 
-    state, _ = jax.lax.scan(bounce_step, state,
-                            jnp.arange(max_depth, dtype=jnp.int32))
+    # bounce 0 (coherent camera rays) unrolled with the morton-sorted
+    # intersector; bounces >= 1 scanned with the probe-sorted one
+    state, _ = bounce_step(state, jnp.int32(0), ext_isect=intersector)
+    if max_depth > 1:
+        state, _ = jax.lax.scan(bounce_step, state,
+                                jnp.arange(1, max_depth, dtype=jnp.int32))
     return state["radiance"], state["albedo_g"], state["normal_g"]
 
 

@@ -136,6 +136,10 @@ def trace(scene: Scene, materials: MaterialTable, origins, directions,
     if intersector is None:
         intersector = _default_intersector()
     intersect_fn = intersector.intersect
+    # bounces >= 1 are incoherent: use the probe-sorted intersector
+    # variant (ops/march.py sort_mode) when the intersector offers one
+    incoh = getattr(intersector, "for_incoherent", lambda: intersector)()
+    intersect_incoh_fn = incoh.intersect
     nrays = origins.shape[0]
     background = jnp.asarray(background, jnp.float32)
 
@@ -148,12 +152,13 @@ def trace(scene: Scene, materials: MaterialTable, origins, directions,
         normal_g=jnp.zeros((nrays, 3), jnp.float32),
     )
 
-    def bounce_step(state, b):
+    def bounce_step(state, b, isect_fn=None):
         alive = state["alive"]
         # dead lanes trace with t_max=0: in the block-march kernel they
         # request no clusters, so mostly-dead blocks exit immediately
-        hit = intersect_fn(scene, state["o"], state["d"],
-                           t_max=jnp.where(alive, INF, 0.0))
+        hit = (isect_fn or intersect_incoh_fn)(
+            scene, state["o"], state["d"],
+            t_max=jnp.where(alive, INF, 0.0))
         missed = alive & ~hit.is_hit
         hit_alive = alive & hit.is_hit
 
@@ -194,8 +199,12 @@ def trace(scene: Scene, materials: MaterialTable, origins, directions,
         return dict(o=o, d=d, throughput=throughput, radiance=radiance,
                     alive=alive, albedo_g=albedo_g, normal_g=normal_g), None
 
-    state, _ = jax.lax.scan(bounce_step, state,
-                            jnp.arange(max_depth, dtype=jnp.int32))
+    # bounce 0 (coherent camera rays) unrolled with the morton-sorted
+    # intersector; bounces >= 1 scanned with the probe-sorted one
+    state, _ = bounce_step(state, jnp.int32(0), isect_fn=intersect_fn)
+    if max_depth > 1:
+        state, _ = jax.lax.scan(bounce_step, state,
+                                jnp.arange(1, max_depth, dtype=jnp.int32))
     return state["radiance"], state["albedo_g"], state["normal_g"]
 
 
