@@ -273,7 +273,7 @@ def _march_call(rays_packed_t, boxes, sub_boxes, woop, c_pad: int,
     if n_subs > 1:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # sub boxes
         inputs.append(sub_boxes)
-    in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # woop_t in HBM
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # woop_t in HBM
     inputs.append(woop)
     scratch = [pltpu.VMEM((c_pad, w), jnp.float32)]      # cluster entries
     if n_subs > 1:

@@ -208,14 +208,24 @@ def trace(scene: Scene, materials: MaterialTable, origins, directions,
     return state["radiance"], state["albedo_g"], state["normal_g"]
 
 
+def _default_samples_per_wave(spp: int) -> int:
+    """Largest divisor of spp among (4, 2, 1) — merged samples of the
+    same pixel share block-march clusters, shrinking the block union."""
+    for s in (4, 2, 1):
+        if spp % s == 0:
+            return s
+    return 1
+
+
 @partial(jax.jit,
-         static_argnames=("width", "height", "spp", "max_depth", "jitter"))
+         static_argnames=("width", "height", "spp", "max_depth", "jitter",
+                          "samples_per_wave"))
 def render(scene: Scene, materials: MaterialTable, camera,
            width: int, height: int, spp: int = 1, seed: int = 0,
            background=DEFAULT_BACKGROUND,
            max_depth: int = DEFAULT_MAX_DEPTH,
            intersector=None, env=None,
-           jitter: bool = True):
+           jitter: bool = True, samples_per_wave: int | None = None):
     """Render a full frame: spp samples per pixel, accumulated in linear space.
 
     The reference renders 1 spp/frame at pixel centers and relies on the AI
@@ -223,28 +233,45 @@ def render(scene: Scene, materials: MaterialTable, camera,
     noise strategy) but spp=1, jitter=False reproduces the reference's
     sampling pattern.
 
+    ``samples_per_wave`` merges S samples of every pixel into one wavefront
+    (must divide spp; default: largest of 4/2/1 that does).  A merged wave's
+    same-pixel rays are near-identical, so coherence-sorted 128-ray blocks
+    cover fewer pixels and march fewer clusters.  RNG streams are keyed by
+    (pixel, sample, bounce), so results match the unmerged renderer up to
+    fp accumulation order.
+
     Returns (image (H, W, 3) linear, albedo (H, W, 3), normal (H, W, 3)).
     """
     if intersector is None:
         intersector = _default_intersector()
     npix = width * height
     pixel_id = jnp.arange(npix, dtype=jnp.int32)
+    S = samples_per_wave or _default_samples_per_wave(spp)
+    if spp % S:
+        raise ValueError(f"samples_per_wave={S} must divide spp={spp}")
+    pix_rep = jnp.tile(pixel_id, S)                      # (S*npix,)
 
-    def sample_step(acc, s):
+    def sample_step(acc, s0):
+        s_vec = s0 + jnp.arange(S, dtype=jnp.int32)      # (S,)
+        samp = jnp.repeat(s_vec, npix)                   # (S*npix,)
         if jitter:
-            u1, u2 = rng.stratified_jitter(pixel_id, s, seed)
-            jit_uv = jnp.stack([u1, u2], -1).reshape(height, width, 2)
+            u1, u2 = rng.stratified_jitter(pix_rep, samp, seed)
+            jit_uv = jnp.stack([u1, u2], -1).reshape(S, height, width, 2)
         else:
-            jit_uv = None
-        o, d = camera.generate_rays(width, height, jit_uv)
+            # pixel centers for every sample (reference parity)
+            jit_uv = jnp.full((S, height, width, 2), 0.5, jnp.float32)
+        o, d = camera.generate_rays(width, height, jit_uv)  # (S, H, W, 3)
         radiance, albedo_g, normal_g = trace(
             scene, materials, o.reshape(-1, 3), d.reshape(-1, 3),
-            pixel_id, s, seed, background, max_depth, intersector, env)
-        return (acc[0] + radiance, acc[1] + albedo_g, acc[2] + normal_g), None
+            pix_rep, samp, seed, background, max_depth, intersector, env)
+        return (acc[0] + radiance.reshape(S, npix, 3).sum(0),
+                acc[1] + albedo_g.reshape(S, npix, 3).sum(0),
+                acc[2] + normal_g.reshape(S, npix, 3).sum(0)), None
 
     zeros = jnp.zeros((npix, 3), jnp.float32)
     (rad, alb, nrm), _ = jax.lax.scan(
-        sample_step, (zeros, zeros, zeros), jnp.arange(spp, dtype=jnp.int32))
+        sample_step, (zeros, zeros, zeros),
+        jnp.arange(0, spp, S, dtype=jnp.int32))
     inv = 1.0 / spp
     return (rad.reshape(height, width, 3) * inv,
             alb.reshape(height, width, 3) * inv,
