@@ -242,32 +242,46 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
 
 @partial(jax.jit,
          static_argnames=("width", "height", "spp", "max_depth", "jitter",
-                          "rr_start"))
+                          "rr_start", "samples_per_wave"))
 def render_path(scene: Scene, materials: MaterialTable, lights, camera,
                 width: int, height: int, spp: int = 16, seed: int = 0,
                 background=(0.0, 0.0, 0.0), max_depth: int = 8,
                 intersector=None, env=None, textures=None,
-                jitter: bool = True, rr_start: int = 3, clamp: float = 0.0):
-    """Full-frame path trace; same conventions as wavefront.render."""
+                jitter: bool = True, rr_start: int = 3, clamp: float = 0.0,
+                samples_per_wave: int | None = None):
+    """Full-frame path trace; same conventions as wavefront.render,
+    including the samples-per-wave merge (same-pixel samples share
+    block-march clusters; RNG streams are (pixel, sample, bounce)-keyed so
+    merging is exact)."""
+    from optix_ray_tracer_tpu.render.wavefront import _default_samples_per_wave
     npix = width * height
     pixel_id = jnp.arange(npix, dtype=jnp.int32)
+    S = samples_per_wave or _default_samples_per_wave(spp)
+    if spp % S:
+        raise ValueError(f"samples_per_wave={S} must divide spp={spp}")
+    pix_rep = jnp.tile(pixel_id, S)
 
-    def sample_step(acc, sidx):
+    def sample_step(acc, s0):
+        s_vec = s0 + jnp.arange(S, dtype=jnp.int32)
+        samp = jnp.repeat(s_vec, npix)
         if jitter:
-            u1, u2 = rng.stratified_jitter(pixel_id, sidx, seed)
-            jit_uv = jnp.stack([u1, u2], -1).reshape(height, width, 2)
+            u1, u2 = rng.stratified_jitter(pix_rep, samp, seed)
+            jit_uv = jnp.stack([u1, u2], -1).reshape(S, height, width, 2)
         else:
-            jit_uv = None
-        o, d = camera.generate_rays(width, height, jit_uv)
+            jit_uv = jnp.full((S, height, width, 2), 0.5, jnp.float32)
+        o, d = camera.generate_rays(width, height, jit_uv)  # (S, H, W, 3)
         radiance, alb, nrm = trace_path(
             scene, materials, lights, o.reshape(-1, 3), d.reshape(-1, 3),
-            pixel_id, sidx, seed, background, max_depth, intersector, env,
+            pix_rep, samp, seed, background, max_depth, intersector, env,
             textures, rr_start, clamp)
-        return (acc[0] + radiance, acc[1] + alb, acc[2] + nrm), None
+        return (acc[0] + radiance.reshape(S, npix, 3).sum(0),
+                acc[1] + alb.reshape(S, npix, 3).sum(0),
+                acc[2] + nrm.reshape(S, npix, 3).sum(0)), None
 
     zeros = jnp.zeros((npix, 3), jnp.float32)
     (rad, alb, nrm), _ = jax.lax.scan(
-        sample_step, (zeros, zeros, zeros), jnp.arange(spp, dtype=jnp.int32))
+        sample_step, (zeros, zeros, zeros),
+        jnp.arange(0, spp, S, dtype=jnp.int32))
     inv = 1.0 / spp
     return (rad.reshape(height, width, 3) * inv,
             alb.reshape(height, width, 3) * inv,
