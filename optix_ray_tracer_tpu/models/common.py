@@ -230,6 +230,23 @@ def refit_or_choose(prev, scene):
     return choose_intersector(scene)
 
 
+def rebuild_or_choose(prev, scene):
+    """Per-FILE intersector: device-side full rebuild (fresh Morton order,
+    jittable — ops.sweep.rebuild_clusters) when shapes allow, host build
+    otherwise.  The buildGAS-per-file analog without the host round trip."""
+    from optix_ray_tracer_tpu.ops.march import (
+        MarchIntersector, rebuild_march_intersector,
+    )
+    from optix_ray_tracer_tpu.utils.debug import maybe_validate_accel
+
+    if (isinstance(prev, MarchIntersector)
+            and scene.triangle_count == prev.num_tris):
+        intersector = rebuild_march_intersector(prev, scene)
+        maybe_validate_accel(intersector, scene)
+        return intersector
+    return choose_intersector(scene)
+
+
 def render_frame(config: RendererConfig, scene, materials, camera,
                  width: int, height: int, spp: int, seed: int,
                  intersector, env=None, textures=None, lights=None,

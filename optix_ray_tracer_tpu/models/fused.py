@@ -30,10 +30,20 @@ _CHUNK_BYTES = 192 * 1024 * 1024
 
 
 def chunk_size(width: int, height: int, n_frames: int) -> int:
-    """Frames per fused dispatch, bounded by output-buffer memory
-    (3 float32 RGB buffers per frame)."""
+    """Frames per fused dispatch: the largest DIVISOR of ``n_frames``
+    within the memory cap (3 float32 RGB output buffers per frame).
+
+    Divisors keep every chunk of a file the same shape — a shrinking
+    tail chunk would trigger a second multi-minute XLA compile of the
+    whole fused scan, and a clamped (padded) tail would re-render frames
+    at ~100x the cost of the dispatch overhead fusion saves."""
     per_frame = width * height * 3 * 4 * 3
-    return max(1, min(n_frames, 16, _CHUNK_BYTES // max(per_frame, 1)))
+    cap = max(1, min(16, _CHUNK_BYTES // max(per_frame, 1)))
+    best = 1
+    for c in range(1, cap + 1):
+        if n_frames % c == 0:
+            best = c
+    return best
 
 
 def _mesh_scene(fd, k, extra_spheres, extra_triangles, has_extras: bool):
@@ -122,12 +132,21 @@ def fused_chunk(fd, ks, seeds, base_inter, materials, camera,
 
 
 def render_frames_fused(data, mode: str, file_data_fn, width: int,
-                        height: int, spp: int, max_frames, loop: bool):
+                        height: int, spp: int, max_frames, loop: bool,
+                        fetch_guides: bool = False):
     """Shared fused render loop for both frontends: yields
     (file_index, frame_index, Film).
 
     ``file_data_fn(data, fi, n_frames) -> fd dict`` supplies the per-file
-    arrays consumed by the scene builders above."""
+    arrays consumed by the scene builders above.
+
+    Transfer policy (the tunnel D2H path runs ~35 MB/s — measured to cost
+    2x the COMPUTE of a 1200x800 chunk): chunks are software-pipelined
+    (chunk k+1 is dispatched before chunk k is fetched, overlapping
+    device compute with the host transfer), and the albedo/normal guide
+    buffers are only fetched when ``fetch_guides`` is set — the in-loop
+    denoiser already consumed them ON DEVICE (fused_chunk), and the
+    animation consumer (Film.save) reads only the image."""
     import numpy as np
 
     from optix_ray_tracer_tpu.models import common
@@ -136,52 +155,94 @@ def render_frames_fused(data, mode: str, file_data_fn, width: int,
 
     cfg = data.config
     ld = cfg.loop_data
-    produced = 0
-    lights = None
     bg = jnp.asarray(cfg.background, jnp.float32)
-    while True:
-        for fi in range(data.file_count):
-            n_frames = common.frame_count_for_file(
-                data.durations[fi], ld.fps, ld.render_speed_ratio)
-            # build once per file (buildGAS analog); refit happens in-scan
-            from optix_ray_tracer_tpu.models import (
-                renderer_mesh, renderer_time,
-            )
-            frontend = renderer_mesh if mode == "mesh" else renderer_time
-            scene0 = frontend.frame_scene(data, fi, 0, n_frames)
-            if produced == 0:
-                lights = common.collect_lights(cfg, scene0, data.materials)
-            base_inter = common.choose_intersector(scene0)
-            use_march = isinstance(base_inter, MarchIntersector)
-            fd = file_data_fn(data, fi, n_frames)
-            chunk = chunk_size(width, height, n_frames)
-            for k0 in range(0, n_frames, chunk):
-                kn = min(k0 + chunk, n_frames)
-                ks = jnp.arange(k0, kn, dtype=jnp.float32)
-                seeds = jnp.arange(
-                    cfg.seed + produced, cfg.seed + produced + (kn - k0),
-                    dtype=jnp.int32)
-                imgs, albs, nrms = fused_chunk(
-                    fd, ks, seeds, base_inter, data.materials, data.camera,
-                    data.extra_spheres, data.extra_triangles, data.env,
-                    data.textures, lights, bg,
-                    mode=mode, width=width, height=height, spp=spp,
-                    integrator=cfg.integrator, do_denoise=cfg.denoise,
-                    max_depth=cfg.max_depth, use_march=use_march,
-                    has_extras=bool(data.extra_triangles.count),
-                    euler_path=getattr(data, "reference_euler_path", False))
-                imgs = np.asarray(imgs)
-                albs = np.asarray(albs)
-                nrms = np.asarray(nrms)
-                for j in range(kn - k0):
-                    film = Film.create(width, height).add(
-                        imgs[j], albs[j], nrms[j], spp)
-                    yield fi, k0 + j, film
-                    produced += 1
-                    if max_frames is not None and produced >= max_frames:
+    state = {"lights": None, "base": None}
+
+    def dispatch_chunks():
+        """Dispatch fused chunks asynchronously; yields
+        (fi, k0, chunk, device outputs)."""
+        planned = 0
+        while True:
+            for fi in range(data.file_count):
+                n_frames = common.frame_count_for_file(
+                    data.durations[fi], ld.fps, ld.render_speed_ratio)
+                # per-file build (buildGAS analog, RendererMesh.cu:93-167):
+                # host cluster build ONCE for the series' padded shapes,
+                # then a DEVICE-side rebuild (fresh Morton order + refit,
+                # jitted) per file — short files otherwise drown in host
+                # build + D2H/H2D costs; refit happens in-scan per frame
+                from optix_ray_tracer_tpu.models import (
+                    renderer_mesh, renderer_time,
+                )
+                frontend = renderer_mesh if mode == "mesh" else renderer_time
+                scene0 = frontend.frame_scene(data, fi, 0, n_frames)
+                if state["lights"] is None:
+                    state["lights"] = common.collect_lights(
+                        cfg, scene0, data.materials)
+                if state["base"] is None:
+                    state["base"] = common.choose_intersector(scene0)
+                elif isinstance(state["base"], MarchIntersector):
+                    from optix_ray_tracer_tpu.ops.march import (
+                        rebuild_march_intersector,
+                    )
+                    state["base"] = rebuild_march_intersector(
+                        state["base"], scene0)
+                else:
+                    state["base"] = common.choose_intersector(scene0)
+                use_march = isinstance(state["base"], MarchIntersector)
+                fd = file_data_fn(data, fi, n_frames)
+                chunk = chunk_size(width, height, n_frames)
+                for k0 in range(0, n_frames, chunk):
+                    ks = jnp.arange(k0, k0 + chunk, dtype=jnp.float32)
+                    seeds = jnp.arange(
+                        cfg.seed + planned, cfg.seed + planned + chunk,
+                        dtype=jnp.int32)
+                    out = fused_chunk(
+                        fd, ks, seeds, state["base"], data.materials,
+                        data.camera, data.extra_spheres,
+                        data.extra_triangles, data.env, data.textures,
+                        state["lights"], bg,
+                        mode=mode, width=width, height=height, spp=spp,
+                        integrator=cfg.integrator, do_denoise=cfg.denoise,
+                        max_depth=cfg.max_depth, use_march=use_march,
+                        has_extras=bool(data.extra_triangles.count),
+                        euler_path=getattr(data, "reference_euler_path",
+                                           False))
+                    yield fi, k0, chunk, out
+                    planned += chunk
+                    if max_frames is not None and planned >= max_frames:
                         return
-        if not loop:
-            return
+            if not loop:
+                return
+
+    produced = 0
+
+    def emit(item):
+        nonlocal produced
+        fi, k0, chunk, (imgs, albs, nrms) = item
+        imgs = np.asarray(imgs)
+        if fetch_guides:
+            albs = np.asarray(albs)
+            nrms = np.asarray(nrms)
+        else:
+            albs = nrms = np.zeros_like(imgs)
+        for j in range(chunk):
+            film = Film.create(width, height).add(
+                imgs[j], albs[j], nrms[j], spp)
+            yield fi, k0 + j, film
+            produced += 1
+            if max_frames is not None and produced >= max_frames:
+                return
+
+    prev = None
+    for item in dispatch_chunks():
+        if prev is not None:
+            yield from emit(prev)
+            if max_frames is not None and produced >= max_frames:
+                return
+        prev = item
+    if prev is not None:
+        yield from emit(prev)
 
 
 def mesh_file_data(data, fi: int, n_frames: int) -> dict:

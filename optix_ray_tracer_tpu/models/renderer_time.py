@@ -264,11 +264,11 @@ def render_frames(data: TimeRendererData, width: int | None = None,
 
     produced = 0
     lights = None
+    intersector = None
     while True:
         for fi in range(data.file_count):
             n_frames = common.frame_count_for_file(
                 data.durations[fi], ld.fps, ld.render_speed_ratio)
-            intersector = None
             for k in range(n_frames):
                 scene = frame_scene(data, fi, k, n_frames)
                 if produced == 0:
@@ -276,9 +276,12 @@ def render_frames(data: TimeRendererData, width: int | None = None,
                     # table collected once stays valid for every frame
                     lights = common.collect_lights(cfg, scene, data.materials)
                 # accel policy matching the reference (RendererImpl.cu:
-                # 210-242): full build on the file's first frame, exact
-                # device-side refit for the remaining animation frames
-                intersector = (common.choose_intersector(scene) if k == 0
+                # 210-242): full build on the file's first frame (done on
+                # DEVICE after the first file — fresh Morton order via
+                # rebuild_clusters), exact device-side refit for the
+                # remaining animation frames
+                intersector = (common.rebuild_or_choose(intersector, scene)
+                               if k == 0
                                else common.refit_or_choose(intersector,
                                                            scene))
                 img, alb, nrm = common.render_frame(

@@ -21,7 +21,7 @@ from optix_ray_tracer_tpu.ops.intersect import (
 from optix_ray_tracer_tpu.ops.packet import ray_sort_keys, _sphere_bruteforce_merge
 from optix_ray_tracer_tpu.ops.pallas.block_march import BLOCK_RAYS, block_march
 from optix_ray_tracer_tpu.ops.sweep import (
-    ClusterSet, build_clusters, refit_clusters,
+    ClusterSet, build_clusters, rebuild_clusters, refit_clusters,
 )
 from optix_ray_tracer_tpu.scene.geometry import Scene
 from optix_ray_tracer_tpu.utils.vecmath import INF
@@ -144,6 +144,24 @@ def make_march_intersector(scene: Scene) -> MarchIntersector:
         num_tris=int(tv.shape[0]))
 
 
+def rebuild_march_intersector(prev: MarchIntersector,
+                              scene: Scene) -> MarchIntersector:
+    """Device-side full rebuild (fresh Morton order + refit, jittable) —
+    the per-file buildGAS analog; see ops.sweep.rebuild_clusters.  Same
+    triangle-count requirement as refit."""
+    tv = scene.triangles.vertices
+    if tv.shape[0] != prev.num_tris:
+        raise ValueError(
+            f"rebuild requires the original triangle count ({prev.num_tris});"
+            f" got {tv.shape[0]} — use make_march_intersector")
+    return MarchIntersector(
+        clusters=rebuild_clusters(prev.clusters, tv),
+        scene_lo=jnp.min(tv, axis=(0, 1)),
+        scene_hi=jnp.max(tv, axis=(0, 1)),
+        num_tris=prev.num_tris,
+        sort_mode=prev.sort_mode)
+
+
 def refit_march_intersector(prev: MarchIntersector,
                             scene: Scene) -> MarchIntersector:
     """Per-frame refit (device-side, jittable): new vertex positions, same
@@ -157,4 +175,5 @@ def refit_march_intersector(prev: MarchIntersector,
         clusters=refit_clusters(prev.clusters, tv),
         scene_lo=jnp.min(tv, axis=(0, 1)),
         scene_hi=jnp.max(tv, axis=(0, 1)),
-        num_tris=prev.num_tris)
+        num_tris=prev.num_tris,
+        sort_mode=prev.sort_mode)

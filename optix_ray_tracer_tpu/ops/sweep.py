@@ -658,3 +658,27 @@ def refit_clusters(clusters: ClusterSet, tri_vertices) -> ClusterSet:
                       prim_index=order,
                       cluster_min=cmin, cluster_max=cmax,
                       sub_min=smin, sub_max=smax)
+
+
+@jax.jit
+def rebuild_clusters(clusters: ClusterSet, tri_vertices) -> ClusterSet:
+    """Device-side REBUILD: fresh Morton order + refit, fully jittable.
+
+    The per-file buildGAS analog (reference builds new GAS sets per
+    animation file, src/Global/RendererMesh.cu:93-167) for animation
+    series where geometry changes every file: a host `build_clusters`
+    costs a D2H fetch + host sort + H2D per file, which dominates short
+    files; this one keeps everything on device.  Cull quality equals a
+    fresh build (the Morton order IS recomputed — unlike `refit_clusters`
+    which only refits boxes in the stale order)."""
+    n = tri_vertices.shape[0]
+    n_pad = clusters.woop.shape[0]
+    tv = jnp.asarray(tri_vertices, jnp.float32)
+    cents = jnp.mean(tv, axis=1)
+    codes = morton_codes(cents, jnp.min(tv, axis=(0, 1)),
+                         jnp.max(tv, axis=(0, 1)))
+    order = jnp.argsort(codes).astype(jnp.int32)
+    order_pad = jnp.concatenate(
+        [order, jnp.zeros(n_pad - n, jnp.int32)]) if n_pad > n else order
+    return refit_clusters(
+        dataclasses.replace(clusters, prim_index=order_pad), tv)

@@ -140,3 +140,54 @@ class TestMarch:
                                       np.asarray(h2.prim_id))
         np.testing.assert_allclose(np.asarray(h1.t), np.asarray(h2.t),
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestRebuild:
+    def test_rebuild_exact_after_motion(self):
+        """Device-side rebuild (fresh Morton order + refit, jittable)
+        stays exact vs the oracle after violent motion, and its cull
+        order matches a fresh host build (same Morton codes)."""
+        from optix_ray_tracer_tpu.ops.march import rebuild_march_intersector
+        v, n = sphere_with_n_triangles(5000)
+        scene0 = Scene(spheres=Spheres.empty(),
+                       triangles=Triangles.from_arrays(v, n))
+        mi = make_march_intersector(scene0)
+
+        rot = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]], np.float32)
+        v2 = (v.reshape(-1, 3) @ rot.T).reshape(v.shape)
+        v2 = v2 * np.array([0.5, 1.9, 1.1], np.float32) + \
+            np.array([-1.0, 2.0, 0.3], np.float32)
+        scene1 = Scene(spheres=Spheres.empty(),
+                       triangles=Triangles.from_arrays(v2, n))
+        mi2 = rebuild_march_intersector(mi, scene1)
+
+        cam = Camera.look_at((3, 2, 0.8), (-1, 2, 0.3), (0, 0, 1))
+        o, d = cam.generate_rays(32, 24)
+        o = o.reshape(-1, 3)
+        d = d.reshape(-1, 3)
+        h1 = mi2(scene1, o, d)
+        h2 = intersect_scene_bruteforce(scene1, o, d)
+        assert np.asarray(h2.is_hit).mean() > 0.2
+        np.testing.assert_array_equal(np.asarray(h1.prim_id),
+                                      np.asarray(h2.prim_id))
+        np.testing.assert_allclose(np.asarray(h1.t), np.asarray(h2.t),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_rebuild_matches_host_build(self):
+        """The device rebuild reproduces a fresh host build's cluster
+        boxes (same Morton order) on the moved geometry."""
+        from optix_ray_tracer_tpu.ops.march import rebuild_march_intersector
+        v, n = sphere_with_n_triangles(2000)
+        v2 = v + np.array([0.3, -0.2, 0.1], np.float32)
+        scene1 = Scene(spheres=Spheres.empty(),
+                       triangles=Triangles.from_arrays(v2, n))
+        mi0 = make_march_intersector(
+            Scene(spheres=Spheres.empty(),
+                  triangles=Triangles.from_arrays(v, n)))
+        dev = rebuild_march_intersector(mi0, scene1)
+        host = make_march_intersector(scene1)
+        np.testing.assert_allclose(np.asarray(dev.clusters.cluster_min),
+                                   np.asarray(host.clusters.cluster_min),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(dev.clusters.prim_index),
+                                      np.asarray(host.clusters.prim_index))
