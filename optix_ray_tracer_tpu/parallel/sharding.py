@@ -121,9 +121,14 @@ def render_sharded(scene, materials, camera, width: int, height: int,
         shard_fn, mesh=mesh,
         in_specs=(replicated, replicated, replicated, replicated),
         out_specs=P("tile", None, None),
-        # the integrator's scan carries mix replicated inits with varying
-        # updates; skip the varying-manual-axes checker (semantics are
-        # unaffected — every output row band is device-local by construction)
+        # varying-manual-axes checker off: it demands pvary/pcast variance
+        # annotations on every scan carry INSIDE the single-device
+        # integrators and intersectors (e.g. the Hit carry in
+        # ops/intersect.py), leaking sharding concerns into device-local
+        # code.  The guarantee the checker would give is covered by tests
+        # instead: tests/test_sharding.py asserts bit-identical images vs
+        # single-device execution across mesh shapes for BOTH the
+        # brute-force and the production block-march intersectors
         check_vma=False)
     return fn(scene, materials, camera, intersector)
 

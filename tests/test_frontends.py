@@ -162,3 +162,46 @@ class TestTimeFrontend:
         # max shape size, so most slots are zeroed padding
         n_degenerate = (np.abs(v).sum(axis=(1, 2)) == 0).sum()
         assert n_degenerate > 0
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference data not mounted")
+class TestFusedEquivalence:
+    """The fused chunk pipeline (models/fused.py: divisor chunking,
+    software-pipelined transfers, device rebuild per file) must produce
+    the SAME images as the per-frame fallback loop."""
+
+    @pytest.fixture(scope="class")
+    def data(self):
+        with open(f"{REF}/config.json") as f:
+            raw = json.load(f)
+        raw["series-name"] = "particle-short.vtk.series"
+        raw["series-path"] = REF
+        raw["stl-path"] = f"{REF}/shape/separated/"
+        raw["loop-data"]["window-width"] = 32
+        raw["loop-data"]["window-height"] = 24
+        # 0.01 s * 200 fps * 9 ratio = 18 frames/file -> chunk 9: two
+        # chunks per file, exercising the chunk pipeline + a file
+        # boundary (device rebuild) inside max_frames
+        raw["loop-data"]["fps"] = 200
+        raw["loop-data"]["render-speed-ratio"] = 9
+        cfg = parse_config_dict(raw, base_dir=REF)
+        return renderer_time.commit(cfg)
+
+    def test_fused_matches_per_frame(self, data):
+        n = 20  # spans 2 chunks of file 0 + the start of file 1
+        fused_frames = [(fi, k, film.mean())
+                        for fi, k, film in renderer_time.render_frames(
+                            data, max_frames=n)]
+        # a no-op update hook forces the per-frame fallback path
+        renderer_time.set_update_fn(data, lambda spheres, k: None)
+        try:
+            plain_frames = [(fi, k, film.mean())
+                            for fi, k, film in renderer_time.render_frames(
+                                data, max_frames=n)]
+        finally:
+            data.update_fn = None
+        assert [(a, b) for a, b, _ in fused_frames] == \
+               [(a, b) for a, b, _ in plain_frames]
+        for (_, _, fa), (_, _, fb) in zip(fused_frames, plain_frames):
+            np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
+                                       rtol=1e-5, atol=1e-6)
