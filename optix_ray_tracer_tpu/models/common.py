@@ -193,14 +193,19 @@ def pad_stack(arrays: list[np.ndarray], pad_value=0.0) -> np.ndarray:
 def choose_intersector(scene):
     """Per-frame intersector choice for the render loops.
 
-    Small scenes: chunked brute force (optimal under jit, no overhead).
-    Larger scenes: the fused Pallas block marcher (ops/march.py) — all its
-    ops (sort + one pallas call) are safe under an outer jit, unlike the
-    per-lane-stack BVH path which faults at large wavefronts on TPU.
+    On TPU the fused Pallas block marcher wins at EVERY measured size
+    (512x512 camera wave, on-chip best-of-3: 29.5 vs 43 ms already at
+    256 triangles, 40 vs 2098 ms at 16k) — its ops (sort + one pallas
+    call) are safe under an outer jit, unlike the per-lane-stack BVH
+    path which faults at large wavefronts.  On CPU the kernel runs in
+    interpret mode, so small scenes stay on chunked brute force.
     """
+    import jax
+
     from optix_ray_tracer_tpu.utils.debug import maybe_validate_accel
 
-    if scene.triangle_count < 1024:
+    threshold = 1024 if jax.default_backend() == "cpu" else 1
+    if scene.triangle_count < threshold:
         return None  # brute force
     from optix_ray_tracer_tpu.ops.march import make_march_intersector
     intersector = make_march_intersector(scene)
