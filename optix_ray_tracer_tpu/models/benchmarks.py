@@ -178,11 +178,15 @@ ALL_CONFIGS = {
 
 
 def run(config: dict, spp: int | None = None, width: int | None = None,
-        height: int | None = None, use_packets: bool = True, seed: int = 0):
-    """Execute a benchmark config; returns (image, stats dict)."""
+        height: int | None = None, seed: int = 0):
+    """Execute a benchmark config; returns (image, stats dict).
 
-    from optix_ray_tracer_tpu.ops.packet import make_packet_intersector
-    from optix_ray_tracer_tpu.ops.traverse import make_intersector
+    Uses the production intersector policy (models.common.choose_intersector:
+    fused Pallas block marcher on TPU, brute force for small scenes on CPU)."""
+
+    import jax.numpy as jnp
+
+    from optix_ray_tracer_tpu.models.common import choose_intersector
     from optix_ray_tracer_tpu.render import pathtracer, wavefront
 
     scene = config["scene"]
@@ -191,10 +195,7 @@ def run(config: dict, spp: int | None = None, width: int | None = None,
     s = spp or config["spp"]
 
     t0 = time.perf_counter()
-    if use_packets and scene.triangle_count >= 64:
-        intersector = make_packet_intersector(scene)
-    else:
-        intersector = make_intersector(scene)
+    intersector = choose_intersector(scene)
     build_s = time.perf_counter() - t0
 
     kwargs = dict(width=w, height=h, spp=s, seed=seed,
@@ -209,7 +210,9 @@ def run(config: dict, spp: int | None = None, width: int | None = None,
         img, alb, nrm = wavefront.render(
             scene, config["materials"], config["camera"],
             background=config["background"], env=config.get("env"), **kwargs)
-    img.block_until_ready()
+    # host-fetch sync: block_until_ready does not block on the tunneled
+    # runtime (PERF.md)
+    float(jnp.sum(img[::16, ::16]))
     render_s = time.perf_counter() - t0
 
     stats = dict(name=config["name"], width=w, height=h, spp=s,

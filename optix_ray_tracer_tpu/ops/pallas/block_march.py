@@ -92,8 +92,16 @@ def _slab_rows(boxes, rays, inv_d, tmin, n_rows, n_valid, W):
 
 
 def _make_kernel(C_pad: int, n_clusters: int, max_visits: int,
-                 any_hit: bool, W: int, n_subs: int):
+                 any_hit: bool, W: int, n_subs: int,
+                 instanced: bool = False):
     def kernel(rays_ref, boxes_ref, *rest):
+        if instanced:
+            # TLAS mode: rows of boxes/entries are (instance, library
+            # cluster) PAIRS; pair_shape maps a pair to its library
+            # cluster (the DMA index), pair_inst to its instance, whose
+            # world->object affine rows live in inst_ref
+            (pair_shape_ref, pair_inst_ref, inst_ref), rest = \
+                rest[:3], rest[3:]
         if n_subs > 1:
             (sub_boxes_ref, woop_ref, out_ref, entry_ref, sub_entry_ref,
              bt_ref, slot_ref, tri_scratch, sem) = rest
@@ -150,8 +158,9 @@ def _make_kernel(C_pad: int, n_clusters: int, max_visits: int,
             return c, kmin < _INF_BITS
 
         def start_dma(c, slot):
+            lib_c = pair_shape_ref[c, 0] if instanced else c
             return pltpu.make_async_copy(
-                woop_ref.at[c], tri_scratch.at[slot], sem.at[slot])
+                woop_ref.at[lib_c], tri_scratch.at[slot], sem.at[slot])
 
         def cond(state):
             visit, _, _, cur_ok = state
@@ -181,18 +190,48 @@ def _make_kernel(C_pad: int, n_clusters: int, max_visits: int,
                 # is not)
                 step = CLUSTER_TRIS // n_subs
 
+                if instanced:
+                    # rigid(+uniform scale) per-instance ray transform:
+                    # o' = A (o - b), d' = A d with A = R^T / s.  t is the
+                    # SAME parameter in both spaces (d' unnormalized), so
+                    # tmin/best-t comparisons stay in world units.
+                    iid = pair_inst_ref[cur_c, 0]
+                    m = inst_ref[pl.ds(iid, 1), :]           # (1, 128)
+
+                    def _mc(k):
+                        return m[0:1, k:k + 1]               # (1, 1)
+
+                    wx = rays[0:1, :] - _mc(9)
+                    wy = rays[1:2, :] - _mc(10)
+                    wz = rays[2:3, :] - _mc(11)
+                    o4v = jnp.concatenate(
+                        [_mc(0) * wx + _mc(1) * wy + _mc(2) * wz,
+                         _mc(3) * wx + _mc(4) * wy + _mc(5) * wz,
+                         _mc(6) * wx + _mc(7) * wy + _mc(8) * wz,
+                         -jnp.ones((1, W), jnp.float32)], axis=0)
+                    dx = rays[3:4, :]
+                    dy = rays[4:5, :]
+                    dz = rays[5:6, :]
+                    d_v = jnp.concatenate(
+                        [_mc(0) * dx + _mc(1) * dy + _mc(2) * dz,
+                         _mc(3) * dx + _mc(4) * dy + _mc(5) * dz,
+                         _mc(6) * dx + _mc(7) * dy + _mc(8) * dz], axis=0)
+                else:
+                    o4v = o4
+                    d_v = d_rows
+
                 def test_part(part):
                     ws = tri_scratch[slot, :,
                                      part * step:(part + 1) * step]
                     dot = partial(jax.lax.dot_general,
                                   dimension_numbers=dn_t, precision=hp,
                                   preferred_element_type=jnp.float32)
-                    opx = dot(ws[0:4], o4)
-                    opy = dot(ws[4:8], o4)
-                    opz = dot(ws[8:12], o4)
-                    dpx = dot(ws[0:3], d_rows)
-                    dpy = dot(ws[4:7], d_rows)
-                    dpz = dot(ws[8:11], d_rows)
+                    opx = dot(ws[0:4], o4v)
+                    opy = dot(ws[4:8], o4v)
+                    opz = dot(ws[8:12], o4v)
+                    dpx = dot(ws[0:3], d_v)
+                    dpy = dot(ws[4:7], d_v)
+                    dpz = dot(ws[8:11], d_v)
                     safe = jnp.where(jnp.abs(dpz) > 1e-12, dpz, 1e-12)
                     t = -opz / safe
                     uu = opx + t * dpx
@@ -257,19 +296,29 @@ def _make_kernel(C_pad: int, n_clusters: int, max_visits: int,
 
 
 @partial(jax.jit, static_argnames=("c_pad", "n_clusters",
-                                   "max_visits", "any_hit", "w", "n_subs"))
+                                   "max_visits", "any_hit", "w", "n_subs",
+                                   "instanced"))
 def _march_call(rays_packed_t, boxes, sub_boxes, woop, c_pad: int,
                 n_clusters: int, max_visits: int,
                 any_hit: bool = False, w: int = BLOCK_RAYS,
-                n_subs: int = 1):
+                n_subs: int = 1, instanced: bool = False,
+                pair_shape=None, pair_inst=None, inst_rows=None):
     """rays_packed_t: (8, R) transposed ray state, R % w == 0."""
     nb = rays_packed_t.shape[1] // w
-    kernel = _make_kernel(c_pad, n_clusters, max_visits, any_hit, w, n_subs)
+    kernel = _make_kernel(c_pad, n_clusters, max_visits, any_hit, w,
+                          n_subs, instanced)
     in_specs = [
         pl.BlockSpec((8, w), lambda b: (0, b), memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),           # cluster boxes
     ]
     inputs = [rays_packed_t, boxes]
+    if instanced:
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # pair -> lib cluster
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # pair -> instance
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # instance affines
+        ]
+        inputs += [pair_shape, pair_inst, inst_rows]
     if n_subs > 1:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # sub boxes
         inputs.append(sub_boxes)
@@ -435,3 +484,89 @@ def block_march(clusters, o, d, t_min, t_max, any_hit: bool = False,
     u = jnp.where(miss, 0.0, u)
     v = jnp.where(miss, 0.0, v)
     return t, slot, u, v
+
+
+def block_march_instanced(pair_min, pair_max, sub_min, sub_max,
+                          pair_shape, pair_inst, inst_rows, lib_woop_t,
+                          lib_woop, o, d, t_min, t_max,
+                          any_hit: bool = False):
+    """Instance-level (TLAS) nearest-hit query.
+
+    The march is the same block-wide nearest-first loop as
+    :func:`block_march`, but each cull row is an (instance, library
+    cluster) PAIR: the DMA fetches the pair's OBJECT-space library
+    cluster (geometry stored once per shape, reference RendererTime.cu:
+    176-182), and the visit transforms the ray block into that
+    instance's object space (rigid + uniform scale; reference per-frame
+    IAS transforms, RendererImpl.cu:174-242).
+
+    pair_min/pair_max: (Cp, 3) world AABBs per pair (refit per frame);
+    sub_min/sub_max: (Cp*N_SUBS, 3) world sub-box AABBs;
+    pair_shape/pair_inst: (Cp,) int32; inst_rows: (P, 128) float32 rows
+    [A(9), b(3), 0...] of the world->object affine o' = A (o - b);
+    lib_woop_t: (S_clusters, 16, CLUSTER_TRIS); lib_woop: flat (S*CHUNK,
+    12) object-space rows for the post-march u/v recompute.
+
+    Returns (t, slot, u, v): slot = pair * CLUSTER_TRIS + row (-1 miss);
+    the caller maps slot -> (instance, library triangle).
+    """
+    C = pair_min.shape[0]
+    if C > MAX_CLUSTERS:
+        raise ValueError(f"{C} instance pairs exceed {MAX_CLUSTERS}")
+    c_pad = ((C + 7) // 8) * 8
+    boxes = _pad_boxes(pair_min, pair_max, c_pad - C)
+    n_subs = N_SUBS if (N_SUBS > 1 and
+                        c_pad * N_SUBS * BLOCK_RAYS * 4
+                        <= _SUB_VMEM_BUDGET) else 1
+    if n_subs > 1:
+        sub_boxes = _pad_boxes(sub_min, sub_max, (c_pad - C) * n_subs)
+    else:
+        sub_boxes = boxes
+    ps = jnp.pad(pair_shape.astype(jnp.int32),
+                 (0, c_pad - C)).reshape(-1, 1)
+    pi = jnp.pad(pair_inst.astype(jnp.int32),
+                 (0, c_pad - C)).reshape(-1, 1)
+
+    n = o.shape[0]
+    W = BLOCK_RAYS
+    pad = (-n) % W
+    if pad:
+        o = jnp.pad(o, ((0, pad), (0, 0)))
+        d = jnp.pad(d, ((0, pad), (0, 0)))
+        d = d.at[n:, 2].set(1.0)
+        t_min = jnp.pad(t_min, (0, pad), constant_values=1.0)
+        t_max = jnp.pad(t_max, (0, pad), constant_values=0.0)
+    t_max = jnp.minimum(t_max, INF)
+    rays_packed_t = jnp.concatenate(
+        [o.T, d.T, t_min[None, :], t_max[None, :]], axis=0)
+    out = _march_call(rays_packed_t, boxes, sub_boxes, lib_woop_t,
+                      c_pad=c_pad, n_clusters=C, max_visits=C + 1,
+                      any_hit=any_hit, w=W, n_subs=n_subs,
+                      instanced=True, pair_shape=ps, pair_inst=pi,
+                      inst_rows=inst_rows)
+    out = jnp.swapaxes(out, 1, 2).reshape(-1, 2)[:n]
+    t = out[:, 0]
+    slotf = out[:, 1]
+    miss = slotf < 0.0
+    slot = jnp.where(miss, -1, slotf.astype(jnp.int32))
+    t = jnp.where(miss, INF, t)
+    if any_hit:
+        return t, slot, jnp.zeros_like(t), jnp.zeros_like(t)
+    # u/v for the winner: transform the ray into the winning instance's
+    # object space, then evaluate its library Woop row (one (R, 12) +
+    # one (R, 128) gather)
+    pair = jnp.maximum(slot, 0) // CLUSTER_TRIS
+    row = jnp.maximum(slot, 0) % CLUSTER_TRIS
+    lib_slot = pair_shape[jnp.minimum(pair, C - 1)] * CLUSTER_TRIS + row
+    w_rows = lib_woop[lib_slot]
+    m = inst_rows[pair_inst[jnp.minimum(pair, C - 1)], :12]  # (R, 12)
+    A = m[:, :9].reshape(-1, 3, 3)
+    b = m[:, 9:12]
+    o_obj = jnp.einsum("rij,rj->ri", A, o[:n] - b)
+    d_obj = jnp.einsum("rij,rj->ri", A, d[:n])
+    t_safe = jnp.where(miss, 0.0, t)
+    u = (jnp.einsum("ri,ri->r", w_rows[:, 0:3], o_obj) - w_rows[:, 9]
+         + t_safe * jnp.einsum("ri,ri->r", w_rows[:, 0:3], d_obj))
+    v = (jnp.einsum("ri,ri->r", w_rows[:, 3:6], o_obj) - w_rows[:, 10]
+         + t_safe * jnp.einsum("ri,ri->r", w_rows[:, 3:6], d_obj))
+    return (t, slot, jnp.where(miss, 0.0, u), jnp.where(miss, 0.0, v))

@@ -246,3 +246,22 @@ class TestViewer:
                 assert req.status == code
         finally:
             urllib.request.urlopen(f"{base}/quit", timeout=5)
+
+
+class TestBenchmarkConfigs:
+    def test_run_config1(self):
+        from optix_ray_tracer_tpu.models import benchmarks
+        cfg = benchmarks.ALL_CONFIGS[1]()
+        (img, alb, nrm), stats = benchmarks.run(cfg, spp=2, width=64,
+                                                height=48)
+        assert img.shape == (48, 64, 3)
+        assert stats["spp_per_sec"] > 0
+        assert not np.isnan(np.asarray(img)).any()
+
+    def test_run_config4_cornell(self):
+        from optix_ray_tracer_tpu.models import benchmarks
+        cfg = benchmarks.ALL_CONFIGS[4]()
+        (img, _, _), stats = benchmarks.run(cfg, spp=2, width=48, height=48)
+        assert stats["triangles"] > 0
+        # light patch should be bright, floor lit
+        assert float(np.asarray(img).max()) > 0.5
