@@ -53,9 +53,6 @@ _CID_MASK = (1 << _CID_BITS) - 1
 MAX_CLUSTERS = 1 << _CID_BITS
 _INF_BITS = 0x7F800000   # bit pattern of float32 +inf
 
-# VMEM budget for the (C_pad, W) entry matrix when auto-sizing W
-_ENTRY_VMEM_BUDGET = 6 * 1024 * 1024
-
 # debug knobs (bisecting Mosaic device faults): pick implementation and
 # triangle-test granularity
 PICK_MODE = "float"      # "float" (2 syncs) | "packed" (1 sync; TPU-FAULTS)
