@@ -140,3 +140,42 @@ class TestInstancedTLAS:
             # few hundred bytes per instance, library bytes are constant
             assert inter.library.woop_t.nbytes == library.woop_t.nbytes
             assert per_frame < lib_bytes * (1 + P // 50)
+
+    def test_refit_tracks_moving_instances(self):
+        """Refitting the pair boxes for new poses keeps queries exact —
+        the per-frame updateIAS analog of the TLAS path."""
+        import dataclasses as dc
+
+        lib, offsets, counts = _library((150,))
+        library = build_instanced_library(lib, offsets, counts)
+        rot, shift = _random_poses(8, seed=2, spread=4.0)
+        inter = make_instanced_intersector(library, [0] * 8, rot, shift)
+
+        # move: translate + new rotations
+        rot2, _ = _random_poses(8, seed=7)
+        shift2 = shift + np.asarray([1.5, -0.5, 2.0], np.float32)
+        from optix_ray_tracer_tpu.ops.instanced import refit_instanced
+        pmin, pmax, smin, smax, rows = refit_instanced(
+            library, inter.pair_shape, inter.pair_inst,
+            jnp.asarray(rot2), jnp.asarray(shift2), jnp.float32(1.0),
+            jnp.ones((8,), bool))
+        inter2 = dc.replace(inter, pair_min=pmin, pair_max=pmax,
+                            sub_min=smin, sub_max=smax, inst_rows=rows,
+                            scene_lo=pmin.min(0), scene_hi=pmax.max(0))
+
+        flat, _ = _flatten(lib, offsets, counts, [0] * 8, rot2, shift2, 1.0)
+        scene = Scene(spheres=Spheres.empty(),
+                      triangles=Triangles.from_arrays(flat))
+        rng = np.random.default_rng(4)
+        o = jnp.asarray(rng.uniform(-3, 6, (384, 3)).astype(np.float32))
+        dd = rng.normal(size=(384, 3)).astype(np.float32)
+        dd /= np.linalg.norm(dd, axis=-1, keepdims=True)
+        d = jnp.asarray(dd)
+        hit, _ = inter2.intersect(o, d)
+        ref = intersect_scene_bruteforce(scene, o, d)
+        np.testing.assert_array_equal(np.asarray(hit.is_hit),
+                                      np.asarray(ref.is_hit))
+        m = np.asarray(hit.is_hit)
+        np.testing.assert_allclose(np.asarray(hit.t)[m],
+                                   np.asarray(ref.t)[m],
+                                   rtol=2e-4, atol=2e-5)
