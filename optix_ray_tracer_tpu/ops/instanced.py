@@ -34,7 +34,7 @@ import numpy as np
 from optix_ray_tracer_tpu.ops.intersect import DEFAULT_T_MIN, Hit, \
     PRIM_NONE, PRIM_TRIANGLE
 from optix_ray_tracer_tpu.ops.pallas.block_march import (
-    BLOCK_RAYS, CLUSTER_TRIS, block_march_instanced,
+    CLUSTER_TRIS, block_march_instanced,
 )
 from optix_ray_tracer_tpu.ops.sweep import SUBS_PER_CLUSTER, build_clusters
 from optix_ray_tracer_tpu.utils.vecmath import INF
