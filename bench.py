@@ -164,9 +164,13 @@ def main() -> None:
     dti = min(measure_inc() for _ in range(3))
     print(f"incoherent: {R / dti / 1e6:.2f} Mrays/s", file=sys.stderr)
 
-    label = "primary+shadow Mrays/sec/chip, 100k-tri mesh, 1024x1024"
+    # methodology in the label: the number is min over 3 measurements of a
+    # 5-dispatch pipelined average (PERF.md "bench step jitted")
+    label = ("primary+shadow Mrays/sec/chip, 100k-tri mesh, 1024x1024 "
+             "(best-of-3, 5-rep pipelined avg)")
     if args.shard and n_dev > 1:
-        label = f"primary+shadow Mrays/sec ({n_dev} devices), 100k-tri mesh"
+        label = (f"primary+shadow Mrays/sec ({n_dev} devices), 100k-tri "
+                 f"mesh (best-of-3, 5-rep pipelined avg)")
     print(json.dumps({
         "metric": label,
         "value": round(mrays, 2),

@@ -92,9 +92,13 @@ def main(argv=None) -> int:
         return _run_progressive(frontend, data, config, args, out_dir)
 
     n = 0
+    # quantize=True: frames leave the device as sRGB uint8 (4 B/pixel,
+    # the reference's float4->uchar4 conversion, RendererImpl.cu:672-678)
+    # — the PNG writer needs nothing more, and the ~35 MB/s tunnel fetch
+    # is the dominant per-frame cost (PERF.md)
     for fi, k, film in frontend.render_frames(
             data, width=args.width, height=args.height, spp=args.spp,
-            max_frames=args.frames, loop=args.loop):
+            max_frames=args.frames, loop=args.loop, quantize=True):
         path = os.path.join(out_dir, f"frame_{n:06d}.png")
         film.save(path)
         LOG.info("file %d frame %d -> %s (spp=%d)", fi, k, path, int(film.spp))

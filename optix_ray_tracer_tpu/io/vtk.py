@@ -1,8 +1,11 @@
-"""Pure-Python legacy-VTK ASCII POLYDATA parser.
+"""Pure-Python legacy-VTK POLYDATA parser (ASCII and BINARY).
 
 Replaces the reference's VTK 9.5 dependency (``src/Util/VTKReaderImpl.cpp``,
-a GCC-compiled TU deliberately isolated from nvcc).  We parse only what the
-renderer consumes:
+a GCC-compiled TU deliberately isolated from nvcc).  The reference reads
+files through vtkPolyDataReader, which accepts ASCII *and* binary legacy
+payloads (``VTKReaderImpl.cpp:27-63``); both forms are supported here —
+binary payloads are big-endian per the legacy spec.  We parse only what
+the renderer consumes:
 
 * Time mode (``readVTKTimeFile``, VTKReaderImpl.cpp:140-248): per-point
   position + POINT_DATA arrays ``id`` (int), ``quat`` (4 doubles, w-x-y-z),
@@ -202,9 +205,224 @@ def parse_polydata(text: str) -> PolyData:
     return pd
 
 
+# ---------------------------------------------------------------------------
+# Binary legacy payloads (big-endian, per the legacy-VTK spec)
+# ---------------------------------------------------------------------------
+
+class _BinCursor:
+    """Byte cursor over a legacy BINARY file: ASCII section-header lines
+    interleaved with raw big-endian payloads."""
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def line(self) -> str | None:
+        """Next non-empty ASCII line (None at EOF)."""
+        while self.pos < len(self.data):
+            end = self.data.find(b"\n", self.pos)
+            if end < 0:
+                end = len(self.data)
+            raw = self.data[self.pos:end]
+            self.pos = end + 1
+            text = raw.decode("ascii", errors="replace").strip()
+            if text:
+                return text
+        return None
+
+    def raw(self, count: int, dtype) -> np.ndarray:
+        """``count`` big-endian values of ``dtype``; skips the trailing
+        newline the legacy writer emits after every binary payload."""
+        be = np.dtype(dtype).newbyteorder(">")
+        nbytes = count * be.itemsize
+        if self.pos + nbytes > len(self.data):
+            raise VTKParseError("unexpected end of binary payload")
+        arr = np.frombuffer(self.data, be, count, self.pos)
+        self.pos += nbytes
+        if self.pos < len(self.data) and self.data[self.pos:self.pos + 1] == b"\n":
+            self.pos += 1
+        return arr.astype(np.dtype(dtype))
+
+
+def _read_cells_binary(cur: _BinCursor, header: list[str]) -> list[np.ndarray]:
+    n_cells = int(header[1])
+    total = int(header[2])
+    vals = cur.raw(total, np.int32).astype(np.int64)
+    cells = []
+    pos = 0
+    for _ in range(n_cells):
+        cnt = int(vals[pos])
+        cells.append(vals[pos + 1: pos + 1 + cnt])
+        pos += 1 + cnt
+    if pos != total:
+        raise VTKParseError("cell section size mismatch")
+    return cells
+
+
+def parse_polydata_binary(data: bytes) -> PolyData:
+    """Parse a legacy BINARY VTK POLYDATA payload (big-endian)."""
+    cur = _BinCursor(data)
+    first = cur.line() or ""
+    if not first.startswith("# vtk DataFile"):
+        raise VTKParseError("not a legacy VTK file")
+    cur.line()  # free comment line
+    fmt = (cur.line() or "").upper()
+    if fmt != "BINARY":
+        raise VTKParseError(f"expected BINARY, got {fmt}")
+    ds = (cur.line() or "").upper().split()
+    if ds[:2] != ["DATASET", "POLYDATA"]:
+        raise VTKParseError("only DATASET POLYDATA supported")
+
+    pd = PolyData(points=np.zeros((0, 3)), vertices=[], lines=[],
+                  polygons=[], triangle_strips=[], point_data={}, cell_data={})
+    attr_target: dict[str, np.ndarray] | None = None
+    attr_count = 0
+
+    while True:
+        header = cur.line()
+        if header is None:
+            break
+        parts = header.split()
+        kw = parts[0].upper()
+        if kw == "POINTS":
+            n = int(parts[1])
+            dtype = _DTYPES.get(parts[2].lower(), np.float64)
+            pd.points = cur.raw(3 * n, dtype).astype(np.float64).reshape(n, 3)
+        elif kw in ("VERTICES", "LINES", "POLYGONS", "TRIANGLE_STRIPS"):
+            cells = _read_cells_binary(cur, parts)
+            setattr(pd, kw.lower(), cells)
+        elif kw == "POINT_DATA":
+            attr_count = int(parts[1])
+            attr_target = pd.point_data
+        elif kw == "CELL_DATA":
+            attr_count = int(parts[1])
+            attr_target = pd.cell_data
+        elif kw == "SCALARS":
+            if attr_target is None:
+                raise VTKParseError("SCALARS outside POINT_DATA/CELL_DATA")
+            name = parts[1]
+            dtype = _DTYPES.get(parts[2].lower(), np.float64)
+            ncomp = int(parts[3]) if len(parts) > 3 else 1
+            # the spec requires a LOOKUP_TABLE line before binary scalars
+            save = cur.pos
+            nxt = cur.line()
+            if nxt is None or not nxt.upper().startswith("LOOKUP_TABLE"):
+                cur.pos = save
+            vals = cur.raw(attr_count * ncomp, dtype)
+            if ncomp > 1:
+                attr_target[name] = vals.astype(np.float64).reshape(
+                    attr_count, ncomp)
+            else:
+                attr_target[name] = vals
+        elif kw in ("VECTORS", "NORMALS"):
+            if attr_target is None:
+                raise VTKParseError(f"{kw} outside POINT_DATA/CELL_DATA")
+            name = parts[1]
+            dtype = _DTYPES.get(parts[2].lower(), np.float64)
+            attr_target[name] = cur.raw(attr_count * 3, dtype).astype(
+                np.float64).reshape(attr_count, 3)
+        elif kw == "FIELD":
+            narrays = int(parts[2])
+            for _ in range(narrays):
+                ah = (cur.line() or "").split()
+                if len(ah) < 4:
+                    raise VTKParseError("bad FIELD array header")
+                name, ncomp, ntup = ah[0], int(ah[1]), int(ah[2])
+                dtype = _DTYPES.get(ah[3].lower(), np.float64)
+                vals = cur.raw(ncomp * ntup, dtype).astype(np.float64)
+                if attr_target is not None:
+                    attr_target[name] = vals.reshape(ntup, ncomp) \
+                        if ncomp > 1 else vals
+        elif kw == "LOOKUP_TABLE":
+            n = int(parts[2])
+            cur.raw(4 * n, np.uint8)
+        elif kw == "METADATA":
+            # skip INFORMATION blocks (ASCII even in binary files)
+            pass
+        elif kw in ("INFORMATION", "NAME", "DATA"):
+            pass
+        else:
+            raise VTKParseError(f"unsupported VTK section: {kw}")
+    return pd
+
+
 def read_polydata(path) -> PolyData:
-    with open(path, "r", errors="replace") as f:
-        return parse_polydata(f.read())
+    """Read a legacy VTK POLYDATA file, ASCII or BINARY (auto-detected
+    from the format line, like vtkPolyDataReader)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    # format marker is the 3rd line
+    head = data.split(b"\n", 3)
+    fmt = head[2].strip().upper() if len(head) > 2 else b""
+    if fmt == b"BINARY":
+        return parse_polydata_binary(data)
+    return parse_polydata(data.decode("ascii", errors="replace"))
+
+
+_DTYPE_NAMES = {np.dtype(v).name: k for k, v in _DTYPES.items()
+                if k != "bit"}
+
+
+def write_polydata(path, pd: PolyData, binary: bool = True,
+                   comment: str = "optix_ray_tracer_tpu export") -> None:
+    """Write a PolyData as a legacy VTK file (BINARY big-endian by default,
+    ASCII otherwise).  Covers the sections the parsers read: POINTS (double),
+    cell blocks, and SCALARS/VECTORS attribute arrays.  Exists so binary
+    ingestion is round-trip testable without the VTK library."""
+    out = bytearray()
+
+    def text(s: str) -> None:
+        out.extend(s.encode("ascii") + b"\n")
+
+    def payload(arr: np.ndarray, dtype) -> None:
+        if binary:
+            out.extend(np.ascontiguousarray(
+                arr, np.dtype(dtype).newbyteorder(">")).tobytes() + b"\n")
+        else:
+            flat = np.asarray(arr).reshape(-1)
+            if np.issubdtype(np.dtype(dtype), np.integer):
+                text(" ".join(str(int(v)) for v in flat))
+            else:
+                text(" ".join(repr(float(v)) for v in flat))
+
+    text("# vtk DataFile Version 2.0")
+    text(comment)
+    text("BINARY" if binary else "ASCII")
+    text("DATASET POLYDATA")
+    text(f"POINTS {pd.num_points} double")
+    payload(pd.points, np.float64)
+    for kw in ("vertices", "lines", "polygons", "triangle_strips"):
+        cells = getattr(pd, kw)
+        if not cells:
+            continue
+        flat = np.concatenate(
+            [np.concatenate(([len(c)], c)) for c in cells]).astype(np.int32)
+        text(f"{kw.upper()} {len(cells)} {flat.size}")
+        payload(flat, np.int32)
+
+    for label, attrs, count in (("POINT_DATA", pd.point_data, pd.num_points),
+                                ("CELL_DATA", pd.cell_data, pd.num_cells)):
+        if not attrs:
+            continue
+        text(f"{label} {count}")
+        for name, arr in attrs.items():
+            arr = np.asarray(arr)
+            if arr.ndim == 2 and arr.shape[1] == 3 and \
+                    np.issubdtype(arr.dtype, np.floating):
+                text(f"VECTORS {name} double")
+                payload(arr, np.float64)
+            elif arr.ndim == 2:
+                text(f"SCALARS {name} double {arr.shape[1]}")
+                text("LOOKUP_TABLE default")
+                payload(arr, np.float64)
+            else:
+                tname = _DTYPE_NAMES.get(arr.dtype.name, "double")
+                text(f"SCALARS {name} {tname}")
+                text("LOOKUP_TABLE default")
+                payload(arr, arr.dtype)
+    with open(path, "wb") as f:
+        f.write(bytes(out))
 
 
 # ---------------------------------------------------------------------------

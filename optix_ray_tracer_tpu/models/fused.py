@@ -29,15 +29,17 @@ from optix_ray_tracer_tpu.scene.geometry import Scene, Triangles
 _CHUNK_BYTES = 192 * 1024 * 1024
 
 
-def chunk_size(width: int, height: int, n_frames: int) -> int:
+def chunk_size(width: int, height: int, n_frames: int,
+               bytes_per_pixel: int = 36) -> int:
     """Frames per fused dispatch: the largest DIVISOR of ``n_frames``
-    within the memory cap (3 float32 RGB output buffers per frame).
+    within the memory cap (``bytes_per_pixel`` of stacked output per
+    frame: 36 = 3 float32 RGB buffers, 4 = one quantized uint8 RGBA).
 
     Divisors keep every chunk of a file the same shape — a shrinking
     tail chunk would trigger a second multi-minute XLA compile of the
     whole fused scan, and a clamped (padded) tail would re-render frames
     at ~100x the cost of the dispatch overhead fusion saves."""
-    per_frame = width * height * 3 * 4 * 3
+    per_frame = width * height * bytes_per_pixel
     cap = max(1, min(16, _CHUNK_BYTES // max(per_frame, 1)))
     best = 1
     for c in range(1, cap + 1):
@@ -80,16 +82,25 @@ def _time_scene(fd, k, extra_spheres, extra_triangles, has_extras: bool,
 
 @partial(jax.jit, static_argnames=(
     "mode", "width", "height", "spp", "integrator", "do_denoise",
-    "max_depth", "use_march", "has_extras", "euler_path"))
+    "max_depth", "use_march", "has_extras", "euler_path", "quantize",
+    "want_guides"))
 def fused_chunk(fd, ks, seeds, base_inter, materials, camera,
                 extra_spheres, extra_triangles, env, textures, lights,
                 background, *, mode: str, width: int, height: int,
                 spp: int, integrator: str, do_denoise: bool,
                 max_depth: int, use_march: bool, has_extras: bool,
-                euler_path: bool = False):
+                euler_path: bool = False, quantize: bool = False,
+                want_guides: bool = True):
     """Render frames ``ks`` (float32 frame indices) of one animation file
-    in a single dispatch.  Returns stacked (imgs, albedos, normals), each
-    (len(ks), H, W, 3).
+    in a single dispatch.
+
+    Returns a tuple of stacked outputs: the image stack — (len(ks), H, W,
+    3) float32 linear, or with ``quantize`` (len(ks), H, W, 4) sRGB uint8
+    quantized ON DEVICE (the reference's float4->uchar4 kernel,
+    RendererImpl.cu:672-678) — followed, when ``want_guides``, by the
+    (len(ks), H, W, 3) albedo and normal guide stacks.  Dropping the
+    guides (the animation default: the in-loop denoiser consumes them on
+    device) keeps them out of the chunk's output memory budget entirely.
 
     ``fd`` is the per-file data dict (equal shapes across files, so one
     compile serves the whole series)."""
@@ -125,7 +136,10 @@ def fused_chunk(fd, ks, seeds, base_inter, materials, camera,
         if do_denoise:
             from optix_ray_tracer_tpu.render.denoise import denoise
             img = denoise.__wrapped__(img, alb, nrm)
-        return carry, (img, alb, nrm)
+        if quantize:
+            from optix_ray_tracer_tpu.utils.color import color_to_uint8
+            img = color_to_uint8(img)
+        return carry, (img, alb, nrm) if want_guides else (img,)
 
     _, out = jax.lax.scan(step, None, (ks, seeds))
     return out
@@ -133,9 +147,10 @@ def fused_chunk(fd, ks, seeds, base_inter, materials, camera,
 
 def render_frames_fused(data, mode: str, file_data_fn, width: int,
                         height: int, spp: int, max_frames, loop: bool,
-                        fetch_guides: bool = False):
+                        fetch_guides: bool = False,
+                        quantize: bool = False):
     """Shared fused render loop for both frontends: yields
-    (file_index, frame_index, Film).
+    (file_index, frame_index, Film) — or (…, U8Frame) with ``quantize``.
 
     ``file_data_fn(data, fi, n_frames) -> fd dict`` supplies the per-file
     arrays consumed by the scene builders above.
@@ -143,16 +158,23 @@ def render_frames_fused(data, mode: str, file_data_fn, width: int,
     Transfer policy (the tunnel D2H path runs ~35 MB/s — measured to cost
     2x the COMPUTE of a 1200x800 chunk): chunks are software-pipelined
     (chunk k+1 is dispatched before chunk k is fetched, overlapping
-    device compute with the host transfer), and the albedo/normal guide
-    buffers are only fetched when ``fetch_guides`` is set — the in-loop
-    denoiser already consumed them ON DEVICE (fused_chunk), and the
-    animation consumer (Film.save) reads only the image."""
+    device compute with the host transfer); with ``quantize`` frames are
+    sRGB-quantized to uint8 ON DEVICE and fetched at 4 B/pixel; and the
+    albedo/normal guide buffers are only computed as chunk outputs and
+    fetched when ``fetch_guides`` is set — the in-loop denoiser already
+    consumed them ON DEVICE (fused_chunk).  Without ``fetch_guides`` the
+    yielded Films carry ZERO guide channels (documented API contract;
+    the per-frame fallback in the frontends always carries real guides).
+    """
     import numpy as np
 
     from optix_ray_tracer_tpu.models import common
     from optix_ray_tracer_tpu.ops.march import MarchIntersector
-    from optix_ray_tracer_tpu.render.film import Film
+    from optix_ray_tracer_tpu.render.film import Film, U8Frame
 
+    if quantize and fetch_guides:
+        raise ValueError("quantize yields U8Frames, which carry no guide "
+                         "channels — use fetch_guides with quantize=False")
     cfg = data.config
     ld = cfg.loop_data
     bg = jnp.asarray(cfg.background, jnp.float32)
@@ -179,19 +201,14 @@ def render_frames_fused(data, mode: str, file_data_fn, width: int,
                 if state["lights"] is None:
                     state["lights"] = common.collect_lights(
                         cfg, scene0, data.materials)
-                if state["base"] is None:
-                    state["base"] = common.choose_intersector(scene0)
-                elif isinstance(state["base"], MarchIntersector):
-                    from optix_ray_tracer_tpu.ops.march import (
-                        rebuild_march_intersector,
-                    )
-                    state["base"] = rebuild_march_intersector(
-                        state["base"], scene0)
-                else:
-                    state["base"] = common.choose_intersector(scene0)
+                # rebuild_or_choose degrades to a fresh build if a frontend
+                # ever yields per-file scenes with differing padded counts
+                state["base"] = common.rebuild_or_choose(
+                    state["base"], scene0)
                 use_march = isinstance(state["base"], MarchIntersector)
                 fd = file_data_fn(data, fi, n_frames)
-                chunk = chunk_size(width, height, n_frames)
+                bpp = (4 if quantize else 12) + (24 if fetch_guides else 0)
+                chunk = chunk_size(width, height, n_frames, bpp)
                 for k0 in range(0, n_frames, chunk):
                     ks = jnp.arange(k0, k0 + chunk, dtype=jnp.float32)
                     seeds = jnp.arange(
@@ -207,7 +224,8 @@ def render_frames_fused(data, mode: str, file_data_fn, width: int,
                         max_depth=cfg.max_depth, use_march=use_march,
                         has_extras=bool(data.extra_triangles.count),
                         euler_path=getattr(data, "reference_euler_path",
-                                           False))
+                                           False),
+                        quantize=quantize, want_guides=fetch_guides)
                     yield fi, k0, chunk, out
                     planned += chunk
                     if max_frames is not None and planned >= max_frames:
@@ -219,17 +237,23 @@ def render_frames_fused(data, mode: str, file_data_fn, width: int,
 
     def emit(item):
         nonlocal produced
-        fi, k0, chunk, (imgs, albs, nrms) = item
-        imgs = np.asarray(imgs)
+        fi, k0, chunk, out = item
+        imgs = np.asarray(out[0])
         if fetch_guides:
-            albs = np.asarray(albs)
-            nrms = np.asarray(nrms)
+            albs = np.asarray(out[1])
+            nrms = np.asarray(out[2])
         else:
-            albs = nrms = np.zeros_like(imgs)
+            albs = nrms = None
         for j in range(chunk):
-            film = Film.create(width, height).add(
-                imgs[j], albs[j], nrms[j], spp)
-            yield fi, k0 + j, film
+            if quantize:
+                frame = U8Frame(imgs[j], spp)
+            else:
+                z = np.zeros_like(imgs[j])
+                frame = Film.create(width, height).add(
+                    imgs[j],
+                    albs[j] if albs is not None else z,
+                    nrms[j] if nrms is not None else z, spp)
+            yield fi, k0 + j, frame
             produced += 1
             if max_frames is not None and produced >= max_frames:
                 return

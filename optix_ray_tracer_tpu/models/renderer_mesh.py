@@ -190,13 +190,22 @@ def frame_scene(data: MeshRendererData, file_index: int, frame_index: int,
 def render_frames(data: MeshRendererData, width: int | None = None,
                   height: int | None = None, spp: int | None = None,
                   max_frames: int | None = None,
-                  loop: bool = False) -> Iterator[tuple[int, int, Film]]:
+                  loop: bool = False, fetch_guides: bool = False,
+                  quantize: bool = False) -> Iterator[tuple[int, int, Film]]:
     """The render loop (startRender parity, headless): yields
     (file_index, frame_index, Film) per frame.
 
     Animation pacing follows the reference: frames per file =
     duration * fps * renderSpeedRatio (RendererMesh.cu:370-371); ``loop``
     repeats the series cyclically like the reference's animation loop.
+
+    Guide-channel contract: the default fused path yields Films whose
+    albedo/normal guide channels are ZERO (the in-loop denoiser consumed
+    the guides on device) — pass ``fetch_guides=True`` to fetch real
+    guides per frame.  The per-frame fallback (update_fn installed or
+    debug mode) always carries real guides.  ``quantize=True`` yields
+    :class:`~optix_ray_tracer_tpu.render.film.U8Frame` (device-quantized
+    sRGB uint8, the animation fast path) instead of Films.
     """
     cfg = data.config
     ld = cfg.loop_data
@@ -212,7 +221,7 @@ def render_frames(data: MeshRendererData, width: int | None = None,
         from optix_ray_tracer_tpu.models import fused
         yield from fused.render_frames_fused(
             data, "mesh", fused.mesh_file_data, width, height, spp,
-            max_frames, loop)
+            max_frames, loop, fetch_guides=fetch_guides, quantize=quantize)
         return
 
     produced = 0
@@ -243,6 +252,9 @@ def render_frames(data: MeshRendererData, width: int | None = None,
                     intersector=intersector, env=data.env,
                     textures=data.textures, lights=lights)
                 film = Film.create(width, height).add(img, alb, nrm, spp)
+                if quantize:
+                    from optix_ray_tracer_tpu.render.film import U8Frame
+                    film = U8Frame(film.to_uint8(), spp)
                 yield fi, k, film
                 produced += 1
                 if max_frames is not None and produced >= max_frames:

@@ -243,8 +243,18 @@ def frame_scene(data: TimeRendererData, file_index: int, frame_index: int,
 def render_frames(data: TimeRendererData, width: int | None = None,
                   height: int | None = None, spp: int | None = None,
                   max_frames: int | None = None,
-                  loop: bool = False) -> Iterator[tuple[int, int, Film]]:
-    """startRender parity (headless): yields (file_index, frame_index, Film)."""
+                  loop: bool = False, fetch_guides: bool = False,
+                  quantize: bool = False) -> Iterator[tuple[int, int, Film]]:
+    """startRender parity (headless): yields (file_index, frame_index, Film).
+
+    Guide-channel contract: the default fused path yields Films whose
+    albedo/normal guide channels are ZERO (the in-loop denoiser consumed
+    the guides on device) — pass ``fetch_guides=True`` to fetch real
+    guides per frame.  The per-frame fallback (update_fn installed or
+    debug mode) always carries real guides.  ``quantize=True`` yields
+    :class:`~optix_ray_tracer_tpu.render.film.U8Frame` (device-quantized
+    sRGB uint8, the animation fast path) instead of Films.
+    """
     cfg = data.config
     ld = cfg.loop_data
     width = width or ld.window_width
@@ -252,14 +262,17 @@ def render_frames(data: TimeRendererData, width: int | None = None,
     spp = spp or cfg.spp
 
     from optix_ray_tracer_tpu.utils.debug import DEBUG_MODE
-    if data.update_fn is None and not DEBUG_MODE and data.file_count:
+    if (data.update_fn is None and not DEBUG_MODE and data.file_count
+            and data.library.num_shapes > 0):
         # fused path: refit+render+denoise for a whole frame chunk in one
         # dispatch (models/fused.py) — the per-frame host loop below pays
-        # the ~6 ms dispatch floor several times per frame
+        # the ~6 ms dispatch floor several times per frame.  Empty shape
+        # libraries stay on the per-frame path, which has the explicit
+        # Triangles.empty() branch (frame_scene above).
         from optix_ray_tracer_tpu.models import fused
         yield from fused.render_frames_fused(
             data, "time", fused.time_file_data, width, height, spp,
-            max_frames, loop)
+            max_frames, loop, fetch_guides=fetch_guides, quantize=quantize)
         return
 
     produced = 0
@@ -290,6 +303,9 @@ def render_frames(data: TimeRendererData, width: int | None = None,
                     intersector=intersector, env=data.env,
                     textures=data.textures, lights=lights)
                 film = Film.create(width, height).add(img, alb, nrm, spp)
+                if quantize:
+                    from optix_ray_tracer_tpu.render.film import U8Frame
+                    film = U8Frame(film.to_uint8(), spp)
                 yield fi, k, film
                 produced += 1
                 if max_frames is not None and produced >= max_frames:

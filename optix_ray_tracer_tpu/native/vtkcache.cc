@@ -1,4 +1,4 @@
-// Native scene-IO core: fast legacy-VTK ASCII + STL parsing.
+// Native scene-IO core: fast legacy-VTK (ASCII + BINARY) + STL parsing.
 //
 // The counterpart of the reference's C++ parsing layer
 // (src/Util/VTKReaderImpl.cpp — a GCC-compiled TU kept apart from device
@@ -114,6 +114,191 @@ struct PolyData {
     }
 };
 
+// ---- binary legacy payloads (big-endian, per the legacy-VTK spec) ----
+
+struct Bin {
+    const char* p;
+    const char* end;
+    explicit Bin(const char* data, long n) : p(data), end(data + n) {}
+
+    // next non-empty ASCII header line (trimmed); false at EOF
+    bool line(std::string& out) {
+        while (p < end) {
+            const char* nl = static_cast<const char*>(
+                std::memchr(p, '\n', end - p));
+            const char* stop = nl ? nl : end;
+            const char* s = p;
+            p = nl ? nl + 1 : end;
+            while (s < stop && std::isspace(static_cast<unsigned char>(*s))) ++s;
+            const char* e = stop;
+            while (e > s && std::isspace(static_cast<unsigned char>(e[-1]))) --e;
+            if (e > s) { out.assign(s, e - s); return true; }
+        }
+        return false;
+    }
+
+    // raw big-endian payload -> doubles; skips the trailing newline the
+    // legacy writer emits after every binary section
+    bool values(const std::string& dtype, size_t count,
+                std::vector<double>& out) {
+        size_t isize;
+        if (dtype == "float") isize = 4;
+        else if (dtype == "double") isize = 8;
+        else if (dtype == "int" || dtype == "unsigned_int") isize = 4;
+        else if (dtype == "long" || dtype == "unsigned_long") isize = 8;
+        else if (dtype == "short" || dtype == "unsigned_short") isize = 2;
+        else if (dtype == "char" || dtype == "unsigned_char") isize = 1;
+        else { g_error = "unsupported binary dtype: " + dtype; return false; }
+        if (p + count * isize > end) { g_error = "short binary payload"; return false; }
+        out.resize(count);
+        const unsigned char* q = reinterpret_cast<const unsigned char*>(p);
+        for (size_t i = 0; i < count; i++, q += isize) {
+            uint64_t be = 0;
+            for (size_t b = 0; b < isize; b++) be = (be << 8) | q[b];
+            if (dtype == "float") {
+                uint32_t u = static_cast<uint32_t>(be);
+                float f;
+                std::memcpy(&f, &u, 4);
+                out[i] = f;
+            } else if (dtype == "double") {
+                double d;
+                std::memcpy(&d, &be, 8);
+                out[i] = d;
+            } else if (dtype == "int") {
+                out[i] = static_cast<int32_t>(static_cast<uint32_t>(be));
+            } else if (dtype == "short") {
+                out[i] = static_cast<int16_t>(static_cast<uint16_t>(be));
+            } else if (dtype == "char") {
+                out[i] = static_cast<int8_t>(static_cast<uint8_t>(be));
+            } else if (dtype == "long") {
+                out[i] = static_cast<double>(static_cast<int64_t>(be));
+            } else {  // unsigned variants
+                out[i] = static_cast<double>(be);
+            }
+        }
+        p += count * isize;
+        if (p < end && *p == '\n') ++p;
+        return true;
+    }
+};
+
+bool parse_polydata_binary(const char* data, long n, PolyData& pd) {
+    Bin cur(data, n);
+    std::string t;
+    cur.line(t);  // version line (validated by caller)
+    cur.line(t);  // comment line
+    cur.line(t);  // BINARY
+    if (!cur.line(t) || t.compare(0, 7, "DATASET") != 0) {
+        g_error = "missing DATASET";
+        return false;
+    }
+    if (t.find("POLYDATA") == std::string::npos) {
+        g_error = "only POLYDATA";
+        return false;
+    }
+
+    long attr_count = 0;
+    std::vector<std::pair<std::string, PolyData::Attr>>* target = nullptr;
+    std::vector<double> vals;
+
+    auto split = [](const std::string& s) {
+        std::vector<std::string> out;
+        size_t i = 0;
+        while (i < s.size()) {
+            while (i < s.size() && std::isspace(static_cast<unsigned char>(s[i]))) ++i;
+            size_t j = i;
+            while (j < s.size() && !std::isspace(static_cast<unsigned char>(s[j]))) ++j;
+            if (j > i) out.push_back(s.substr(i, j - i));
+            i = j;
+        }
+        return out;
+    };
+
+    std::string header;
+    while (cur.line(header)) {
+        auto parts = split(header);
+        if (parts.empty()) continue;
+        const std::string& kw = parts[0];
+        if (ieq(kw, "POINTS")) {
+            long np_ = std::atol(parts[1].c_str());
+            if (!cur.values(parts[2], static_cast<size_t>(np_) * 3, pd.points))
+                return false;
+        } else if (ieq(kw, "TRIANGLE_STRIPS") || ieq(kw, "VERTICES") ||
+                   ieq(kw, "LINES") || ieq(kw, "POLYGONS")) {
+            bool strips = ieq(kw, "TRIANGLE_STRIPS");
+            long ncells = std::atol(parts[1].c_str());
+            long total = std::atol(parts[2].c_str());
+            if (!cur.values("int", static_cast<size_t>(total), vals))
+                return false;
+            long pos = 0;
+            for (long c = 0; c < ncells; c++) {
+                if (pos >= total) { g_error = "cell size mismatch"; return false; }
+                long cnt = static_cast<long>(vals[pos]);
+                if (pos + 1 + cnt > total) { g_error = "cell size mismatch"; return false; }
+                if (strips) {
+                    std::vector<long> cell(cnt);
+                    for (long k = 0; k < cnt; k++)
+                        cell[k] = static_cast<long>(vals[pos + 1 + k]);
+                    pd.strips.push_back(std::move(cell));
+                }
+                pos += 1 + cnt;
+            }
+            if (pos != total) { g_error = "cell size mismatch"; return false; }
+        } else if (ieq(kw, "POINT_DATA")) {
+            attr_count = std::atol(parts[1].c_str());
+            target = &pd.point_data;
+        } else if (ieq(kw, "CELL_DATA")) {
+            attr_count = std::atol(parts[1].c_str());
+            target = &pd.cell_data;
+        } else if (ieq(kw, "SCALARS")) {
+            if (!target) { g_error = "SCALARS outside data section"; return false; }
+            std::string name = parts[1], dtype = parts[2];
+            int ncomp = parts.size() > 3 ? std::atoi(parts[3].c_str()) : 1;
+            // the spec puts a LOOKUP_TABLE line before binary scalars
+            const char* save = cur.p;
+            std::string maybe;
+            if (cur.line(maybe) && maybe.compare(0, 12, "LOOKUP_TABLE") != 0)
+                cur.p = save;
+            PolyData::Attr a;
+            a.ncomp = ncomp;
+            if (!cur.values(dtype, static_cast<size_t>(attr_count) * ncomp,
+                            a.vals))
+                return false;
+            target->emplace_back(name, std::move(a));
+        } else if (ieq(kw, "VECTORS") || ieq(kw, "NORMALS")) {
+            if (!target) { g_error = "VECTORS outside data section"; return false; }
+            PolyData::Attr a;
+            a.ncomp = 3;
+            if (!cur.values(parts[2], static_cast<size_t>(attr_count) * 3,
+                            a.vals))
+                return false;
+            target->emplace_back(parts[1], std::move(a));
+        } else if (ieq(kw, "FIELD")) {
+            long narrays = std::atol(parts[2].c_str());
+            for (long i = 0; i < narrays; i++) {
+                std::string ah;
+                if (!cur.line(ah)) { g_error = "short FIELD"; return false; }
+                auto ap = split(ah);
+                if (ap.size() < 4) { g_error = "bad FIELD header"; return false; }
+                PolyData::Attr a;
+                a.ncomp = std::atoi(ap[1].c_str());
+                long ntup = std::atol(ap[2].c_str());
+                if (!cur.values(ap[3], static_cast<size_t>(a.ncomp) * ntup,
+                                a.vals))
+                    return false;
+                if (target) target->emplace_back(ap[0], std::move(a));
+            }
+        } else if (ieq(kw, "METADATA") || ieq(kw, "INFORMATION") ||
+                   ieq(kw, "NAME") || ieq(kw, "DATA")) {
+            // skip (ASCII even in binary files)
+        } else {
+            g_error = "unsupported section: " + kw;
+            return false;
+        }
+    }
+    return true;
+}
+
 bool parse_polydata(const char* data, long n, PolyData& pd) {
     Tok tk(data, n);
     // header: "# vtk DataFile ..." line + free comment line
@@ -121,6 +306,16 @@ bool parse_polydata(const char* data, long n, PolyData& pd) {
     if (line0.find("# vtk DataFile") == std::string::npos) {
         g_error = "not a legacy VTK file";
         return false;
+    }
+    // format marker on line 3 selects the payload parser (binary payloads
+    // are big-endian; vtkPolyDataReader accepts both, VTKReaderImpl.cpp:27-63)
+    {
+        Bin probe(data, n);
+        std::string l;
+        probe.line(l);
+        probe.line(l);
+        if (probe.line(l) && ieq(l, "BINARY"))
+            return parse_polydata_binary(data, n, pd);
     }
     tk.skip_line();  // version line
     tk.skip_line();  // comment line

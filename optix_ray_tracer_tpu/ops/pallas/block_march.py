@@ -43,6 +43,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from optix_ray_tracer_tpu.ops.sweep import CHUNK as _SWEEP_CHUNK
+from optix_ray_tracer_tpu.ops.sweep import SUBS_PER_CLUSTER as _SWEEP_SUBS
 from optix_ray_tracer_tpu.utils.vecmath import INF
 
 BLOCK_RAYS = 128         # minimum block granularity callers pad to
@@ -58,6 +60,12 @@ _INF_BITS = 0x7F800000   # bit pattern of float32 +inf
 PICK_MODE = "float"      # "float" (2 syncs) | "packed" (1 sync; TPU-FAULTS)
 N_SUBS = 4               # second-level cull granularity (1 = off); gates
                          # each 128-tri sub-block on any(sub entry < best_t)
+
+# The kernel indexes sub_min/sub_max rows as cur_c * n_subs + part, so the
+# sub-box row layout built by ops.sweep MUST agree with the constants here;
+# retuning either module alone would silently skip sub-blocks with true hits.
+assert CLUSTER_TRIS == _SWEEP_CHUNK, (CLUSTER_TRIS, _SWEEP_CHUNK)
+assert N_SUBS == _SWEEP_SUBS, (N_SUBS, _SWEEP_SUBS)
 # VMEM budget for the (C_pad*N_SUBS, W) sub-entry matrix; past it the
 # kernel falls back to whole-cluster tests
 _SUB_VMEM_BUDGET = 6 * 1024 * 1024

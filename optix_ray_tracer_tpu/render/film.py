@@ -24,6 +24,33 @@ import numpy as np
 from optix_ray_tracer_tpu.utils.color import color_to_uint8, write_png, write_ppm
 
 
+@dataclasses.dataclass(frozen=True)
+class U8Frame:
+    """A frame quantized to sRGB uint8 ON DEVICE before the host fetch —
+    the reference's float4->uchar4 conversion kernel analog
+    (``src/Global/RendererImpl.cu:672-678``).
+
+    The animation fast path yields these instead of :class:`Film`: the
+    tunnel D2H link runs ~35 MB/s, so fetching 4 B/pixel instead of
+    12 B/pixel of float radiance cuts the dominant per-frame transfer
+    cost ~3x (PERF.md).  Carries no linear accumulation state — callers
+    that need radiance/guides ask ``render_frames`` for Films instead
+    (``quantize=False``).
+    """
+    rgba: np.ndarray          # (H, W, 4) uint8, sRGB-encoded
+    spp: int = 1
+
+    def to_uint8(self) -> np.ndarray:
+        return np.asarray(self.rgba)
+
+    def save(self, path: str) -> None:
+        img = self.to_uint8()
+        if path.endswith(".ppm"):
+            write_ppm(path, img)
+        else:
+            write_png(path, img)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Film:

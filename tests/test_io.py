@@ -17,7 +17,8 @@ from optix_ray_tracer_tpu.io.config import ConfigError, load_config, parse_confi
 from optix_ray_tracer_tpu.io.series import load_stl_directory, read_series
 from optix_ray_tracer_tpu.io.stl import read_stl
 from optix_ray_tracer_tpu.io.vtk import (
-    VTKParseError, parse_polydata, read_mesh_file, read_time_file,
+    VTKParseError, parse_polydata, read_mesh_file, read_polydata,
+    read_time_file, write_polydata,
 )
 
 REF = "/root/reference/files"
@@ -66,6 +67,65 @@ class TestPolyData:
         assert len(pd.triangle_strips) == 2
         assert list(pd.cell_data["id"]) == [0, 1]
         np.testing.assert_allclose(pd.cell_data["vel"][1], [0, 0, -2])
+
+
+class TestBinaryVTK:
+    """Binary legacy payloads (big-endian) — vtkPolyDataReader accepts
+    ASCII and binary alike (reference VTKReaderImpl.cpp:27-63)."""
+
+    def _assert_polydata_equal(self, a, b):
+        np.testing.assert_array_equal(a.points, b.points)
+        assert len(a.triangle_strips) == len(b.triangle_strips)
+        for sa, sb in zip(a.triangle_strips, b.triangle_strips):
+            np.testing.assert_array_equal(sa, sb)
+        assert set(a.point_data) == set(b.point_data)
+        assert set(a.cell_data) == set(b.cell_data)
+        for k in a.point_data:
+            np.testing.assert_array_equal(a.point_data[k], b.point_data[k])
+        for k in a.cell_data:
+            np.testing.assert_array_equal(a.cell_data[k], b.cell_data[k])
+
+    def test_write_binary_read_back(self, tmp_path):
+        pd = parse_polydata(MESH_VTK)
+        p = tmp_path / "mesh_bin.vtk"
+        write_polydata(p, pd, binary=True)
+        pd2 = read_polydata(p)
+        self._assert_polydata_equal(pd, pd2)
+        assert pd2.cell_data["id"].dtype == pd.cell_data["id"].dtype
+
+    def test_write_ascii_read_back(self, tmp_path):
+        pd = parse_polydata(MESH_VTK)
+        p = tmp_path / "mesh_ascii.vtk"
+        write_polydata(p, pd, binary=False)
+        self._assert_polydata_equal(pd, read_polydata(p))
+
+    def test_mesh_view_identical_across_formats(self, tmp_path):
+        pa = tmp_path / "a.vtk"
+        pa.write_text(MESH_VTK)
+        pb = tmp_path / "b.vtk"
+        write_polydata(pb, parse_polydata(MESH_VTK), binary=True)
+        ma = read_mesh_file(str(pa))
+        mb = read_mesh_file(str(pb))
+        np.testing.assert_array_equal(ma.ids, mb.ids)
+        np.testing.assert_array_equal(ma.velocities, mb.velocities)
+        for va, vb in zip(ma.vertices, mb.vertices):
+            np.testing.assert_array_equal(va, vb)
+        for na, nb in zip(ma.normals, mb.normals):
+            np.testing.assert_array_equal(na, nb)
+
+    @pytest.mark.skipif(not HAVE_REF, reason="reference data not mounted")
+    def test_reference_time_file_binary_identical(self, tmp_path):
+        src = f"{REF}/particle/particle_000000000000000.vtk"
+        pd = read_polydata(src)
+        dst = tmp_path / "p0_bin.vtk"
+        write_polydata(dst, pd, binary=True)
+        ta = read_time_file(src)
+        tb = read_time_file(str(dst))
+        np.testing.assert_array_equal(ta.positions, tb.positions)
+        np.testing.assert_array_equal(ta.ids, tb.ids)
+        np.testing.assert_array_equal(ta.quats, tb.quats)
+        np.testing.assert_array_equal(ta.velocities, tb.velocities)
+        np.testing.assert_array_equal(ta.shape_ids, tb.shape_ids)
 
 
 @pytest.mark.skipif(not HAVE_REF, reason="reference data not mounted")

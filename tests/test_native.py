@@ -49,9 +49,38 @@ class TestMeshParity:
         with pytest.raises(vtk_py.VTKParseError):
             native_io.read_mesh_file(str(p))
 
+    def test_binary_mesh_parity(self, lib, tmp_path):
+        """The native parser accepts BINARY legacy payloads and produces
+        bit-identical results to the ASCII parse of the same data."""
+        pa = tmp_path / "a.vtk"
+        pa.write_text(MESH_VTK)
+        pb = tmp_path / "b.vtk"
+        vtk_py.write_polydata(pb, vtk_py.parse_polydata(MESH_VTK),
+                              binary=True)
+        a = native_io.read_mesh_file(str(pa))
+        b = native_io.read_mesh_file(str(pb))
+        np.testing.assert_array_equal(a.ids, b.ids)
+        np.testing.assert_array_equal(a.velocities, b.velocities)
+        for va, vb in zip(a.vertices, b.vertices):
+            np.testing.assert_array_equal(va, vb)
+        for na, nb in zip(a.normals, b.normals):
+            np.testing.assert_array_equal(na, nb)
+
 
 @pytest.mark.skipif(not HAVE_REF, reason="reference data not mounted")
 class TestTimeParity:
+    def test_reference_time_file_binary(self, lib, tmp_path):
+        src = f"{REF}/particle/particle_000000000000000.vtk"
+        dst = tmp_path / "p0_bin.vtk"
+        vtk_py.write_polydata(dst, vtk_py.read_polydata(src), binary=True)
+        a = native_io.read_time_file(src)
+        b = native_io.read_time_file(str(dst))
+        np.testing.assert_array_equal(a.positions, b.positions)
+        np.testing.assert_array_equal(a.ids, b.ids)
+        np.testing.assert_array_equal(a.quats, b.quats)
+        np.testing.assert_array_equal(a.velocities, b.velocities)
+        np.testing.assert_array_equal(a.shape_ids, b.shape_ids)
+
     def test_reference_pose_file(self, lib):
         path = f"{REF}/particle/particle_000000000000000.vtk"
         a = vtk_py.read_time_file(path)
