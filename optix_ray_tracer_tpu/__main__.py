@@ -40,6 +40,9 @@ def main(argv=None) -> int:
                     help="checkpoint path for --progressive (resumes if it "
                          "exists)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--shard", action="store_true",
+                    help="tile-shard every animation frame over all "
+                         "jax.devices() (multi-chip render loop)")
     ap.add_argument("--no-denoise", action="store_true",
                     help="bypass the per-frame denoiser (the reference's "
                          "Tab-key analog)")
@@ -96,9 +99,27 @@ def main(argv=None) -> int:
     # the reference's float4->uchar4 conversion, RendererImpl.cu:672-678)
     # — the PNG writer needs nothing more, and the ~35 MB/s tunnel fetch
     # is the dominant per-frame cost (PERF.md)
-    for fi, k, film in frontend.render_frames(
+    if args.shard:
+        import jax
+
+        from optix_ray_tracer_tpu.parallel.animation import (
+            render_frames_sharded,
+        )
+        from optix_ray_tracer_tpu.parallel.sharding import make_mesh
+
+        mesh = make_mesh(tile=len(jax.devices()))
+        LOG.info("sharding frames over %d device(s)", len(jax.devices()))
+        ld = config.loop_data
+        frames = render_frames_sharded(
+            data, "mesh" if config.mesh else "time",
+            args.width or ld.window_width, args.height or ld.window_height,
+            args.spp or config.spp, mesh, max_frames=args.frames,
+            loop=args.loop, quantize=True)
+    else:
+        frames = frontend.render_frames(
             data, width=args.width, height=args.height, spp=args.spp,
-            max_frames=args.frames, loop=args.loop, quantize=True):
+            max_frames=args.frames, loop=args.loop, quantize=True)
+    for fi, k, film in frames:
         path = os.path.join(out_dir, f"frame_{n:06d}.png")
         film.save(path)
         LOG.info("file %d frame %d -> %s (spp=%d)", fi, k, path, int(film.spp))
@@ -109,10 +130,18 @@ def main(argv=None) -> int:
 
 def _run_viewer(frontend, data, config, args, out_dir) -> int:
     """Interactive mode: live fly camera + animation stepping + denoiser
-    toggle (the SDL window loop analog, SDL_GraphicsWindow.cu:79-214)."""
+    toggle (the SDL window loop analog, SDL_GraphicsWindow.cu:79-214).
+
+    Dispatch amortization (PERF.md: ~6 ms dispatch floor dominates small
+    interactive frames): the viewer renders through ``fused_chunk`` —
+    refit + render + denoise + sRGB/uint8 quantization for K look-ahead
+    frames in ONE device dispatch while the camera is idle, dropping to
+    K=1 under input.  Frames leave the device already quantized
+    (4 B/pixel over the ~35 MB/s tunnel)."""
     from optix_ray_tracer_tpu.models import common
     from optix_ray_tracer_tpu.render.viewer import ViewerServer
     from optix_ray_tracer_tpu.utils.color import color_to_uint8
+    from optix_ray_tracer_tpu.utils.debug import DEBUG_MODE
     from optix_ray_tracer_tpu.utils.logging import LOG
     import numpy as np
 
@@ -127,7 +156,8 @@ def _run_viewer(frontend, data, config, args, out_dir) -> int:
             data.durations[fi], ld.fps, ld.render_speed_ratio)
         schedule.extend((fi, k, n_frames) for k in range(n_frames))
 
-    state = {"step": 0, "intersector": None, "key": None, "lights": None}
+    state = {"step": 0, "intersector": None, "key": None, "lights": None,
+             "fd": None}
 
     def render_fn(camera, denoise_on=True, animate=False):
         fi, k, n_frames = schedule[state["step"] % len(schedule)]
@@ -151,12 +181,64 @@ def _run_viewer(frontend, data, config, args, out_dir) -> int:
             denoise_override=denoise_on and config.denoise)
         return np.asarray(color_to_uint8(img))
 
-    LOG.info("interactive viewer: %dx%d", width, height)
+    render_chunk_fn = None
+    if data.file_count and not DEBUG_MODE and data.update_fn is None and \
+            schedule:
+        import jax.numpy as jnp
+
+        from optix_ray_tracer_tpu.models import fused
+        from optix_ray_tracer_tpu.ops.march import MarchIntersector
+
+        mode = "mesh" if config.mesh else "time"
+        file_data_fn = (fused.mesh_file_data if config.mesh
+                        else fused.time_file_data)
+        bg = jnp.asarray(config.background, jnp.float32)
+
+        def render_chunk_fn(camera, chunk, denoise_on, animate):
+            fi, k, n_frames = schedule[state["step"] % len(schedule)]
+            if state["key"] != fi or state["fd"] is None:
+                scene0 = frontend.frame_scene(data, fi, 0, n_frames)
+                state["intersector"] = common.rebuild_or_choose(
+                    state["intersector"], scene0)
+                state["key"] = fi
+                state["fd"] = file_data_fn(data, fi, n_frames)
+                if state["lights"] is None:
+                    state["lights"] = common.collect_lights(
+                        config, scene0, data.materials)
+            if animate:
+                # look-ahead stays inside this file (one compiled shape);
+                # wraps at the file end, the next call moves to file+1
+                ks = [(k + j) % n_frames for j in range(chunk)]
+                state["step"] += chunk
+            else:
+                ks = [k] * chunk     # still camera: seed-varied frames
+            seeds = config.seed + (np.arange(chunk, dtype=np.int32)
+                                   if not animate
+                                   else np.asarray(ks, np.int32))
+            out = fused.fused_chunk(
+                state["fd"], jnp.asarray(ks, jnp.float32),
+                jnp.asarray(seeds), state["intersector"], data.materials,
+                camera, data.extra_spheres, data.extra_triangles,
+                data.env, data.textures, state["lights"], bg,
+                mode=mode, width=width, height=height,
+                spp=args.spp or 1, integrator=config.integrator,
+                do_denoise=bool(denoise_on and config.denoise),
+                max_depth=config.max_depth,
+                use_march=isinstance(state["intersector"],
+                                     MarchIntersector),
+                has_extras=bool(data.extra_triangles.count),
+                euler_path=getattr(data, "reference_euler_path", False),
+                quantize=True, want_guides=False)
+            return np.asarray(out[0])
+
+    LOG.info("interactive viewer: %dx%d%s", width, height,
+             " (chunked dispatch)" if render_chunk_fn else "")
     ViewerServer(data.camera, render_fn, port=args.port,
                  move_speed=ld.camera_speed_stride
                  * ld.camera_initial_speed_ratio * 25,
                  mouse_sensitivity=ld.mouse_sensitivity,
-                 pitch_limit_degree=ld.camera_pitch_limit_degree
+                 pitch_limit_degree=ld.camera_pitch_limit_degree,
+                 render_chunk_fn=render_chunk_fn,
                  ).serve(blocking=True)
     return 0
 

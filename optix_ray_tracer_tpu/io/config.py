@@ -106,6 +106,10 @@ class RendererConfig:
     # denoise every frame like the reference hot loop (RendererImpl.cu:
     # 680-734); the CLI --no-denoise flag is the Tab-bypass analog
     denoise: bool = True
+    # temporal reprojection (SVGF temporal term) in the fused animation
+    # path: history accumulated across frames using the exactly-known
+    # per-instance rigid motion; falls back to spatial-only when off
+    temporal: bool = True
     # extension material lists (reference has only roughs/metals)
     dielectrics: list = dataclasses.field(default_factory=list)   # iors
     emissives: list = dataclasses.field(default_factory=list)     # emission
@@ -234,6 +238,7 @@ def parse_config_dict(data: dict, base_dir: str = ".") -> RendererConfig:
             output_dir=str(data.get("output-dir", "./out")),
             integrator=integrator,
             denoise=bool(data.get("denoise", True)),
+            temporal=bool(data.get("temporal", True)),
             dielectrics=dielectrics, emissives=emissives,
             envmap=envmap, textures_cfg=textures_cfg, meshes=meshes,
             base_dir=base_dir)

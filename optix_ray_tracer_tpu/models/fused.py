@@ -83,14 +83,15 @@ def _time_scene(fd, k, extra_spheres, extra_triangles, has_extras: bool,
 @partial(jax.jit, static_argnames=(
     "mode", "width", "height", "spp", "integrator", "do_denoise",
     "max_depth", "use_march", "has_extras", "euler_path", "quantize",
-    "want_guides"))
+    "want_guides", "temporal"))
 def fused_chunk(fd, ks, seeds, base_inter, materials, camera,
                 extra_spheres, extra_triangles, env, textures, lights,
-                background, *, mode: str, width: int, height: int,
+                background, tstate=None, *, mode: str, width: int,
+                height: int,
                 spp: int, integrator: str, do_denoise: bool,
                 max_depth: int, use_march: bool, has_extras: bool,
                 euler_path: bool = False, quantize: bool = False,
-                want_guides: bool = True):
+                want_guides: bool = True, temporal: bool = False):
     """Render frames ``ks`` (float32 frame indices) of one animation file
     in a single dispatch.
 
@@ -103,9 +104,19 @@ def fused_chunk(fd, ks, seeds, base_inter, materials, camera,
     device) keeps them out of the chunk's output memory budget entirely.
 
     ``fd`` is the per-file data dict (equal shapes across files, so one
-    compile serves the whole series)."""
+    compile serves the whole series).
+
+    ``temporal`` (whitted integrator only; camera must be constant over
+    the chunk): SVGF temporal reprojection across frames using the
+    exactly-known per-instance rigid motion — ``tstate`` is the carried
+    history (render/temporal.py ``empty_state``), and the return becomes
+    ``(outs, final_tstate)`` so history flows across chunks and files."""
     from optix_ray_tracer_tpu.ops.march import refit_march_intersector
     from optix_ray_tracer_tpu.render import pathtracer, wavefront
+
+    if temporal and integrator == "path":
+        raise ValueError("temporal reprojection requires the whitted "
+                         "integrator (aux buffers)")
 
     def step(carry, xs):
         k, seed = xs
@@ -128,12 +139,55 @@ def fused_chunk(fd, ks, seeds, base_inter, materials, camera,
                 height=height, spp=spp, seed=seed, background=background,
                 max_depth=max_depth, intersector=inter, env=env,
                 textures=textures)
+        elif temporal:
+            from optix_ray_tracer_tpu.render import temporal as tmod
+            from optix_ray_tracer_tpu.utils.vecmath import INF, normalize
+
+            img, alb, nrm, (t_g, prim_g) = wavefront.render.__wrapped__(
+                scene, materials, camera, width, height, spp=spp,
+                seed=seed, background=background, max_depth=max_depth,
+                intersector=inter, env=env, want_aux=True)
+            # hit world points via pixel-center rays (sub-pixel jitter
+            # mismatch is far inside the validity tolerances)
+            o_c, d_c = camera.generate_rays(width, height)
+            hit_ok = (t_g < INF)[..., None]
+            x = jnp.where(hit_ok, o_c + t_g[..., None] * d_c, o_c + d_c)
+            if mode == "mesh":
+                from optix_ray_tracer_tpu.models.renderer_mesh import (
+                    prev_world_points,
+                )
+                x_prev = prev_world_points(fd, k, x, prim_g)
+            else:
+                from optix_ray_tracer_tpu.models.renderer_time import (
+                    prev_world_points,
+                )
+                x_prev = prev_world_points(fd, k, x, prim_g,
+                                           euler_path=euler_path)
+            px, py, in_front = tmod.project_to_pixels(
+                camera, x_prev, width, height)
+            prev_t = jnp.linalg.norm(x_prev - camera.center, axis=-1)
+            safe_alb = jnp.maximum(alb, 1e-3)
+            nrm_u = normalize(nrm)
+            blended, carry = tmod.temporal_blend(
+                carry, img / safe_alb, t_g, nrm_u, px, py, prev_t,
+                in_front)
+            if do_denoise:
+                from optix_ray_tracer_tpu.render.denoise import (
+                    filter_irradiance,
+                )
+                # history-adaptive edge-stopping: converged pixels filter
+                # tighter (see filter_irradiance docstring)
+                sig = 1.0 / jnp.sqrt(jnp.maximum(carry["hist"], 1.0))
+                img = filter_irradiance(blended, nrm,
+                                        sigma_color=sig) * safe_alb
+            else:
+                img = blended * safe_alb
         else:
             img, alb, nrm = wavefront.render.__wrapped__(
                 scene, materials, camera, width, height, spp=spp,
                 seed=seed, background=background, max_depth=max_depth,
                 intersector=inter, env=env)
-        if do_denoise:
+        if do_denoise and not temporal:
             from optix_ray_tracer_tpu.render.denoise import denoise
             img = denoise.__wrapped__(img, alb, nrm)
         if quantize:
@@ -141,6 +195,13 @@ def fused_chunk(fd, ks, seeds, base_inter, materials, camera,
             img = color_to_uint8(img)
         return carry, (img, alb, nrm) if want_guides else (img,)
 
+    if temporal:
+        from optix_ray_tracer_tpu.render import temporal as tmod
+
+        init = tstate if tstate is not None \
+            else tmod.empty_state(width, height)
+        final, out = jax.lax.scan(step, init, (ks, seeds))
+        return out, final
     _, out = jax.lax.scan(step, None, (ks, seeds))
     return out
 
@@ -178,7 +239,14 @@ def render_frames_fused(data, mode: str, file_data_fn, width: int,
     cfg = data.config
     ld = cfg.loop_data
     bg = jnp.asarray(cfg.background, jnp.float32)
-    state = {"lights": None, "base": None}
+    # SVGF temporal reprojection (render/temporal.py): fused-path only —
+    # history rides the scan carry across frames, chunks, and files
+    use_temporal = bool(getattr(cfg, "temporal", True)
+                        and cfg.integrator != "path")
+    state = {"lights": None, "base": None, "tstate": None}
+    if use_temporal:
+        from optix_ray_tracer_tpu.render import temporal as tmod
+        state["tstate"] = tmod.empty_state(width, height)
 
     def dispatch_chunks():
         """Dispatch fused chunks asynchronously; yields
@@ -218,14 +286,17 @@ def render_frames_fused(data, mode: str, file_data_fn, width: int,
                         fd, ks, seeds, state["base"], data.materials,
                         data.camera, data.extra_spheres,
                         data.extra_triangles, data.env, data.textures,
-                        state["lights"], bg,
+                        state["lights"], bg, state["tstate"],
                         mode=mode, width=width, height=height, spp=spp,
                         integrator=cfg.integrator, do_denoise=cfg.denoise,
                         max_depth=cfg.max_depth, use_march=use_march,
                         has_extras=bool(data.extra_triangles.count),
                         euler_path=getattr(data, "reference_euler_path",
                                            False),
-                        quantize=quantize, want_guides=fetch_guides)
+                        quantize=quantize, want_guides=fetch_guides,
+                        temporal=use_temporal)
+                    if use_temporal:
+                        out, state["tstate"] = out
                     yield fi, k0, chunk, out
                     planned += chunk
                     if max_frames is not None and planned >= max_frames:

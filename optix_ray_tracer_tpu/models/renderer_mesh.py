@@ -157,6 +157,28 @@ def _frame_world(verts, normals, tri_pid, tri_valid, vels, pmat,
     return world_v, normals, mat
 
 
+def prev_world_points(fd, k, x, prim):
+    """Previous-frame world positions of this frame's hit points (the
+    temporal reprojector's motion model, render/temporal.py).
+
+    Mesh-mode motion is pure translation: particle p moves by
+    velocity * duration / frame_count per frame (RendererMesh.cu:379-391),
+    so the previous position of a point on packed triangle ``prim``
+    (particle ``tri_particle[prim]``) is x - vel * step.  Static extras
+    (prim >= packed count), sphere hits and misses (prim < 0) map to
+    themselves; frame 0 has no intra-file predecessor and maps to itself.
+
+    fd: the fused-path file-data dict (models/fused.py ``mesh_file_data``);
+    x: (..., 3); prim: (...) int32.
+    """
+    t_pack = fd["tri_particle"].shape[0]
+    dynamic = (prim >= 0) & (prim < t_pack) & (k > 0.0)
+    pid = fd["tri_particle"][jnp.clip(prim, 0, max(t_pack - 1, 0))]
+    step = fd["duration"] * fd["inv_frame_count"]
+    x_prev = x - fd["velocities"][pid] * step
+    return jnp.where(dynamic[..., None], x_prev, x)
+
+
 def frame_scene(data: MeshRendererData, file_index: int, frame_index: int,
                 frame_count: int) -> Scene:
     """Build the world-space Scene for one animation frame."""

@@ -164,6 +164,55 @@ def set_update_fn(data: TimeRendererData, fn: Callable) -> None:
     data.update_fn = fn
 
 
+def _instance_poses(pos_cur, quat_cur, quat_next, vel, duration, frame_idx,
+                    inv_frames_minus1, inv_frame_count, particle_shift,
+                    euler_path: bool):
+    """Per-particle rigid pose at (possibly fractional) frame index:
+    rot (P, 3, 3) + shift (P, 3).  The EXACT motion model of the render
+    loop (RendererTime.cu:436-472 semantics) — shared by the frame
+    builder below and the temporal reprojector (``prev_world_points``)."""
+    factor = jnp.clip(frame_idx * inv_frames_minus1, 0.0, 1.0)
+    q = quat_slerp(quat_cur, quat_next,
+                   jnp.broadcast_to(factor, quat_cur.shape[:-1]))
+    if euler_path:
+        rot = rotation_matrix_euler_xyz_degrees(quat_to_euler_degrees(q))
+    else:
+        rot = quat_to_rotation_matrix(q)
+    shift = (pos_cur + vel * (duration * frame_idx * inv_frame_count)
+             + particle_shift[None, :])                       # (P, 3)
+    return rot, shift
+
+
+def prev_world_points(fd, k, x, prim, euler_path: bool = False):
+    """Previous-frame world positions of this frame's hit points.
+
+    The temporal reprojector's motion model (render/temporal.py): the hit
+    point ``x`` on packed triangle ``prim`` belongs to particle
+    ``tri_inst[prim]`` whose rigid pose at ANY frame index is known in
+    closed form — transform to object space with frame k's pose, back to
+    world with frame k-1's.  Static extras (prim >= packed count), sphere
+    hits and misses (prim < 0) map to themselves.
+
+    fd: the fused-path file-data dict (models/fused.py ``time_file_data``);
+    x: (..., 3); prim: (...) int32.
+    """
+    args = (fd["positions"], fd["quats"], fd["quats_next"],
+            fd["velocities"], fd["duration"])
+    tail = (fd["inv_frames_minus1"], fd["inv_frame_count"],
+            fd["particle_shift"], euler_path)
+    rot_k, shift_k = _instance_poses(*args, k, *tail)
+    rot_p, shift_p = _instance_poses(*args, jnp.maximum(k - 1.0, 0.0), *tail)
+
+    t_pack = fd["tri_inst"].shape[0]
+    dynamic = (prim >= 0) & (prim < t_pack)
+    inst = fd["tri_inst"][jnp.clip(prim, 0, max(t_pack - 1, 0))]
+    rk = rot_k[inst]                                         # (..., 3, 3)
+    rp = rot_p[inst]
+    x_obj = jnp.einsum("...ji,...j->...i", rk, x - shift_k[inst])
+    x_prev = jnp.einsum("...ij,...j->...i", rp, x_obj) + shift_p[inst]
+    return jnp.where(dynamic[..., None], x_prev, x)
+
+
 @partial(jax.jit, static_argnames=("euler_path",))
 def _frame_triangles(lib_vertices, lib_normals,
                      tri_lib_idx, tri_inst, tri_ok,
@@ -182,15 +231,9 @@ def _frame_triangles(lib_vertices, lib_normals,
     triangle, particle), so the gather touches exactly the instanced
     triangles — sum of shape sizes, not particles x max shape size.
     """
-    factor = jnp.clip(frame_idx * inv_frames_minus1, 0.0, 1.0)
-    q = quat_slerp(quat_cur, quat_next, jnp.broadcast_to(factor, quat_cur.shape[:-1]))
-    if euler_path:
-        rot = rotation_matrix_euler_xyz_degrees(quat_to_euler_degrees(q))
-    else:
-        rot = quat_to_rotation_matrix(q)
-
-    shift = (pos_cur + vel * (duration * frame_idx * inv_frame_count)
-             + particle_shift[None, :])                       # (P, 3)
+    rot, shift = _instance_poses(
+        pos_cur, quat_cur, quat_next, vel, duration, frame_idx,
+        inv_frames_minus1, inv_frame_count, particle_shift, euler_path)
 
     v = lib_vertices[tri_lib_idx]                             # (T, 3, 3)
     n = lib_normals[tri_lib_idx]

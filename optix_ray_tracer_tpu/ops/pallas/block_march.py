@@ -81,8 +81,16 @@ def choose_block_rays(n_clusters: int) -> int:
     return BLOCK_RAYS
 
 
-def _slab_rows(boxes, rays, inv_d, tmin, n_rows, n_valid, W):
-    """Entry values for (n_rows, W) boxes-vs-rays; INF where missed."""
+# slab-cull row chunk: the pass materializes ~5 (rows, W) f32 temporaries
+# on the Mosaic VMEM stack; unchunked, a 1950-cluster scene's sub-box pass
+# (7808 rows) needs ~22 MB of stack and fails to compile (16 MB VMEM).
+_CULL_ROWS = 512
+
+
+def _slab_rows(boxes, rays, inv_d, tmin, n_rows, n_valid, W,
+               row_offset: int = 0):
+    """Entry values for (n_rows, W) boxes-vs-rays; INF where missed.
+    ``row_offset`` shifts the validity iota when culling a row chunk."""
     ent = jnp.full((n_rows, W), -INF, jnp.float32)
     ext = jnp.full((n_rows, W), INF, jnp.float32)
     for ax in range(3):
@@ -91,14 +99,25 @@ def _slab_rows(boxes, rays, inv_d, tmin, n_rows, n_valid, W):
         ent = jnp.maximum(ent, jnp.minimum(t0, t1))
         ext = jnp.minimum(ext, jnp.maximum(t0, t1))
     ent = jnp.maximum(ent, tmin)
-    rid = jax.lax.broadcasted_iota(jnp.int32, (n_rows, W), 0)
+    rid = jax.lax.broadcasted_iota(jnp.int32, (n_rows, W), 0) + row_offset
     hit = (ent <= ext) & (rid < n_valid)
     return jnp.where(hit, ent, INF)
 
 
+def _cull_into(entry_ref, boxes_ref, rays, inv_d, tmin, total_rows: int,
+               n_valid: int, W: int):
+    """Chunked slab cull: entry_ref[:] = slab(boxes) in _CULL_ROWS blocks,
+    bounding the VMEM stack regardless of cluster count."""
+    for r0 in range(0, total_rows, _CULL_ROWS):
+        rows = min(_CULL_ROWS, total_rows - r0)
+        entry_ref[r0:r0 + rows, :] = _slab_rows(
+            boxes_ref[r0:r0 + rows, :], rays, inv_d, tmin, rows,
+            n_valid, W, row_offset=r0)
+
+
 def _make_kernel(C_pad: int, n_clusters: int, max_visits: int,
                  any_hit: bool, W: int, n_subs: int,
-                 instanced: bool = False):
+                 instanced: bool = False, report_unresolved: bool = False):
     def kernel(rays_ref, boxes_ref, *rest):
         if instanced:
             # TLAS mode: rows of boxes/entries are (instance, library
@@ -119,16 +138,15 @@ def _make_kernel(C_pad: int, n_clusters: int, max_visits: int,
         tmin = rays[6:7, :]
         bt0 = rays[7:8, :]
 
-        # ---- cull ----
-        entry_ref[...] = _slab_rows(boxes_ref[...], rays, inv_d, tmin,
-                                    C_pad, n_clusters, W)
+        # ---- cull (row-chunked; see _CULL_ROWS) ----
+        _cull_into(entry_ref, boxes_ref, rays, inv_d, tmin,
+                   C_pad, n_clusters, W)
         if n_subs > 1:
             # second-level cull: 128-tri sub-block AABBs; the march gates
             # each sub-test on any(sub entry < best_t) — most visits test
             # only 1-2 of the 4 sub-blocks (round-1 on-chip tuning)
-            sub_entry_ref[...] = _slab_rows(
-                sub_boxes_ref[...], rays, inv_d, tmin,
-                C_pad * n_subs, n_clusters * n_subs, W)
+            _cull_into(sub_entry_ref, sub_boxes_ref, rays, inv_d, tmin,
+                       C_pad * n_subs, n_clusters * n_subs, W)
 
         bt_ref[...] = bt0
         slot_ref[...] = jnp.full((1, W), -1.0, jnp.float32)
@@ -290,28 +308,48 @@ def _make_kernel(C_pad: int, n_clusters: int, max_visits: int,
         def _():
             start_dma(c0, 0).start()
 
-        jax.lax.while_loop(
+        final = jax.lax.while_loop(
             cond, body,
             (jnp.int32(0), jnp.zeros((C_pad, 1), jnp.float32), c0, ok0))
 
+        # drain: a visit-cap exit (max_visits < C+1) leaves the prefetched
+        # DMA for the NEXT cluster in flight with no waiter — ending the
+        # kernel with an outstanding copy halts the device
+        visit_f, _, cur_c_f, cur_ok_f = final
+
+        @pl.when(cur_ok_f)
+        def _():
+            start_dma(cur_c_f, jax.lax.rem(visit_f, 2)).wait()
+
         out_ref[0, 0:1, :] = bt_ref[...]
         out_ref[0, 1:2, :] = slot_ref[...]
+        if report_unresolved:
+            # a ray is UNRESOLVED iff some cluster it still needs (entry <
+            # best_t) was never visited — happens only when the visit cap
+            # cut the march short.  `visited` omits the in-flight cur_c on
+            # a cap exit, which errs conservative (ray re-marches later).
+            visited_f = final[1]
+            needs = jnp.any((entry_ref[...] < bt_ref[...])
+                            & (visited_f < 0.5), axis=0, keepdims=True)
+            out_ref[0, 2:3, :] = needs.astype(jnp.float32)
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("c_pad", "n_clusters",
                                    "max_visits", "any_hit", "w", "n_subs",
-                                   "instanced"))
+                                   "instanced", "report_unresolved"))
 def _march_call(rays_packed_t, boxes, sub_boxes, woop, c_pad: int,
                 n_clusters: int, max_visits: int,
                 any_hit: bool = False, w: int = BLOCK_RAYS,
                 n_subs: int = 1, instanced: bool = False,
-                pair_shape=None, pair_inst=None, inst_rows=None):
+                pair_shape=None, pair_inst=None, inst_rows=None,
+                report_unresolved: bool = False):
     """rays_packed_t: (8, R) transposed ray state, R % w == 0."""
     nb = rays_packed_t.shape[1] // w
+    n_rows = 3 if report_unresolved else 2
     kernel = _make_kernel(c_pad, n_clusters, max_visits, any_hit, w,
-                          n_subs, instanced)
+                          n_subs, instanced, report_unresolved)
     in_specs = [
         pl.BlockSpec((8, w), lambda b: (0, b), memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),           # cluster boxes
@@ -340,10 +378,10 @@ def _march_call(rays_packed_t, boxes, sub_boxes, woop, c_pad: int,
     ]
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nb, 2, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb, n_rows, w), jnp.float32),
         grid=(nb,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 2, w), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, n_rows, w), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
         interpret=jax.default_backend() == "cpu",
@@ -355,13 +393,22 @@ def _make_probe_kernel(C_pad: int, n_clusters: int, W: int):
         rays = rays_ref[...]
         inv_d = jnp.where(jnp.abs(rays[3:6, :]) > 1e-12,
                           1.0 / rays[3:6, :], 1e12)
-        entry = _slab_rows(boxes_ref[...], rays, inv_d, rays[6:7, :],
-                           C_pad, n_clusters, W)
-        entry = jnp.where(entry < rays[7:8, :], entry, INF)
-        emin = jnp.min(entry, axis=0, keepdims=True)          # (1, W)
-        cid = jax.lax.broadcasted_iota(jnp.int32, (C_pad, W), 0)
-        first = jnp.min(jnp.where(entry <= emin, cid, C_pad),
-                        axis=0, keepdims=True)
+        # row-chunked like the march cull (VMEM-stack bound at large C);
+        # ties resolve to the lowest cluster id because chunks ascend
+        emin = jnp.full((1, W), INF, jnp.float32)
+        first = jnp.full((1, W), C_pad, jnp.int32)
+        for r0 in range(0, C_pad, _CULL_ROWS):
+            rows = min(_CULL_ROWS, C_pad - r0)
+            entry = _slab_rows(boxes_ref[r0:r0 + rows, :], rays, inv_d,
+                               rays[6:7, :], rows, n_clusters, W,
+                               row_offset=r0)
+            entry = jnp.where(entry < rays[7:8, :], entry, INF)
+            cmin = jnp.min(entry, axis=0, keepdims=True)      # (1, W)
+            cid = jax.lax.broadcasted_iota(jnp.int32, (rows, W), 0) + r0
+            cfirst = jnp.min(jnp.where(entry <= cmin, cid, C_pad),
+                             axis=0, keepdims=True)
+            first = jnp.where(cmin < emin, cfirst, first)
+            emin = jnp.minimum(emin, cmin)
         out_ref[0, :, :] = jnp.where(emin < INF, first, C_pad)
 
     return kernel
@@ -419,7 +466,9 @@ def _pad_boxes(bmin, bmax, pad):
 
 
 def block_march(clusters, o, d, t_min, t_max, any_hit: bool = False,
-                block_rays: int | None = None):
+                block_rays: int | None = None,
+                max_visits: int | None = None,
+                report_unresolved: bool = False):
     """Nearest-hit (or, with ``any_hit``, occlusion) query via the fused
     kernel.
 
@@ -429,6 +478,12 @@ def block_march(clusters, o, d, t_min, t_max, any_hit: bool = False,
     scalar syncs per ray; more union divergence).
     Returns (t, slot, u, v); slot indexes the sorted prim arrays (-1 miss).
     With ``any_hit`` only slot's hit/miss distinction is meaningful.
+
+    ``max_visits`` caps per-block cluster visits (default: exact, C+1);
+    with a cap, results are exact ONLY for rays the kernel resolved —
+    pass ``report_unresolved=True`` to get a 5th return, a bool mask of
+    rays whose march was cut short (the two-pass speculative scheme:
+    resolve most rays in k visits, re-march the compacted remainder).
     """
     C = clusters.num_clusters
     if C > MAX_CLUSTERS:
@@ -442,6 +497,16 @@ def block_march(clusters, o, d, t_min, t_max, any_hit: bool = False,
     W = block_rays or choose_block_rays(C)
     n_subs = N_SUBS if (N_SUBS > 1 and
                         c_pad * N_SUBS * W * 4 <= _SUB_VMEM_BUDGET) else 1
+    if N_SUBS > 1 and n_subs == 1:
+        # trace-time warning (once per compile): past ~3000 clusters the
+        # (C_pad * N_SUBS, W) sub-entry matrix exceeds the VMEM budget and
+        # culling degrades to whole-cluster tests — correct but slower
+        from optix_ray_tracer_tpu.utils.logging import LOG
+        LOG.warning(
+            "block_march: %d clusters exceed the sub-cull VMEM budget "
+            "(%d MB); falling back to whole-cluster tests — expect "
+            "reduced culling precision at this scene size", C,
+            _SUB_VMEM_BUDGET >> 20)
     if n_subs > 1:
         sub_boxes = _pad_boxes(clusters.sub_min, clusters.sub_max,
                                (c_pad - C) * n_subs)
@@ -463,18 +528,25 @@ def block_march(clusters, o, d, t_min, t_max, any_hit: bool = False,
     t_max = jnp.minimum(t_max, INF)
     rays_packed_t = jnp.concatenate(
         [o.T, d.T, t_min[None, :], t_max[None, :]], axis=0)  # (8, R)
+    n_rows = 3 if report_unresolved else 2
     out = _march_call(rays_packed_t, boxes, sub_boxes, clusters.woop_t,
                       c_pad=c_pad, n_clusters=C,
-                      max_visits=C + 1, any_hit=any_hit, w=W,
-                      n_subs=n_subs)
-    out = jnp.swapaxes(out, 1, 2).reshape(-1, 2)[:n]
+                      max_visits=(C + 1 if max_visits is None
+                                  else max_visits),
+                      any_hit=any_hit, w=W,
+                      n_subs=n_subs, report_unresolved=report_unresolved)
+    out = jnp.swapaxes(out, 1, 2).reshape(-1, n_rows)[:n]
     t = out[:, 0]
     slotf = out[:, 1]
+    needs = (out[:, 2] > 0.5) if report_unresolved else None
     miss = slotf < 0.0
     slot = jnp.where(miss, -1, slotf.astype(jnp.int32))
     t = jnp.where(miss, INF, t)
     if any_hit:
-        return t, slot, jnp.zeros_like(t), jnp.zeros_like(t)
+        zeros = jnp.zeros_like(t)
+        if report_unresolved:
+            return t, slot, zeros, zeros, needs
+        return t, slot, zeros, zeros
     # barycentrics for the winner, recomputed from its Woop row (one
     # (R, 12) gather) — cheaper than carrying u/v winner reductions
     # through every sub-block test inside the kernel
@@ -488,6 +560,8 @@ def block_march(clusters, o, d, t_min, t_max, any_hit: bool = False,
          + t_safe * jnp.einsum("ri,ri->r", w_rows[:, 3:6], d_h))
     u = jnp.where(miss, 0.0, u)
     v = jnp.where(miss, 0.0, v)
+    if report_unresolved:
+        return t, slot, u, v, needs
     return t, slot, u, v
 
 

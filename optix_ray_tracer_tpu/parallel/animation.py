@@ -1,0 +1,87 @@
+"""Multi-device animation rendering — the CLI ``--shard`` product path.
+
+The reference is single-GPU by design (docs/technical-details.md:325-328);
+this module is the distributed render loop it never had: each animation
+frame's pixel grid is tile-sharded over a ``jax.sharding.Mesh`` of all
+local devices (``parallel/sharding.py``), guides included so the denoiser
+runs on the merged frame.  The counter-based RNG keys off global pixel
+ids, so output is bit-identical to the single-device per-frame path for
+any mesh shape (tests/test_sharding.py).
+
+Per-frame dispatch (not the fused chunk scan): sharded renders already
+amortize dispatch over devices, and the intersector refit stays
+replicated host-side per frame.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+
+from optix_ray_tracer_tpu.models import common
+
+
+def render_frames_sharded(data, mode: str, width: int, height: int,
+                          spp: int, mesh, max_frames=None,
+                          loop: bool = False,
+                          quantize: bool = False) -> Iterator[tuple]:
+    """Yield (file_index, frame_index, Film|U8Frame) with every frame
+    tile-sharded over ``mesh``.  ``height`` is padded up to a tile
+    multiple for the render and cropped on output."""
+    from optix_ray_tracer_tpu.models import renderer_mesh, renderer_time
+    from optix_ray_tracer_tpu.parallel.sharding import (
+        render_path_sharded, render_sharded,
+    )
+    from optix_ray_tracer_tpu.render.film import Film, U8Frame
+
+    frontend = renderer_mesh if mode == "mesh" else renderer_time
+    cfg = data.config
+    ld = cfg.loop_data
+    n_tile = mesh.shape["tile"]
+    hp = -(-height // n_tile) * n_tile        # padded render height
+
+    produced = 0
+    lights = None
+    intersector = None
+    while True:
+        for fi in range(data.file_count):
+            n_frames = common.frame_count_for_file(
+                data.durations[fi], ld.fps, ld.render_speed_ratio)
+            for k in range(n_frames):
+                scene = frontend.frame_scene(data, fi, k, n_frames)
+                if produced == 0:
+                    lights = common.collect_lights(cfg, scene,
+                                                   data.materials)
+                intersector = (common.rebuild_or_choose(intersector, scene)
+                               if k == 0
+                               else common.refit_or_choose(intersector,
+                                                           scene))
+                seed = cfg.seed + produced
+                if cfg.integrator == "path":
+                    img, alb, nrm = render_path_sharded(
+                        scene, data.materials, lights, data.camera,
+                        width, hp, spp, mesh, seed=seed,
+                        background=cfg.background,
+                        max_depth=cfg.max_depth, intersector=intersector,
+                        env=data.env, textures=data.textures,
+                        want_guides=True)
+                else:
+                    img, alb, nrm = render_sharded(
+                        scene, data.materials, data.camera, width, hp,
+                        spp, mesh, seed=seed, background=cfg.background,
+                        max_depth=cfg.max_depth, intersector=intersector,
+                        env=data.env, want_guides=True)
+                img, alb, nrm = img[:height], alb[:height], nrm[:height]
+                if cfg.denoise:
+                    from optix_ray_tracer_tpu.render.denoise import denoise
+                    img = denoise(img, alb, nrm)
+                film = Film.create(width, height).add(img, alb, nrm, spp)
+                if quantize:
+                    film = U8Frame(film.to_uint8(), spp)
+                yield fi, k, film
+                produced += 1
+                if max_frames is not None and produced >= max_frames:
+                    return
+        if not loop:
+            return

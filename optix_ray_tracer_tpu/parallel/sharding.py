@@ -66,15 +66,17 @@ def _tile_rays(camera, width, height, rows_per_shard, tile_idx, spp_offset,
 
 @partial(jax.jit,
          static_argnames=("width", "height", "spp", "max_depth", "jitter",
-                          "mesh"))
+                          "mesh", "want_guides"))
 def render_sharded(scene, materials, camera, width: int, height: int,
                    spp: int, mesh: Mesh, seed: int = 0,
                    background=wavefront.DEFAULT_BACKGROUND,
                    max_depth: int = wavefront.DEFAULT_MAX_DEPTH,
-                   intersector=None, jitter: bool = True):
+                   intersector=None, jitter: bool = True, env=None,
+                   want_guides: bool = False):
     """Render with the pixel grid sharded over ``tile`` and samples over
     ``sample``.  Returns a (H, W, 3) linear image (sharded along rows on the
-    tile axis; sample axis already reduced).
+    tile axis; sample axis already reduced); with ``want_guides`` returns
+    (image, albedo, normal) — the denoiser inputs, same sharding.
     """
     n_tile = mesh.shape["tile"]
     n_sample = mesh.shape["sample"]
@@ -92,7 +94,7 @@ def render_sharded(scene, materials, camera, width: int, height: int,
 
     replicated = P()
 
-    def shard_fn(scene, materials, camera, intersector):
+    def shard_fn(scene, materials, camera, intersector, env):
         tile_idx = jax.lax.axis_index("tile")
         sample_idx = jax.lax.axis_index("sample")
         spp_offset = sample_idx * spp_per
@@ -104,23 +106,23 @@ def render_sharded(scene, materials, camera, width: int, height: int,
         def sample_step(acc, s_local):
             o, d = _tile_rays(camera, width, height, rows_per, tile_idx,
                               spp_offset, s_local, pixel_id, seed, jitter)
-            radiance, _, _ = wavefront.trace(
+            radiance, alb, nrm = wavefront.trace(
                 scene, materials, o, d, pixel_id,
                 spp_offset + s_local, seed, background_a, max_depth,
-                intersector)
-            return acc + radiance, None
+                intersector, env)
+            return (acc[0] + radiance, acc[1] + alb, acc[2] + nrm), None
 
-        acc, _ = jax.lax.scan(sample_step,
-                              jnp.zeros((npix, 3), jnp.float32),
+        z = jnp.zeros((npix, 3), jnp.float32)
+        acc, _ = jax.lax.scan(sample_step, (z, z, z),
                               jnp.arange(spp_per, dtype=jnp.int32))
         # merge the sample axis over ICI
         acc = jax.lax.psum(acc, axis_name="sample")
-        return (acc / spp).reshape(rows_per, width, 3)
+        return tuple((a / spp).reshape(rows_per, width, 3) for a in acc)
 
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(replicated, replicated, replicated, replicated),
-        out_specs=P("tile", None, None),
+        in_specs=(replicated,) * 5,
+        out_specs=(P("tile", None, None),) * 3,
         # varying-manual-axes checker off: it demands pvary/pcast variance
         # annotations on every scan carry INSIDE the single-device
         # integrators and intersectors (e.g. the Hit carry in
@@ -130,19 +132,23 @@ def render_sharded(scene, materials, camera, width: int, height: int,
         # single-device execution across mesh shapes for BOTH the
         # brute-force and the production block-march intersectors
         check_vma=False)
-    return fn(scene, materials, camera, intersector)
+    img, alb, nrm = fn(scene, materials, camera, intersector, env)
+    if want_guides:
+        return img, alb, nrm
+    return img
 
 
 @partial(jax.jit,
          static_argnames=("width", "height", "spp", "max_depth", "jitter",
-                          "mesh"))
+                          "mesh", "want_guides"))
 def render_path_sharded(scene, materials, lights, camera, width: int,
                         height: int, spp: int, mesh: Mesh, seed: int = 0,
                         background=(0.0, 0.0, 0.0), max_depth: int = 8,
                         intersector=None, env=None, textures=None,
-                        jitter: bool = True):
+                        jitter: bool = True, want_guides: bool = False):
     """NEE+MIS path tracing over the (tile, sample) mesh — same sharding
-    contract as :func:`render_sharded` (exact under any mesh shape)."""
+    contract as :func:`render_sharded` (exact under any mesh shape).
+    With ``want_guides`` returns (image, albedo, normal)."""
     from optix_ray_tracer_tpu.render.pathtracer import trace_path
 
     n_tile = mesh.shape["tile"]
@@ -172,24 +178,28 @@ def render_path_sharded(scene, materials, lights, camera, width: int,
         def sample_step(acc, s_local):
             o, d = _tile_rays(camera, width, height, rows_per, tile_idx,
                               spp_offset, s_local, pixel_id, seed, jitter)
-            radiance, _, _ = trace_path(
+            radiance, alb, nrm = trace_path(
                 scene, materials, lights, o, d, pixel_id,
                 spp_offset + s_local, seed, background_a, max_depth,
                 intersector, env, textures)
-            return acc + radiance, None
+            return (acc[0] + radiance, acc[1] + alb, acc[2] + nrm), None
 
-        acc, _ = jax.lax.scan(sample_step,
-                              jnp.zeros((npix, 3), jnp.float32),
+        z = jnp.zeros((npix, 3), jnp.float32)
+        acc, _ = jax.lax.scan(sample_step, (z, z, z),
                               jnp.arange(spp_per, dtype=jnp.int32))
         acc = jax.lax.psum(acc, axis_name="sample")
-        return (acc / spp).reshape(rows_per, width, 3)
+        return tuple((a / spp).reshape(rows_per, width, 3) for a in acc)
 
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(replicated,) * 7,
-        out_specs=P("tile", None, None),
+        out_specs=(P("tile", None, None),) * 3,
         check_vma=False)
-    return fn(scene, materials, lights, camera, intersector, env, textures)
+    img, alb, nrm = fn(scene, materials, lights, camera, intersector, env,
+                       textures)
+    if want_guides:
+        return img, alb, nrm
+    return img
 
 
 def broadcast_scene(scene_host):

@@ -83,15 +83,29 @@ class ViewerServer:
     like the reference's render loop).
     """
 
-    def __init__(self, camera, render_fn, host="127.0.0.1", port=8425,
+    def __init__(self, camera, render_fn=None, host="127.0.0.1", port=8425,
                  fps_limit: float = 30.0,
                  mouse_sensitivity: float = 0.002,
                  pitch_limit_degree: float = 85.0,
-                 move_speed: float = 0.05):
+                 move_speed: float = 0.05,
+                 render_chunk_fn=None, chunk: int = 4):
+        """``render_fn(camera[, denoise_on=, animate=]) -> uint8 (H, W, 4)``
+        renders one frame per call.  ``render_chunk_fn(camera, chunk,
+        denoise_on, animate) -> uint8 (K, H, W, 4)`` renders K look-ahead
+        frames in ONE device dispatch — the dispatch-amortized fast path
+        (this runtime has a ~6 ms dispatch+sync floor that dominates small
+        interactive frames, PERF.md): while the user is idle the loop asks
+        for ``chunk`` frames at a time and streams them at the FPS cap;
+        any input drops the remaining look-ahead and the next call uses
+        chunk=1 so camera latency stays one frame."""
         self.controller = FlyCameraController(
             camera, mouse_sensitivity=mouse_sensitivity,
             pitch_limit_degree=pitch_limit_degree, move_speed=move_speed)
+        if render_fn is None and render_chunk_fn is None:
+            raise ValueError("need render_fn or render_chunk_fn")
         self.render_fn = render_fn
+        self.render_chunk_fn = render_chunk_fn
+        self.chunk = max(1, int(chunk))
         self.host = host
         self.port = port
         self.fps_limit = fps_limit
@@ -108,7 +122,7 @@ class ViewerServer:
         # (camera, denoise_on=..., animate=...)
         import inspect
         try:
-            self._rich_render = len(
+            self._rich_render = render_fn is not None and len(
                 inspect.signature(render_fn).parameters) >= 3
         except (TypeError, ValueError):
             self._rich_render = False
@@ -123,28 +137,56 @@ class ViewerServer:
             self._pending = {"dx": 0, "dy": 0, "wheel": 0, "keys": set()}
         if wheel:
             self.controller.scroll(wheel)
+        self._had_input = bool(dx or dy or wheel or keys)
         return self.controller.update(
             mouse_dx=dx, mouse_dy=dy,
             forward="w" in keys, back="s" in keys,
             right="d" in keys, left="a" in keys,
             up="space" in keys, down="shift" in keys)
 
+    def _input_pending(self) -> bool:
+        with self._input_lock:
+            p = self._pending
+            return bool(p["dx"] or p["dy"] or p["wheel"] or p["keys"])
+
     # ---- render loop ------------------------------------------------------
+
+    def _publish(self, rgba: np.ndarray) -> None:
+        data, ctype = _encode_frame(rgba)
+        with self._frame_lock:
+            self._frame = data
+            self._frame_ctype = ctype
 
     def _render_loop(self):
         frame_interval = 1.0 / max(self.fps_limit, 1e-3)
+        self._had_input = False
         while not self._stop.is_set():
             t0 = time.time()
             camera = self._apply_input()
+            if self.render_chunk_fn is not None:
+                # dispatch-amortized path: K look-ahead frames per device
+                # dispatch while idle, 1 while the user steers (so the
+                # camera reacts within one frame)
+                k = 1 if (self._had_input or self._input_pending()) \
+                    else self.chunk
+                frames = np.asarray(self.render_chunk_fn(
+                    camera, k, self.denoise_on, self.animate))
+                for j in range(frames.shape[0]):
+                    self._publish(frames[j])
+                    dt = time.time() - t0
+                    if dt < frame_interval:
+                        time.sleep(frame_interval - dt)
+                    t0 = time.time()
+                    # fresh input invalidates the remaining look-ahead
+                    if self._input_pending() or self._stop.is_set():
+                        break
+                continue
             if self._rich_render:
                 rgba = np.asarray(self.render_fn(
                     camera, denoise_on=self.denoise_on, animate=self.animate))
             else:
                 rgba = np.asarray(self.render_fn(camera))
-            data, ctype = _encode_frame(rgba)
-            with self._frame_lock:
-                self._frame = data
-                self._frame_ctype = ctype
+            self._publish(rgba)
             # FPS limiter (reference: sleep-to-target; no spin needed here)
             dt = time.time() - t0
             if dt < frame_interval:

@@ -120,18 +120,21 @@ def _default_intersector():
     return BruteForceIntersector()
 
 
-@partial(jax.jit, static_argnames=("max_depth",))
+@partial(jax.jit, static_argnames=("max_depth", "want_aux"))
 def trace(scene: Scene, materials: MaterialTable, origins, directions,
           pixel_id, sample, seed, background,
           max_depth: int = DEFAULT_MAX_DEPTH,
-          intersector=None, env=None):
+          intersector=None, env=None, want_aux: bool = False):
     """Trace a wavefront of rays to completion.
 
     origins/directions: (R, 3); pixel_id: (R,) int32; sample: scalar int;
     seed: scalar int; background: (3,) linear color.  ``intersector`` is a
     pytree (BVHIntersector / BruteForceIntersector); None = brute force.
 
-    Returns (radiance (R,3) linear, albedo_guide (R,3), normal_guide (R,3)).
+    Returns (radiance (R,3) linear, albedo_guide (R,3), normal_guide (R,3));
+    with ``want_aux`` also (t (R,), prim_id (R,) int32) of the PRIMARY hit
+    (INF / -1 on miss) — the depth/id buffers the temporal reprojector
+    consumes (render/temporal.py).
     """
     if intersector is None:
         intersector = _default_intersector()
@@ -151,6 +154,9 @@ def trace(scene: Scene, materials: MaterialTable, origins, directions,
         albedo_g=jnp.zeros((nrays, 3), jnp.float32),
         normal_g=jnp.zeros((nrays, 3), jnp.float32),
     )
+    if want_aux:
+        state["t_g"] = jnp.full((nrays,), INF, jnp.float32)
+        state["prim_g"] = jnp.full((nrays,), -1, jnp.int32)
 
     def bounce_step(state, b, isect_fn=None):
         alive = state["alive"]
@@ -185,6 +191,14 @@ def trace(scene: Scene, materials: MaterialTable, origins, directions,
         albedo_g = jnp.where(first[..., None], attenuation, state["albedo_g"])
         normal_g = jnp.where(first[..., None], normalize(normal),
                              state["normal_g"])
+        aux = {}
+        if want_aux:
+            # primary-hit depth + TRIANGLE id (-1 for miss/sphere hits:
+            # spheres are static extras, reprojection treats them static)
+            aux["t_g"] = jnp.where(first, hit.t, state["t_g"])
+            aux["prim_g"] = jnp.where(
+                first & (hit.prim_type == isect.PRIM_TRIANGLE),
+                hit.prim_id, state["prim_g"])
 
         scattered = hit_alive & ~emissive_hit
         # depth exhaustion: a hit on the last bounce contributes nothing
@@ -197,7 +211,8 @@ def trace(scene: Scene, materials: MaterialTable, origins, directions,
         alive = scattered
 
         return dict(o=o, d=d, throughput=throughput, radiance=radiance,
-                    alive=alive, albedo_g=albedo_g, normal_g=normal_g), None
+                    alive=alive, albedo_g=albedo_g, normal_g=normal_g,
+                    **aux), None
 
     # bounce 0 (coherent camera rays) unrolled with the morton-sorted
     # intersector; bounces >= 1 scanned with the probe-sorted one
@@ -205,6 +220,9 @@ def trace(scene: Scene, materials: MaterialTable, origins, directions,
     if max_depth > 1:
         state, _ = jax.lax.scan(bounce_step, state,
                                 jnp.arange(1, max_depth, dtype=jnp.int32))
+    if want_aux:
+        return (state["radiance"], state["albedo_g"], state["normal_g"],
+                (state["t_g"], state["prim_g"]))
     return state["radiance"], state["albedo_g"], state["normal_g"]
 
 
@@ -219,13 +237,14 @@ def _default_samples_per_wave(spp: int) -> int:
 
 @partial(jax.jit,
          static_argnames=("width", "height", "spp", "max_depth", "jitter",
-                          "samples_per_wave"))
+                          "samples_per_wave", "want_aux"))
 def render(scene: Scene, materials: MaterialTable, camera,
            width: int, height: int, spp: int = 1, seed: int = 0,
            background=DEFAULT_BACKGROUND,
            max_depth: int = DEFAULT_MAX_DEPTH,
            intersector=None, env=None,
-           jitter: bool = True, samples_per_wave: int | None = None):
+           jitter: bool = True, samples_per_wave: int | None = None,
+           want_aux: bool = False):
     """Render a full frame: spp samples per pixel, accumulated in linear space.
 
     The reference renders 1 spp/frame at pixel centers and relies on the AI
@@ -261,18 +280,36 @@ def render(scene: Scene, materials: MaterialTable, camera,
             # pixel centers for every sample (reference parity)
             jit_uv = jnp.full((S, height, width, 2), 0.5, jnp.float32)
         o, d = camera.generate_rays(width, height, jit_uv)  # (S, H, W, 3)
-        radiance, albedo_g, normal_g = trace(
+        out = trace(
             scene, materials, o.reshape(-1, 3), d.reshape(-1, 3),
-            pix_rep, samp, seed, background, max_depth, intersector, env)
-        return (acc[0] + radiance.reshape(S, npix, 3).sum(0),
-                acc[1] + albedo_g.reshape(S, npix, 3).sum(0),
-                acc[2] + normal_g.reshape(S, npix, 3).sum(0)), None
+            pix_rep, samp, seed, background, max_depth, intersector, env,
+            want_aux=want_aux)
+        radiance, albedo_g, normal_g = out[:3]
+        nxt = (acc[0] + radiance.reshape(S, npix, 3).sum(0),
+               acc[1] + albedo_g.reshape(S, npix, 3).sum(0),
+               acc[2] + normal_g.reshape(S, npix, 3).sum(0))
+        if want_aux:
+            # depth/prim buffers from sample 0 only (jitter variance in
+            # the aux taps is irrelevant to reprojection validity tests)
+            t_g, prim_g = out[3]
+            keep = s0 == 0
+            nxt += (jnp.where(keep, t_g[:npix], acc[3]),
+                    jnp.where(keep, prim_g[:npix], acc[4]))
+        return nxt, None
 
     zeros = jnp.zeros((npix, 3), jnp.float32)
-    (rad, alb, nrm), _ = jax.lax.scan(
-        sample_step, (zeros, zeros, zeros),
-        jnp.arange(0, spp, S, dtype=jnp.int32))
+    init = (zeros, zeros, zeros)
+    if want_aux:
+        init += (jnp.full((npix,), INF, jnp.float32),
+                 jnp.full((npix,), -1, jnp.int32))
+    acc, _ = jax.lax.scan(
+        sample_step, init, jnp.arange(0, spp, S, dtype=jnp.int32))
+    rad, alb, nrm = acc[:3]
     inv = 1.0 / spp
-    return (rad.reshape(height, width, 3) * inv,
+    outs = (rad.reshape(height, width, 3) * inv,
             alb.reshape(height, width, 3) * inv,
             nrm.reshape(height, width, 3) * inv)
+    if want_aux:
+        return outs + ((acc[3].reshape(height, width),
+                        acc[4].reshape(height, width)),)
+    return outs

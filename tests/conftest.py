@@ -1,5 +1,10 @@
 """Test configuration: run on CPU with 8 virtual devices.
 
+Fast core: ``pytest -m "not slow"`` deselects the >10 s tests (golden
+image comparisons, multi-frame animation equivalence, PSNR measurements)
+for quick iteration; the default run includes everything.
+
+
 Multi-chip sharding tests use XLA's host-platform device-count flag — the
 substitute for a real TPU pod that the reference never had an analog of
 (it was single-GPU; SURVEY.md section 4).

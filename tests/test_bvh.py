@@ -123,6 +123,7 @@ class TestTraversal:
         ref = intersect_scene_bruteforce(scene, o, d)
         np.testing.assert_allclose(np.asarray(h.t), np.asarray(ref.t))
 
+    @pytest.mark.slow
     def test_render_with_bvh_matches_bruteforce_image(self):
         from optix_ray_tracer_tpu.render import wavefront
         from optix_ray_tracer_tpu.scene.camera import Camera

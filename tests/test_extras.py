@@ -4,6 +4,7 @@ import os
 import time
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from optix_ray_tracer_tpu.io.obj import obj_to_scene, read_mtl, read_obj
@@ -161,6 +162,7 @@ class TestTextures:
 
 
 class TestDenoise:
+    @pytest.mark.slow
     def test_reduces_noise_preserves_edges(self):
         rng = np.random.default_rng(0)
         h = w = 64
@@ -180,6 +182,7 @@ class TestDenoise:
         assert abs(out[:, :w // 2].mean() - 0.5) < 0.1
         assert abs(out[:, w // 2:].mean() - 0.1) < 0.05
 
+    @pytest.mark.slow
     def test_normal_edge_stops_filtering(self):
         h = w = 32
         img = np.zeros((h, w, 3), np.float32)

@@ -58,6 +58,7 @@ def _mesh_config(tmp_path, n_files=2):
 
 
 class TestMeshFrontend:
+    @pytest.mark.slow
     def test_commit_and_render(self, tmp_path):
         cfg = _mesh_config(tmp_path)
         data = renderer_mesh.commit(cfg)
@@ -91,6 +92,7 @@ class TestMeshFrontend:
         assert meta["file_count"] == 2
         assert meta["max_cell_count"] == 2
 
+    @pytest.mark.slow
     def test_update_fn_hook(self, tmp_path):
         cfg = _mesh_config(tmp_path)
         data = renderer_mesh.commit(cfg)
@@ -132,6 +134,7 @@ class TestTimeFrontend:
         assert data.positions.shape[1] >= 25
         assert int(data.particle_valid[0].sum()) == 25
 
+    @pytest.mark.slow
     def test_render_reference_frames(self, data):
         frames = list(renderer_time.render_frames(data, max_frames=2))
         assert len(frames) == 2
@@ -179,6 +182,9 @@ class TestFusedEquivalence:
         raw["stl-path"] = f"{REF}/shape/separated/"
         raw["loop-data"]["window-width"] = 32
         raw["loop-data"]["window-height"] = 24
+        # temporal reprojection exists ONLY in the fused path (by design);
+        # turn it off for the exact fused == per-frame comparison
+        raw["temporal"] = False
         # 0.01 s * 200 fps * 9 ratio = 18 frames/file -> chunk 9: two
         # chunks per file, exercising the chunk pipeline + a file
         # boundary (device rebuild) inside max_frames
@@ -187,6 +193,7 @@ class TestFusedEquivalence:
         cfg = parse_config_dict(raw, base_dir=REF)
         return renderer_time.commit(cfg)
 
+    @pytest.mark.slow
     def test_fused_matches_per_frame(self, data):
         n = 20  # spans 2 chunks of file 0 + the start of file 1
         fused_frames = [(fi, k, film.mean())

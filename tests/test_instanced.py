@@ -105,6 +105,7 @@ class TestInstancedTLAS:
         agree = (flat_id == ref_id).mean()
         assert agree > 0.99
 
+    @pytest.mark.slow
     def test_any_hit_occlusion(self):
         lib, offsets, counts = _library((120,))
         library = build_instanced_library(lib, offsets, counts)

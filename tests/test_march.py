@@ -63,6 +63,7 @@ class TestMarch:
         removed = np.asarray(full.is_hit & ~capped.is_hit)
         assert removed[np.asarray(full.is_hit)].mean() > 0.95
 
+    @pytest.mark.slow
     def test_render_image_matches(self):
         from optix_ray_tracer_tpu.render import wavefront
         from optix_ray_tracer_tpu.scene.materials import MaterialBuilder
@@ -79,6 +80,7 @@ class TestMarch:
         diff = np.abs(np.asarray(img_bf) - np.asarray(img_m))
         assert np.median(diff) < 1e-5
 
+    @pytest.mark.slow
     def test_any_hit_matches_oracle(self):
         from optix_ray_tracer_tpu.ops.intersect import intersect_any_bruteforce
         scene = _scene(3000, ground=True)

@@ -73,6 +73,7 @@ class TestCornell:
         assert left[..., 0].mean() > left[..., 1].mean()
         assert right[..., 1].mean() > right[..., 0].mean()
 
+    @pytest.mark.slow
     def test_nee_and_bsdf_only_agree(self, setup):
         """MIS consistency: the NEE+MIS estimator and the BSDF-only
         estimator must converge to the same mean image — the strongest
@@ -98,6 +99,7 @@ class TestCornell:
                               seed=9, intersector=bi)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    @pytest.mark.slow
     def test_shadows_exist(self, setup):
         scene, mats, lights, cam, bi = setup
         img, _, _ = render_path(scene, mats, lights, cam, 64, 64, spp=32,
@@ -110,6 +112,7 @@ class TestCornell:
 
 
 class TestPacketIntersector:
+    @pytest.mark.slow
     def test_matches_binary_bvh_image(self):
         from optix_ray_tracer_tpu.io.meshgen import sphere_with_n_triangles
         v, n = sphere_with_n_triangles(2000)
@@ -169,6 +172,7 @@ class TestFilm:
 
 
 class TestRussianRoulette:
+    @pytest.mark.slow
     def test_unbiased_mean(self):
         """RR-on and RR-off renders agree in the mean (unbiased estimator)."""
         scene, mats, cam = build_cornell_box()
@@ -191,6 +195,7 @@ class TestRussianRoulette:
 
 
 class TestFireflyClamp:
+    @pytest.mark.slow
     def test_clamp_suppresses_indirect_only(self):
         scene, mats, cam = build_cornell_box(sphere_instead_of_tall_block=True)
         lights = collect_area_lights(scene, mats)

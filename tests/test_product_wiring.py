@@ -111,6 +111,7 @@ class TestConfigExtensions:
 
 
 class TestProductLoop:
+    @pytest.mark.slow
     def test_denoise_on_by_default_and_bypass(self, tmp_path):
         cfg = _mesh_config(tmp_path, n_files=1)
         assert cfg.denoise is True
@@ -124,6 +125,7 @@ class TestProductLoop:
         # the 1-spp Lambertian frame is noisy; the a-trous pass must change it
         assert not np.allclose(a, b)
 
+    @pytest.mark.slow
     def test_path_integrator_from_config(self, tmp_path):
         obj = tmp_path / "light.obj"
         obj.write_text(QUAD_OBJ)
@@ -143,6 +145,7 @@ class TestProductLoop:
         assert np.isfinite(img).all()
         assert img.max() > 0.0   # the area light illuminates the scene
 
+    @pytest.mark.slow
     def test_envmap_from_config(self, tmp_path):
         cfg = _mesh_config(tmp_path, n_files=1)
         cfg.envmap = {"type": "constant", "color": [2.0, 0.0, 0.0]}
@@ -244,5 +247,42 @@ class TestViewerEndpoints:
                     break
                 time.sleep(0.02)
             assert any(c == (False, True) for c in calls)
+        finally:
+            srv.stop()
+
+    def test_chunked_dispatch_amortization(self):
+        """Idle viewer asks for K look-ahead frames per dispatch; input
+        drops it to 1 so the camera reacts within a frame."""
+        import time
+        import urllib.request
+
+        from optix_ray_tracer_tpu.render.viewer import ViewerServer
+        from optix_ray_tracer_tpu.scene.camera import Camera
+
+        cam = Camera.look_at((3, 0, 0), (0, 0, 0), (0, 0, 1))
+        chunks = []
+
+        def render_chunk_fn(camera, chunk, denoise_on, animate):
+            chunks.append(chunk)
+            return np.zeros((chunk, 8, 8, 4), np.uint8)
+
+        srv = ViewerServer(cam, render_chunk_fn=render_chunk_fn, chunk=4,
+                           port=0, fps_limit=500.0)
+        srv.serve(blocking=False)
+        port = srv._httpd.server_address[1]
+        try:
+            deadline = time.time() + 5.0
+            while time.time() < deadline and len(chunks) < 3:
+                time.sleep(0.02)
+            assert chunks and chunks[-1] == 4     # idle -> amortized
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/look?dx=10&dy=0")
+            n0 = len(chunks)
+            deadline = time.time() + 5.0
+            while time.time() < deadline:
+                if 1 in chunks[n0:]:
+                    break
+                time.sleep(0.02)
+            assert 1 in chunks[n0:]               # input -> single frame
         finally:
             srv.stop()

@@ -73,6 +73,7 @@ class TestSharding:
 
 
 class TestPathSharding:
+    @pytest.mark.slow
     def test_cornell_matches_single_device(self):
         from optix_ray_tracer_tpu.parallel.sharding import render_path_sharded
         from optix_ray_tracer_tpu.render.pathtracer import render_path
@@ -97,6 +98,7 @@ class TestMarchSharding:
     shard_map — VERDICT round-1 weak item 3: sharding was only proven over
     the brute-force path."""
 
+    @pytest.mark.slow
     def test_triangle_scene_march_matches_single_device(self):
         from optix_ray_tracer_tpu.io.meshgen import sphere_with_n_triangles
         from optix_ray_tracer_tpu.ops.march import make_march_intersector
@@ -121,3 +123,53 @@ class TestMarchSharding:
             np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
                                        atol=1e-6,
                                        err_msg=f"mesh ({tile},{sample})")
+
+
+class TestShardedAnimation:
+    """The CLI --shard product path (parallel/animation.py): reference-
+    dataset frames rendered tile-sharded over the 8-device mesh match the
+    per-frame single-device loop bit-for-bit."""
+
+    @pytest.mark.slow
+    def test_reference_frames_sharded_match(self):
+        import json
+        import os
+
+        REF = "/root/reference/files"
+        if not os.path.isdir(REF):
+            pytest.skip("reference data not mounted")
+        from optix_ray_tracer_tpu.io.config import parse_config_dict
+        from optix_ray_tracer_tpu.models import renderer_time
+        from optix_ray_tracer_tpu.parallel.animation import (
+            render_frames_sharded,
+        )
+
+        with open(f"{REF}/config.json") as f:
+            raw = json.load(f)
+        raw["series-name"] = "particle-short.vtk.series"
+        raw["series-path"] = REF
+        raw["stl-path"] = f"{REF}/shape/separated/"
+        raw["loop-data"]["window-width"] = 32
+        raw["loop-data"]["window-height"] = 24
+        raw["loop-data"]["fps"] = 2
+        raw["loop-data"]["render-speed-ratio"] = 50
+        cfg = parse_config_dict(raw, base_dir=REF)
+        data = renderer_time.commit(cfg)
+
+        mesh = make_mesh(tile=8)
+        sharded = [(fi, k, np.asarray(f.mean()))
+                   for fi, k, f in render_frames_sharded(
+                       data, "time", 32, 24, 1, mesh, max_frames=2)]
+        # per-frame single-device loop (update hook forces it; temporal
+        # exists only in the fused path so both sides are per-frame math)
+        renderer_time.set_update_fn(data, lambda s, k: None)
+        try:
+            plain = [(fi, k, np.asarray(f.mean()))
+                     for fi, k, f in renderer_time.render_frames(
+                         data, max_frames=2)]
+        finally:
+            data.update_fn = None
+        assert [(a, b) for a, b, _ in sharded] == \
+            [(a, b) for a, b, _ in plain]
+        for (_, _, fa), (_, _, fb) in zip(sharded, plain):
+            np.testing.assert_allclose(fa, fb, atol=1e-6)

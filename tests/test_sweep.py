@@ -62,6 +62,7 @@ class TestSweep:
         np.testing.assert_array_equal(np.asarray(h1.prim_id),
                                       np.asarray(h2.prim_id))
 
+    @pytest.mark.slow
     def test_incoherent_and_inside(self):
         scene = _mesh_scene(20000, with_ground=True)
         si = make_sweep_intersector(scene)
