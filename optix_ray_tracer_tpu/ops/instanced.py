@@ -172,7 +172,7 @@ class InstancedMarchIntersector:
 
     def intersect(self, o, d, t_min=DEFAULT_T_MIN, t_max=INF,
                   _any_hit: bool = False):
-        from optix_ray_tracer_tpu.ops.packet import ray_sort_keys
+        from optix_ray_tracer_tpu.ops.raysort import ray_sort_keys
 
         o2 = o.reshape(-1, 3)
         d2 = d.reshape(-1, 3)

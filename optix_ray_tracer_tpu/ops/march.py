@@ -18,7 +18,7 @@ import numpy as np
 from optix_ray_tracer_tpu.ops.intersect import (
     DEFAULT_T_MIN, Hit, PRIM_NONE, PRIM_TRIANGLE,
 )
-from optix_ray_tracer_tpu.ops.packet import ray_sort_keys, _sphere_bruteforce_merge
+from optix_ray_tracer_tpu.ops.raysort import ray_sort_keys, sphere_bruteforce_merge
 from optix_ray_tracer_tpu.ops.pallas.block_march import BLOCK_RAYS, block_march
 from optix_ray_tracer_tpu.ops.sweep import (
     ClusterSet, build_clusters, rebuild_clusters, refit_clusters,
@@ -121,7 +121,7 @@ class MarchIntersector:
             u=jnp.where(missed, 0.0, u),
             v=jnp.where(missed, 0.0, v))
         if scene.sphere_count > 0:
-            hit = _sphere_bruteforce_merge(scene, o2, d2, t_min_a, t_max_a,
+            hit = sphere_bruteforce_merge(scene, o2, d2, t_min_a, t_max_a,
                                            hit)
         return jax.tree.map(lambda x: x.reshape(shape + x.shape[1:]), hit)
 

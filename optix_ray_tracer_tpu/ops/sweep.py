@@ -39,7 +39,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from optix_ray_tracer_tpu.ops.bvh import morton_codes
-from optix_ray_tracer_tpu.ops.bvh_wide import woop_transforms
 from optix_ray_tracer_tpu.ops.intersect import (
     DEFAULT_T_MIN, Hit, PRIM_NONE, PRIM_TRIANGLE,
 )
@@ -59,6 +58,27 @@ SUB_TRIS = CHUNK // SUBS_PER_CLUSTER
 # the marcher ([inverse row | translation component])
 _WOOP_T_PERM = (0, 1, 2, 9, 3, 4, 5, 10, 6, 7, 8, 11)
 WOOP_T_ROWS = 16  # 12 data rows padded to the fp32 sublane tile
+
+
+def woop_transforms(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray
+                    ) -> np.ndarray:
+    """Per-triangle world->unit-triangle transforms (n, 12).
+
+    M = inverse([e1 | e2 | e1 x e2]) (columns); c = M @ v0.
+    Ray test: o' = M@o - c; d' = M@d; t = -o'z/d'z; u = o'x + t d'x;
+    v = o'y + t d'y.  Degenerate triangles get zero rows (never hit:
+    d'z == 0 -> t = inf).
+    """
+    n = v0.shape[0]
+    nrm = np.cross(e1, e2)
+    A = np.stack([e1, e2, nrm], axis=-1)          # (n, 3, 3) columns
+    det = np.linalg.det(A)
+    ok = np.abs(det) > 1e-18
+    M = np.zeros((n, 3, 3), np.float64)
+    if ok.any():
+        M[ok] = np.linalg.inv(A[ok])
+    c = np.einsum('nij,nj->ni', M, v0)
+    return np.concatenate([M.reshape(n, 9), c], axis=1).astype(np.float32)
 
 
 def _transpose_woop(woop, reshape_mod):
@@ -581,8 +601,8 @@ class SweepIntersector:
             u=jnp.where(missed, 0.0, u),
             v=jnp.where(missed, 0.0, v))
         if scene.sphere_count > 0:
-            from optix_ray_tracer_tpu.ops.packet import _sphere_bruteforce_merge
-            hit = _sphere_bruteforce_merge(scene, o2, d2, t_min_a, t_max_a,
+            from optix_ray_tracer_tpu.ops.raysort import sphere_bruteforce_merge
+            hit = sphere_bruteforce_merge(scene, o2, d2, t_min_a, t_max_a,
                                            hit)
         return jax.tree.map(lambda x: x.reshape(shape + x.shape[1:]), hit)
 

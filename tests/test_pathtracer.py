@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import pytest
 
 from optix_ray_tracer_tpu.ops.traverse import make_intersector
-from optix_ray_tracer_tpu.ops.packet import make_packet_intersector
+from optix_ray_tracer_tpu.ops.march import make_march_intersector
 from optix_ray_tracer_tpu.render import wavefront
 from optix_ray_tracer_tpu.render.film import Film
 from optix_ray_tracer_tpu.render.pathtracer import render_path
@@ -111,7 +111,11 @@ class TestCornell:
         assert open_floor > 0.01
 
 
-class TestPacketIntersector:
+class TestMarchVsBVHImage:
+    """Two independent accelerated intersectors (per-ray-stack LBVH vs the
+    production block marcher) must produce the same image — cross-oracle
+    coverage retained from the retired packet intersector (PARITY.md)."""
+
     @pytest.mark.slow
     def test_matches_binary_bvh_image(self):
         from optix_ray_tracer_tpu.io.meshgen import sphere_with_n_triangles
@@ -124,7 +128,7 @@ class TestPacketIntersector:
             triangles=Triangles.from_arrays(v, n, m))
         cam = Camera.look_at((3, 0, 0.3), (0, 0, 0), (0, 0, 1))
         bi = make_intersector(scene)
-        pi = make_packet_intersector(scene)
+        pi = make_march_intersector(scene)
         img_b, _, _ = wavefront.render(scene, mats, cam, 32, 24, spp=1,
                                        seed=1, intersector=bi, jitter=False)
         img_p, _, _ = wavefront.render(scene, mats, cam, 32, 24, spp=1,
@@ -134,10 +138,10 @@ class TestPacketIntersector:
         assert np.median(diff) < 1e-5
         assert (diff > 0.05).mean() < 0.02
 
-    def test_cornell_with_packets(self):
+    def test_cornell_with_march(self):
         scene, mats, cam = build_cornell_box()
         lights = collect_area_lights(scene, mats)
-        pi = make_packet_intersector(scene)
+        pi = make_march_intersector(scene)
         img, _, _ = render_path(scene, mats, lights, cam, 24, 24, spp=8,
                                 seed=3, intersector=pi)
         a = np.asarray(img)
