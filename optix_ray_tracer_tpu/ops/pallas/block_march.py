@@ -107,11 +107,32 @@ def _slab_rows(boxes, rays, inv_d, tmin, n_rows, n_valid, W,
 def _cull_into(entry_ref, boxes_ref, rays, inv_d, tmin, total_rows: int,
                n_valid: int, W: int):
     """Chunked slab cull: entry_ref[:] = slab(boxes) in _CULL_ROWS blocks,
-    bounding the VMEM stack regardless of cluster count."""
-    for r0 in range(0, total_rows, _CULL_ROWS):
-        rows = min(_CULL_ROWS, total_rows - r0)
-        entry_ref[r0:r0 + rows, :] = _slab_rows(
-            boxes_ref[r0:r0 + rows, :], rays, inv_d, tmin, rows,
+    bounding the VMEM stack regardless of cluster count.
+
+    The chunk loop must be a ROLLED ``fori_loop``: a Python-unrolled loop
+    keeps every chunk's ~6 (rows, W) temporaries live on the Mosaic stack
+    simultaneously (measured: 18-22 MB at 1950 clusters — compile OOM).
+    Callers pad row counts to a _CULL_ROWS multiple when chunking.
+    """
+    if total_rows <= _CULL_ROWS:
+        entry_ref[...] = _slab_rows(boxes_ref[...], rays, inv_d, tmin,
+                                    total_rows, n_valid, W)
+        return
+    n_full = total_rows // _CULL_ROWS
+
+    def body(i, _):
+        r0 = pl.multiple_of(i * _CULL_ROWS, _CULL_ROWS)
+        entry_ref[pl.ds(r0, _CULL_ROWS), :] = _slab_rows(
+            boxes_ref[pl.ds(r0, _CULL_ROWS), :], rays, inv_d, tmin,
+            _CULL_ROWS, n_valid, W, row_offset=r0)
+        return 0
+
+    jax.lax.fori_loop(0, n_full, body, 0)
+    tail = total_rows - n_full * _CULL_ROWS
+    if tail:     # one unrolled tail chunk (row counts are 8-aligned)
+        r0 = n_full * _CULL_ROWS
+        entry_ref[r0:r0 + tail, :] = _slab_rows(
+            boxes_ref[r0:r0 + tail, :], rays, inv_d, tmin, tail,
             n_valid, W, row_offset=r0)
 
 
@@ -393,13 +414,12 @@ def _make_probe_kernel(C_pad: int, n_clusters: int, W: int):
         rays = rays_ref[...]
         inv_d = jnp.where(jnp.abs(rays[3:6, :]) > 1e-12,
                           1.0 / rays[3:6, :], 1e12)
-        # row-chunked like the march cull (VMEM-stack bound at large C);
-        # ties resolve to the lowest cluster id because chunks ascend
-        emin = jnp.full((1, W), INF, jnp.float32)
-        first = jnp.full((1, W), C_pad, jnp.int32)
-        for r0 in range(0, C_pad, _CULL_ROWS):
-            rows = min(_CULL_ROWS, C_pad - r0)
-            entry = _slab_rows(boxes_ref[r0:r0 + rows, :], rays, inv_d,
+        # row-chunked like the march cull, as a ROLLED loop (an unrolled
+        # chunk loop keeps every chunk's slab temporaries on the Mosaic
+        # VMEM stack at once — compile OOM at ~2000 clusters); ties
+        # resolve to the lowest cluster id because chunks ascend
+        def chunk_min(r0, rows, emin, first):
+            entry = _slab_rows(boxes_ref[pl.ds(r0, rows), :], rays, inv_d,
                                rays[6:7, :], rows, n_clusters, W,
                                row_offset=r0)
             entry = jnp.where(entry < rays[7:8, :], entry, INF)
@@ -407,8 +427,25 @@ def _make_probe_kernel(C_pad: int, n_clusters: int, W: int):
             cid = jax.lax.broadcasted_iota(jnp.int32, (rows, W), 0) + r0
             cfirst = jnp.min(jnp.where(entry <= cmin, cid, C_pad),
                              axis=0, keepdims=True)
-            first = jnp.where(cmin < emin, cfirst, first)
-            emin = jnp.minimum(emin, cmin)
+            return jnp.minimum(emin, cmin), jnp.where(cmin < emin,
+                                                      cfirst, first)
+
+        emin = jnp.full((1, W), INF, jnp.float32)
+        first = jnp.full((1, W), C_pad, jnp.int32)
+        if C_pad <= _CULL_ROWS:
+            emin, first = chunk_min(0, C_pad, emin, first)
+        else:
+            n_full = C_pad // _CULL_ROWS
+
+            def body(i, carry):
+                r0 = pl.multiple_of(i * _CULL_ROWS, _CULL_ROWS)
+                return chunk_min(r0, _CULL_ROWS, *carry)
+
+            emin, first = jax.lax.fori_loop(0, n_full, body, (emin, first))
+            tail = C_pad - n_full * _CULL_ROWS
+            if tail:
+                emin, first = chunk_min(n_full * _CULL_ROWS, tail,
+                                        emin, first)
         out_ref[0, :, :] = jnp.where(emin < INF, first, C_pad)
 
     return kernel

@@ -208,18 +208,26 @@ class TestTemporalAnimationGain:
         return np.asarray(frames[-1][2].mean())
 
     def test_temporal_beats_spatial_only(self, data):
-        from optix_ray_tracer_tpu.models import renderer_time
+        from optix_ray_tracer_tpu.models import common, renderer_time
         from optix_ray_tracer_tpu.utils.color import linear_to_srgb
 
         a = self._last_frame(data, temporal=True)
         b = self._last_frame(data, temporal=False)
-        # ground truth: same frame, 64 spp, no denoiser, per-frame path
-        renderer_time.set_update_fn(data, lambda s, k: None)
-        try:
-            truth = self._last_frame(data, temporal=False, spp=64,
-                                     denoise=False)
-        finally:
-            data.update_fn = None
+        # ground truth: ONLY the last frame, 64 spp, no denoiser (frames
+        # are independent in the per-frame path — rendering the first 7
+        # at high spp would be pure waste)
+        cfg = data.config
+        ld = cfg.loop_data
+        n_frames = common.frame_count_for_file(
+            data.durations[0], ld.fps, ld.render_speed_ratio)
+        k = self.N_FRAMES - 1
+        scene = renderer_time.frame_scene(data, 0, k, n_frames)
+        intersector = common.choose_intersector(scene)
+        truth, _, _ = common.render_frame(
+            cfg, scene, data.materials, data.camera, 96, 64, spp=64,
+            seed=cfg.seed + k, intersector=intersector, env=data.env,
+            textures=data.textures, lights=None, denoise_override=False)
+        truth = np.asarray(truth)
 
         def p(x):
             return psnr(np.asarray(linear_to_srgb(jnp.asarray(x))),
