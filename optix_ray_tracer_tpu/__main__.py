@@ -194,6 +194,27 @@ def _run_viewer(frontend, data, config, args, out_dir) -> int:
                         else fused.time_file_data)
         bg = jnp.asarray(config.background, jnp.float32)
 
+        from optix_ray_tracer_tpu.utils.color import color_to_uint8 as _q
+
+        def _chunk(camera, ks, seeds, denoise_on, quantize):
+            return fused.fused_chunk(
+                state["fd"], jnp.asarray(ks, jnp.float32),
+                jnp.asarray(seeds, jnp.int32), state["intersector"],
+                data.materials, camera, data.extra_spheres,
+                data.extra_triangles, data.env, data.textures,
+                state["lights"], bg,
+                mode=mode, width=width, height=height,
+                spp=args.spp or 1, integrator=config.integrator,
+                do_denoise=bool(denoise_on and config.denoise),
+                max_depth=config.max_depth,
+                use_march=isinstance(state["intersector"],
+                                     MarchIntersector),
+                has_extras=bool(data.extra_triangles.count),
+                euler_path=getattr(data, "reference_euler_path", False),
+                quantize=quantize, want_guides=False)
+
+        still = {"cam": None, "acc": None, "spp": 0}
+
         def render_chunk_fn(camera, chunk, denoise_on, animate):
             fi, k, n_frames = schedule[state["step"] % len(schedule)]
             if state["key"] != fi or state["fd"] is None:
@@ -205,30 +226,38 @@ def _run_viewer(frontend, data, config, args, out_dir) -> int:
                 if state["lights"] is None:
                     state["lights"] = common.collect_lights(
                         config, scene0, data.materials)
+            cam_key = tuple(np.asarray(camera.center).tolist()) + \
+                tuple(np.asarray(camera.w).tolist())
+            if not animate and still["cam"] == cam_key:
+                # idle + still camera: PROGRESSIVE refinement — each
+                # dispatch adds `chunk` raw samples to a host accumulator
+                # (something the reference's 1-spp loop cannot do); the
+                # stream shows the converging mean, denoiser bypassed
+                # once real sample counts beat it
+                seeds = config.seed + still["spp"] + np.arange(chunk)
+                out = _chunk(camera, [k] * chunk, seeds, False,
+                             quantize=False)
+                imgs = np.asarray(out[0], np.float32)    # (K, H, W, 3)
+                if still["acc"] is None:
+                    still["acc"] = imgs.sum(0)
+                else:
+                    still["acc"] += imgs.sum(0)
+                still["spp"] += chunk
+                mean = jnp.asarray(still["acc"] / still["spp"])
+                return np.asarray(_q(mean))[None]
+            still["cam"] = cam_key
+            still["acc"] = None
+            still["spp"] = 0
             if animate:
                 # look-ahead stays inside this file (one compiled shape);
                 # wraps at the file end, the next call moves to file+1
                 ks = [(k + j) % n_frames for j in range(chunk)]
                 state["step"] += chunk
+                seeds = config.seed + np.asarray(ks, np.int32)
             else:
-                ks = [k] * chunk     # still camera: seed-varied frames
-            seeds = config.seed + (np.arange(chunk, dtype=np.int32)
-                                   if not animate
-                                   else np.asarray(ks, np.int32))
-            out = fused.fused_chunk(
-                state["fd"], jnp.asarray(ks, jnp.float32),
-                jnp.asarray(seeds), state["intersector"], data.materials,
-                camera, data.extra_spheres, data.extra_triangles,
-                data.env, data.textures, state["lights"], bg,
-                mode=mode, width=width, height=height,
-                spp=args.spp or 1, integrator=config.integrator,
-                do_denoise=bool(denoise_on and config.denoise),
-                max_depth=config.max_depth,
-                use_march=isinstance(state["intersector"],
-                                     MarchIntersector),
-                has_extras=bool(data.extra_triangles.count),
-                euler_path=getattr(data, "reference_euler_path", False),
-                quantize=True, want_guides=False)
+                ks = [k] * chunk     # newly-still camera: 1 chunk of
+                seeds = config.seed + np.arange(chunk, dtype=np.int32)
+            out = _chunk(camera, ks, seeds, denoise_on, quantize=True)
             return np.asarray(out[0])
 
     LOG.info("interactive viewer: %dx%d%s", width, height,

@@ -57,7 +57,8 @@ _INF_BITS = 0x7F800000   # bit pattern of float32 +inf
 
 # debug knobs (bisecting Mosaic device faults): pick implementation and
 # triangle-test granularity
-PICK_MODE = "float"      # "float" (2 syncs) | "packed" (1 sync; TPU-FAULTS)
+PICK_MODE = "float"      # "float" (2 syncs) | "packed" (1 sync; HANGS real
+                         # TPUs — repro + status: docs/libtpu-packed-pick-bug.md)
 N_SUBS = 4               # second-level cull granularity (1 = off); gates
                          # each 128-tri sub-block on any(sub entry < best_t)
 
