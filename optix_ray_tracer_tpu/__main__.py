@@ -196,13 +196,15 @@ def _run_viewer(frontend, data, config, args, out_dir) -> int:
 
         from optix_ray_tracer_tpu.utils.color import color_to_uint8 as _q
 
-        def _chunk(camera, ks, seeds, denoise_on, quantize):
-            return fused.fused_chunk(
+        def _chunk(camera, ks, seeds, denoise_on, quantize,
+                   temporal=False):
+            out = fused.fused_chunk(
                 state["fd"], jnp.asarray(ks, jnp.float32),
                 jnp.asarray(seeds, jnp.int32), state["intersector"],
                 data.materials, camera, data.extra_spheres,
                 data.extra_triangles, data.env, data.textures,
                 state["lights"], bg,
+                state.get("tstate") if temporal else None,
                 mode=mode, width=width, height=height,
                 spp=args.spp or 1, integrator=config.integrator,
                 do_denoise=bool(denoise_on and config.denoise),
@@ -211,7 +213,10 @@ def _run_viewer(frontend, data, config, args, out_dir) -> int:
                                      MarchIntersector),
                 has_extras=bool(data.extra_triangles.count),
                 euler_path=getattr(data, "reference_euler_path", False),
-                quantize=quantize, want_guides=False)
+                quantize=quantize, want_guides=False, temporal=temporal)
+            if temporal:
+                out, state["tstate"] = out
+            return out
 
         still = {"cam": None, "acc": None, "spp": 0}
 
@@ -245,9 +250,18 @@ def _run_viewer(frontend, data, config, args, out_dir) -> int:
                 still["spp"] += chunk
                 mean = jnp.asarray(still["acc"] / still["spp"])
                 return np.asarray(_q(mean))[None]
+            moved = still["cam"] != cam_key
             still["cam"] = cam_key
             still["acc"] = None
             still["spp"] = 0
+            # temporal reprojection is valid only while the camera holds
+            # still (history is projected through the CURRENT camera)
+            use_temporal = (bool(getattr(config, "temporal", True))
+                            and config.integrator != "path"
+                            and not moved)
+            if moved or state.get("tstate") is None:
+                from optix_ray_tracer_tpu.render import temporal as tmod
+                state["tstate"] = tmod.empty_state(width, height)
             if animate:
                 # look-ahead stays inside this file (one compiled shape);
                 # wraps at the file end, the next call moves to file+1
@@ -257,7 +271,8 @@ def _run_viewer(frontend, data, config, args, out_dir) -> int:
             else:
                 ks = [k] * chunk     # newly-still camera: 1 chunk of
                 seeds = config.seed + np.arange(chunk, dtype=np.int32)
-            out = _chunk(camera, ks, seeds, denoise_on, quantize=True)
+            out = _chunk(camera, ks, seeds, denoise_on, quantize=True,
+                         temporal=use_temporal)
             return np.asarray(out[0])
 
     LOG.info("interactive viewer: %dx%d%s", width, height,

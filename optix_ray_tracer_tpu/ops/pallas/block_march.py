@@ -67,9 +67,8 @@ N_SUBS = 4               # second-level cull granularity (1 = off); gates
 # retuning either module alone would silently skip sub-blocks with true hits.
 assert CLUSTER_TRIS == _SWEEP_CHUNK, (CLUSTER_TRIS, _SWEEP_CHUNK)
 assert N_SUBS == _SWEEP_SUBS, (N_SUBS, _SWEEP_SUBS)
-# VMEM budget for the (C_pad*N_SUBS, W) sub-entry matrix; past it the
-# kernel falls back to whole-cluster tests
-_SUB_VMEM_BUDGET = 6 * 1024 * 1024
+# NOTE: sub-culling is LAZY (per-visit slab of the visited cluster's
+# n_subs boxes) since round 3 — no per-cluster VMEM scratch, no scale cap
 
 
 def choose_block_rays(n_clusters: int) -> int:
@@ -149,7 +148,7 @@ def _make_kernel(C_pad: int, n_clusters: int, max_visits: int,
             (pair_shape_ref, pair_inst_ref, inst_ref), rest = \
                 rest[:3], rest[3:]
         if n_subs > 1:
-            (sub_boxes_ref, woop_ref, out_ref, entry_ref, sub_entry_ref,
+            (sub_boxes_ref, woop_ref, out_ref, entry_ref,
              bt_ref, slot_ref, tri_scratch, sem) = rest
         else:
             (woop_ref, out_ref, entry_ref,
@@ -163,12 +162,11 @@ def _make_kernel(C_pad: int, n_clusters: int, max_visits: int,
         # ---- cull (row-chunked; see _CULL_ROWS) ----
         _cull_into(entry_ref, boxes_ref, rays, inv_d, tmin,
                    C_pad, n_clusters, W)
-        if n_subs > 1:
-            # second-level cull: 128-tri sub-block AABBs; the march gates
-            # each sub-test on any(sub entry < best_t) — most visits test
-            # only 1-2 of the 4 sub-blocks (round-1 on-chip tuning)
-            _cull_into(sub_entry_ref, sub_boxes_ref, rays, inv_d, tmin,
-                       C_pad * n_subs, n_clusters * n_subs, W)
+        # second-level (128-tri sub-block) culling is LAZY: computed per
+        # VISIT from the visited cluster's (n_subs, 8) box block — a block
+        # visits ~tens of clusters, so visit-time slab rows total far
+        # fewer than the old upfront (C_pad * n_subs, W) matrix, whose
+        # VMEM scratch also capped the cluster count (round-3 change)
 
         bt_ref[...] = bt0
         slot_ref[...] = jnp.full((1, W), -1.0, jnp.float32)
@@ -310,10 +308,15 @@ def _make_kernel(C_pad: int, n_clusters: int, max_visits: int,
                         bt_ref[...] = jnp.where(closer, t_best, bt_cur)
                     slot_ref[...] = slot_new
 
+                if n_subs > 1:
+                    # lazy sub-cull: slab-test THIS cluster's n_subs
+                    # sub-boxes now (world-space rows; NaN padding rows
+                    # yield INF entries)
+                    ent4 = _slab_rows(sub_boxes_ref[cur_c], rays, inv_d,
+                                      tmin, n_subs, n_subs, W)
                 for part in range(n_subs):
                     if n_subs > 1:
-                        row = sub_entry_ref[
-                            pl.ds(cur_c * n_subs + part, 1), :]
+                        row = ent4[part:part + 1, :]
 
                         @pl.when(jnp.any(row < bt_ref[...]))
                         def _(part=part):
@@ -385,13 +388,13 @@ def _march_call(rays_packed_t, boxes, sub_boxes, woop, c_pad: int,
         ]
         inputs += [pair_shape, pair_inst, inst_rows]
     if n_subs > 1:
+        # (c_pad, n_subs, 8): one cluster's sub-boxes load as a single
+        # leading-axis index (the lazy per-visit sub-cull)
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # sub boxes
         inputs.append(sub_boxes)
     in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # woop_t in HBM
     inputs.append(woop)
     scratch = [pltpu.VMEM((c_pad, w), jnp.float32)]      # cluster entries
-    if n_subs > 1:
-        scratch.append(pltpu.VMEM((c_pad * n_subs, w), jnp.float32))
     scratch += [
         pltpu.VMEM((1, w), jnp.float32),                 # best t
         pltpu.VMEM((1, w), jnp.float32),                 # best slot (f32)
@@ -533,21 +536,15 @@ def block_march(clusters, o, d, t_min, t_max, any_hit: bool = False,
     boxes = _pad_boxes(clusters.cluster_min, clusters.cluster_max, c_pad - C)
 
     W = block_rays or choose_block_rays(C)
-    n_subs = N_SUBS if (N_SUBS > 1 and
-                        c_pad * N_SUBS * W * 4 <= _SUB_VMEM_BUDGET) else 1
-    if N_SUBS > 1 and n_subs == 1:
-        # trace-time warning (once per compile): past ~3000 clusters the
-        # (C_pad * N_SUBS, W) sub-entry matrix exceeds the VMEM budget and
-        # culling degrades to whole-cluster tests — correct but slower
-        from optix_ray_tracer_tpu.utils.logging import LOG
-        LOG.warning(
-            "block_march: %d clusters exceed the sub-cull VMEM budget "
-            "(%d MB); falling back to whole-cluster tests — expect "
-            "reduced culling precision at this scene size", C,
-            _SUB_VMEM_BUDGET >> 20)
+    # the lazy per-visit sub-cull has no per-cluster VMEM scratch, so
+    # sub-culling stays on at EVERY scene size (the old upfront
+    # (C_pad * N_SUBS, W) entry matrix degraded to whole-cluster tests
+    # past ~3000 clusters)
+    n_subs = N_SUBS
     if n_subs > 1:
         sub_boxes = _pad_boxes(clusters.sub_min, clusters.sub_max,
-                               (c_pad - C) * n_subs)
+                               (c_pad - C) * n_subs
+                               ).reshape(c_pad, n_subs, 8)
     else:
         sub_boxes = boxes
     n = o.shape[0]
@@ -632,11 +629,10 @@ def block_march_instanced(pair_min, pair_max, sub_min, sub_max,
         raise ValueError(f"{C} instance pairs exceed {MAX_CLUSTERS}")
     c_pad = ((C + 7) // 8) * 8
     boxes = _pad_boxes(pair_min, pair_max, c_pad - C)
-    n_subs = N_SUBS if (N_SUBS > 1 and
-                        c_pad * N_SUBS * BLOCK_RAYS * 4
-                        <= _SUB_VMEM_BUDGET) else 1
+    n_subs = N_SUBS
     if n_subs > 1:
-        sub_boxes = _pad_boxes(sub_min, sub_max, (c_pad - C) * n_subs)
+        sub_boxes = _pad_boxes(sub_min, sub_max, (c_pad - C) * n_subs
+                               ).reshape(c_pad, n_subs, 8)
     else:
         sub_boxes = boxes
     ps = jnp.pad(pair_shape.astype(jnp.int32),

@@ -105,9 +105,10 @@ class ClusterSet:
     prim_index:  (n_pad,) sorted slot -> original triangle id
     cluster_min: (C, 3) cluster AABBs
     cluster_max: (C, 3)
-    sub_min:     (C*8, 3) sub-cluster AABBs (64-tri granularity, used by the
-                 block marcher's in-kernel second-level cull)
-    sub_max:     (C*8, 3)
+    sub_min:     (C*SUBS_PER_CLUSTER, 3) sub-cluster AABBs (SUB_TRIS-tri
+                 granularity, used by the block marcher's lazy per-visit
+                 second-level cull)
+    sub_max:     (C*SUBS_PER_CLUSTER, 3)
     """
     woop: jax.Array
     woop_t: jax.Array
