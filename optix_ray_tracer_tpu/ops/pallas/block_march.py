@@ -413,6 +413,234 @@ def _march_call(rays_packed_t, boxes, sub_boxes, woop, c_pad: int,
     )(*inputs)
 
 
+GROUP = 8   # clusters per supercluster in the hierarchical march
+
+
+def _make_hier_kernel(S_pad: int, C_pad: int, n_clusters: int,
+                      max_visits: int, any_hit: bool, W: int, n_subs: int):
+    """Hierarchical block march: cull + pick over 8-cluster SUPERCLUSTERS,
+    cluster and sub-block entries computed lazily per visit.
+
+    Rationale (round 3): the flat kernel's upfront cull and per-visit pick
+    are both O(C_pad) — at 1950 clusters (1M tris) they dominate.  Sup
+    rows are C_pad/8, and one pick now serves up to 8 cluster tests.
+    Exactness: sup entry <= min(entry of contained clusters), so the
+    "no unvisited sup with entry < best_t" termination covers every
+    cluster the flat criterion would; per-cluster tests stay gated by
+    their true (lazily computed) entries.
+    """
+    def kernel(rays_ref, sup_boxes_ref, boxes_ref, sub_boxes_ref, woop_ref,
+               out_ref, entry_ref, bt_ref, slot_ref, tri_scratch, sem):
+        rays = rays_ref[...]
+        inv_d = jnp.where(jnp.abs(rays[3:6, :]) > 1e-12,
+                          1.0 / rays[3:6, :], 1e12)
+        tmin = rays[6:7, :]
+        bt_ref[...] = rays[7:8, :]
+        slot_ref[...] = jnp.full((1, W), -1.0, jnp.float32)
+
+        n_sup = (n_clusters + GROUP - 1) // GROUP
+        _cull_into(entry_ref, sup_boxes_ref, rays, inv_d, tmin,
+                   S_pad, n_sup, W)
+
+        hp = jax.lax.Precision.HIGHEST
+        d_rows = rays[3:6, :]
+        o4 = jnp.concatenate(
+            [rays[0:3, :], -jnp.ones((1, W), jnp.float32)], axis=0)
+        dn_t = (((0,), (0,)), ((), ()))
+        sid_col = jax.lax.broadcasted_iota(jnp.int32, (S_pad, 1), 0)
+
+        def pick(visited):
+            bt = bt_ref[...]
+            entry = entry_ref[...]
+            block_entry = jnp.min(jnp.where(entry < bt, entry, INF),
+                                  axis=1, keepdims=True)
+            key_f = jnp.where(visited < 0.5, block_entry, INF)
+            kmin = jnp.min(key_f)
+            s = jnp.min(jnp.where(key_f <= kmin, sid_col, S_pad))
+            return s, kmin < INF
+
+        def start_dma(c, slot):
+            # clamp: the last sup's trailing slots may exceed the real
+            # cluster count; their NaN boxes gate the tests off anyway
+            c = jnp.minimum(c, n_clusters - 1)
+            return pltpu.make_async_copy(
+                woop_ref.at[c], tri_scratch.at[slot], sem.at[slot])
+
+        def cond(state):
+            visit, _, _, cur_ok = state
+            return (visit < max_visits) & cur_ok
+
+        def body(state):
+            visit, visited, cur_s, cur_ok = state
+            visited = jnp.where(sid_col == cur_s, 1.0, visited)
+            nxt_s, nxt_ok = pick(visited)
+
+            @pl.when(cur_ok)
+            def _():
+                base_c = cur_s * GROUP
+                # lazy cluster entries for this sup (8-aligned dynamic
+                # row slice)
+                cent = _slab_rows(boxes_ref[pl.ds(base_c, GROUP), :],
+                                  rays, inv_d, tmin, GROUP, GROUP, W)
+                start_dma(base_c, 0).start()
+                step = CLUSTER_TRIS // n_subs
+
+                def test_part(cur_c, slot, part):
+                    ws = tri_scratch[slot, :,
+                                     part * step:(part + 1) * step]
+                    dot = partial(jax.lax.dot_general,
+                                  dimension_numbers=dn_t, precision=hp,
+                                  preferred_element_type=jnp.float32)
+                    opx = dot(ws[0:4], o4)
+                    opy = dot(ws[4:8], o4)
+                    opz = dot(ws[8:12], o4)
+                    dpx = dot(ws[0:3], d_rows)
+                    dpy = dot(ws[4:7], d_rows)
+                    dpz = dot(ws[8:11], d_rows)
+                    safe = jnp.where(jnp.abs(dpz) > 1e-12, dpz, 1e-12)
+                    t = -opz / safe
+                    uu = opx + t * dpx
+                    vv = opy + t * dpy
+                    bt_cur = bt_ref[...]
+                    ok = ((jnp.abs(dpz) > 1e-12) & (uu >= 0.0)
+                          & (vv >= 0.0) & (uu + vv <= 1.0)
+                          & (t > tmin) & (t < bt_cur))
+                    t = jnp.where(ok, t, INF)
+                    t_best = jnp.min(t, axis=0, keepdims=True)
+                    closer = t_best < bt_cur
+                    tri_row = jax.lax.broadcasted_iota(
+                        jnp.int32, (step, W), 0)
+                    li = jnp.min(
+                        jnp.where(t <= t_best, tri_row, step),
+                        axis=0, keepdims=True)
+                    slotf = (cur_c * CLUSTER_TRIS + part * step
+                             + li).astype(jnp.float32)
+                    slot_new = jnp.where(closer, slotf, slot_ref[...])
+                    if any_hit:
+                        bt_ref[...] = jnp.where(slot_new >= 0.0, -INF,
+                                                jnp.where(closer, t_best,
+                                                          bt_cur))
+                    else:
+                        bt_ref[...] = jnp.where(closer, t_best, bt_cur)
+                    slot_ref[...] = slot_new
+
+                for i in range(GROUP):
+                    if i + 1 < GROUP:
+                        start_dma(base_c + i + 1,
+                                  jnp.int32((i + 1) % 2)).start()
+                    start_dma(base_c + i, jnp.int32(i % 2)).wait()
+
+                    @pl.when(jnp.any(cent[i:i + 1, :] < bt_ref[...]))
+                    def _(i=i):
+                        cur_c = base_c + i
+                        ent4 = _slab_rows(sub_boxes_ref[cur_c], rays,
+                                          inv_d, tmin, n_subs, n_subs, W)
+                        for part in range(n_subs):
+                            @pl.when(jnp.any(ent4[part:part + 1, :]
+                                             < bt_ref[...]))
+                            def _(part=part):
+                                test_part(cur_c, jnp.int32(i % 2), part)
+
+            return visit + 1, visited, nxt_s, nxt_ok
+
+        s0, ok0 = pick(jnp.zeros((S_pad, 1), jnp.float32))
+        jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), jnp.zeros((S_pad, 1), jnp.float32), s0, ok0))
+
+        out_ref[0, 0:1, :] = bt_ref[...]
+        out_ref[0, 1:2, :] = slot_ref[...]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("s_pad", "c_pad", "n_clusters",
+                                   "max_visits", "any_hit", "w", "n_subs"))
+def _hier_call(rays_packed_t, sup_boxes, boxes, sub_boxes, woop,
+               s_pad: int, c_pad: int, n_clusters: int, max_visits: int,
+               any_hit: bool = False, w: int = BLOCK_RAYS,
+               n_subs: int = N_SUBS):
+    nb = rays_packed_t.shape[1] // w
+    kernel = _make_hier_kernel(s_pad, c_pad, n_clusters, max_visits,
+                               any_hit, w, n_subs)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nb, 2, w), jnp.float32),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((8, w), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sup boxes
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # cluster boxes
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sub boxes (3D)
+            pl.BlockSpec(memory_space=pl.ANY),       # woop_t in HBM
+        ],
+        out_specs=pl.BlockSpec((1, 2, w), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((s_pad, w), jnp.float32),     # sup entries
+            pltpu.VMEM((1, w), jnp.float32),         # best t
+            pltpu.VMEM((1, w), jnp.float32),         # best slot
+            pltpu.VMEM((2, 16, CLUSTER_TRIS), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=jax.default_backend() == "cpu",
+    )(rays_packed_t, sup_boxes, boxes, sub_boxes, woop)
+
+
+def block_march_hier(clusters, o, d, t_min, t_max, any_hit: bool = False):
+    """Hierarchical (supercluster) variant of :func:`block_march` — same
+    contract, same exact results; profitable at large cluster counts
+    where the flat kernel's O(C) cull/pick dominates (see PERF.md)."""
+    C = clusters.num_clusters
+    c_pad = ((C + 7) // 8) * 8
+    boxes = _pad_boxes(clusters.cluster_min, clusters.cluster_max,
+                       c_pad - C)
+    S = c_pad // GROUP
+    s_pad = ((S + 7) // 8) * 8
+    # sup box = NaN-aware union of its 8 cluster boxes (padded clusters
+    # keep NaN boxes, so pure-padding sups can never be picked)
+    gmin = jnp.nanmin(boxes[:, 0:3].reshape(S, GROUP, 3), axis=1)
+    gmax = jnp.nanmax(boxes[:, 3:6].reshape(S, GROUP, 3), axis=1)
+    sup_boxes = _pad_boxes(gmin, gmax, s_pad - S)
+    sub_boxes = _pad_boxes(clusters.sub_min, clusters.sub_max,
+                           (c_pad - C) * N_SUBS
+                           ).reshape(c_pad, N_SUBS, 8)
+
+    W = BLOCK_RAYS
+    n = o.shape[0]
+    pad = (-n) % W
+    if pad:
+        o = jnp.pad(o, ((0, pad), (0, 0)))
+        d = jnp.pad(d, ((0, pad), (0, 0)))
+        d = d.at[n:, 2].set(1.0)
+        t_min = jnp.pad(t_min, (0, pad), constant_values=1.0)
+        t_max = jnp.pad(t_max, (0, pad), constant_values=0.0)
+    t_max = jnp.minimum(t_max, INF)
+    rays_packed_t = jnp.concatenate(
+        [o.T, d.T, t_min[None, :], t_max[None, :]], axis=0)
+    out = _hier_call(rays_packed_t, sup_boxes, boxes, sub_boxes,
+                     clusters.woop_t, s_pad=s_pad, c_pad=c_pad,
+                     n_clusters=C, max_visits=S + 1, any_hit=any_hit)
+    out = jnp.swapaxes(out, 1, 2).reshape(-1, 2)[:n]
+    t = out[:, 0]
+    slotf = out[:, 1]
+    miss = slotf < 0.0
+    slot = jnp.where(miss, -1, slotf.astype(jnp.int32))
+    t = jnp.where(miss, INF, t)
+    if any_hit:
+        return t, slot, jnp.zeros_like(t), jnp.zeros_like(t)
+    w_rows = clusters.woop[jnp.maximum(slot, 0)]
+    o_h = o[:n]
+    d_h = d[:n]
+    t_safe = jnp.where(miss, 0.0, t)
+    u = (jnp.einsum("ri,ri->r", w_rows[:, 0:3], o_h) - w_rows[:, 9]
+         + t_safe * jnp.einsum("ri,ri->r", w_rows[:, 0:3], d_h))
+    v = (jnp.einsum("ri,ri->r", w_rows[:, 3:6], o_h) - w_rows[:, 10]
+         + t_safe * jnp.einsum("ri,ri->r", w_rows[:, 3:6], d_h))
+    return (t, slot, jnp.where(miss, 0.0, u), jnp.where(miss, 0.0, v))
+
+
 def _make_probe_kernel(C_pad: int, n_clusters: int, W: int):
     def kernel(rays_ref, boxes_ref, out_ref):
         rays = rays_ref[...]

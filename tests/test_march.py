@@ -193,3 +193,66 @@ class TestRebuild:
                                    rtol=1e-6, atol=1e-6)
         np.testing.assert_array_equal(np.asarray(dev.clusters.prim_index),
                                       np.asarray(host.clusters.prim_index))
+
+
+class TestHierMarch:
+    """Hierarchical (supercluster) kernel variant: same exact results as
+    the flat marcher and the brute-force oracle."""
+
+    @pytest.mark.parametrize("n_tri", [60, 20000])
+    def test_matches_oracle(self, n_tri):
+        from optix_ray_tracer_tpu.ops.pallas.block_march import (
+            block_march_hier,
+        )
+        from optix_ray_tracer_tpu.utils.vecmath import INF
+
+        scene = _scene(n_tri)
+        mi = make_march_intersector(scene)
+        cam = Camera.look_at((3, 0, 0.3), (0, 0, 0), (0, 0, 1))
+        o, d = cam.generate_rays(32, 24)
+        o = o.reshape(-1, 3)
+        d = d.reshape(-1, 3)
+        n = o.shape[0]
+        tmin = jnp.full((n,), 1e-3, jnp.float32)
+        tmax = jnp.full((n,), INF, jnp.float32)
+        t, slot, u, v = block_march_hier(mi.clusters, o, d, tmin, tmax)
+        h2 = intersect_scene_bruteforce(scene, o, d, t_min=1e-3)
+        prim = np.where(np.asarray(slot) < 0, 0,
+                        np.asarray(mi.clusters.prim_index)[
+                            np.maximum(np.asarray(slot), 0)])
+        hit2 = np.asarray(h2.prim_type) == 2
+        np.testing.assert_array_equal(np.asarray(slot) >= 0, hit2)
+        np.testing.assert_array_equal(prim[hit2],
+                                      np.asarray(h2.prim_id)[hit2])
+        np.testing.assert_allclose(np.asarray(t)[hit2],
+                                   np.asarray(h2.t)[hit2],
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_incoherent_matches_flat(self):
+        from optix_ray_tracer_tpu.ops.pallas.block_march import (
+            block_march, block_march_hier,
+        )
+        from optix_ray_tracer_tpu.utils.vecmath import INF
+
+        scene = _scene(20000)
+        mi = make_march_intersector(scene)
+        rng = np.random.default_rng(9)
+        n = 512
+        o = jnp.asarray(rng.uniform(-1.2, 1.2, (n, 3)).astype(np.float32))
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        d = jnp.asarray(d)
+        tmin = jnp.full((n,), 1e-3, jnp.float32)
+        tmax = jnp.full((n,), INF, jnp.float32)
+        tf, sf, _, _ = block_march(mi.clusters, o, d, tmin, tmax)
+        th, sh, _, _ = block_march_hier(mi.clusters, o, d, tmin, tmax)
+        np.testing.assert_array_equal(np.asarray(sf), np.asarray(sh))
+        np.testing.assert_allclose(np.asarray(tf), np.asarray(th),
+                                   rtol=1e-6, atol=1e-6)
+        # occlusion query parity
+        _, sf2, _, _ = block_march(mi.clusters, o, d, tmin, tmax,
+                                   any_hit=True)
+        _, sh2, _, _ = block_march_hier(mi.clusters, o, d, tmin, tmax,
+                                        any_hit=True)
+        np.testing.assert_array_equal(np.asarray(sf2) >= 0,
+                                      np.asarray(sh2) >= 0)
