@@ -415,6 +415,13 @@ def _march_call(rays_packed_t, boxes, sub_boxes, woop, c_pad: int,
 
 GROUP = 8   # clusters per supercluster in the hierarchical march
 
+# block_march delegates to the hierarchical kernel at large cluster
+# counts.  Measured crossover (PERF.md round 3): flat wins to ~1000
+# clusters (300k tris: 7.86 vs 6.42 Mrays/s coherent; 500k: 6.39 vs
+# 5.90), hier wins at 1950 (4.50 vs 5.08 coherent, 0.26 vs 0.30
+# incoherent).
+HIER_MIN_CLUSTERS = 1536
+
 
 def _make_hier_kernel(S_pad: int, C_pad: int, n_clusters: int,
                       max_visits: int, any_hit: bool, W: int, n_subs: int):
@@ -753,6 +760,11 @@ def block_march(clusters, o, d, t_min, t_max, any_hit: bool = False,
     pass ``report_unresolved=True`` to get a 5th return, a bool mask of
     rays whose march was cut short (the two-pass speculative scheme:
     resolve most rays in k visits, re-march the compacted remainder).
+
+    Tie semantics: when two triangles are hit at EXACTLY equal t, the
+    winner is the first one tested (visit order) — the flat and
+    hierarchical kernels may disagree on such rays (~1 per million on
+    tessellated meshes, measured); both answers are valid nearest hits.
     """
     C = clusters.num_clusters
     if C > MAX_CLUSTERS:
@@ -760,6 +772,12 @@ def block_march(clusters, o, d, t_min, t_max, any_hit: bool = False,
             f"scene has {C} clusters; the packed pick key carries "
             f"{_CID_BITS} id bits (max {MAX_CLUSTERS} clusters = "
             f"{MAX_CLUSTERS * CLUSTER_TRIS} triangles) — raise CHUNK")
+    if (C >= HIER_MIN_CLUSTERS and block_rays is None
+            and max_visits is None and not report_unresolved):
+        # large scenes: the hierarchical kernel wins once the flat
+        # kernel's O(C) cull/pick dominates (crossover measured on-chip)
+        return block_march_hier(clusters, o, d, t_min, t_max,
+                                any_hit=any_hit)
     c_pad = ((C + 7) // 8) * 8
     boxes = _pad_boxes(clusters.cluster_min, clusters.cluster_max, c_pad - C)
 

@@ -256,3 +256,23 @@ class TestHierMarch:
                                         any_hit=True)
         np.testing.assert_array_equal(np.asarray(sf2) >= 0,
                                       np.asarray(sh2) >= 0)
+
+    def test_auto_delegation_policy(self, monkeypatch):
+        """block_march routes to the hierarchical kernel past
+        HIER_MIN_CLUSTERS (threshold lowered here to exercise the path
+        at CPU-testable scale)."""
+        from optix_ray_tracer_tpu.ops.pallas import block_march as bm
+
+        scene = _scene(20000)   # 40 clusters
+        mi = make_march_intersector(scene)
+        cam = Camera.look_at((3, 0, 0.3), (0, 0, 0), (0, 0, 1))
+        o, d = cam.generate_rays(16, 16)
+        o = o.reshape(-1, 3)
+        d = d.reshape(-1, 3)
+        h_flat = mi(scene, o, d)
+        monkeypatch.setattr(bm, "HIER_MIN_CLUSTERS", 8)
+        h_hier = mi(scene, o, d)
+        np.testing.assert_array_equal(np.asarray(h_flat.prim_id),
+                                      np.asarray(h_hier.prim_id))
+        np.testing.assert_allclose(np.asarray(h_flat.t),
+                                   np.asarray(h_hier.t), atol=1e-6)
