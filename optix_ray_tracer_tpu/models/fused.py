@@ -14,6 +14,10 @@ leave the device as one stacked fetch per chunk.
 Both frontends route through ``fused_chunk`` whenever no host-side
 per-frame hook is installed (``update_fn``) and debug-mode validation is
 off; otherwise they fall back to the per-frame path.
+
+With a ``mesh`` the SAME chunk scan runs tile/sample-sharded over all
+devices (one shard_map around the scan) — the distributed animation loop
+the single-GPU reference never had (docs/technical-details.md:325-328).
 """
 
 from __future__ import annotations
@@ -83,7 +87,7 @@ def _time_scene(fd, k, extra_spheres, extra_triangles, has_extras: bool,
 @partial(jax.jit, static_argnames=(
     "mode", "width", "height", "spp", "integrator", "do_denoise",
     "max_depth", "use_march", "has_extras", "euler_path", "quantize",
-    "want_guides", "temporal"))
+    "want_guides", "temporal", "mesh"))
 def fused_chunk(fd, ks, seeds, base_inter, materials, camera,
                 extra_spheres, extra_triangles, env, textures, lights,
                 background, tstate=None, *, mode: str, width: int,
@@ -91,7 +95,8 @@ def fused_chunk(fd, ks, seeds, base_inter, materials, camera,
                 spp: int, integrator: str, do_denoise: bool,
                 max_depth: int, use_march: bool, has_extras: bool,
                 euler_path: bool = False, quantize: bool = False,
-                want_guides: bool = True, temporal: bool = False):
+                want_guides: bool = True, temporal: bool = False,
+                mesh=None):
     """Render frames ``ks`` (float32 frame indices) of one animation file
     in a single dispatch.
 
@@ -110,7 +115,15 @@ def fused_chunk(fd, ks, seeds, base_inter, materials, camera,
     the chunk): SVGF temporal reprojection across frames using the
     exactly-known per-instance rigid motion — ``tstate`` is the carried
     history (render/temporal.py ``empty_state``), and the return becomes
-    ``(outs, final_tstate)`` so history flows across chunks and files."""
+    ``(outs, final_tstate)`` so history flows across chunks and files.
+
+    ``mesh`` (a ``jax.sharding.Mesh`` with ``tile``/``sample`` axes):
+    run the SAME chunk scan once across all mesh devices via shard_map —
+    each device traces its row band (RNG keys off GLOBAL pixel ids, so
+    output matches the single-device scan), partial sample sums merge
+    with a ``psum`` over the sample axis, and the bands ``all_gather``
+    over tile before the (cheap, replicated) temporal / denoise /
+    quantize stages, which need full frames."""
     from optix_ray_tracer_tpu.ops.march import refit_march_intersector
     from optix_ray_tracer_tpu.render import pathtracer, wavefront
 
@@ -118,103 +131,229 @@ def fused_chunk(fd, ks, seeds, base_inter, materials, camera,
         raise ValueError("temporal reprojection requires the whitted "
                          "integrator (aux buffers)")
 
-    def step(carry, xs):
-        k, seed = xs
-        if mode == "mesh":
-            scene = _mesh_scene(fd, k, extra_spheres, extra_triangles,
-                                has_extras)
-        else:
-            scene = _time_scene(fd, k, extra_spheres, extra_triangles,
-                                has_extras, euler_path)
-        # the updateIAS-refit analog, on device, inside the scan
-        inter = (refit_march_intersector(base_inter, scene)
-                 if use_march else None)
-        # NOTE: call the UNJITTED implementations (__wrapped__): first-
-        # tracing a public jitted entry inside this scan poisons its
-        # top-level dispatch cache on this jax version ("Execution
-        # supplied 18 buffers but compiled program expected 20")
-        if integrator == "path":
-            img, alb, nrm = pathtracer.render_path.__wrapped__(
-                scene, materials, lights, camera, width=width,
-                height=height, spp=spp, seed=seed, background=background,
-                max_depth=max_depth, intersector=inter, env=env,
-                textures=textures)
-        elif temporal:
-            from optix_ray_tracer_tpu.render import temporal as tmod
-            from optix_ray_tracer_tpu.utils.vecmath import INF, normalize
+    if mesh is not None:
+        n_tile = mesh.shape["tile"]
+        n_sample = mesh.shape["sample"]
+        if height % n_tile != 0:
+            raise ValueError(
+                f"height {height} not divisible by tile={n_tile}")
+        if spp % n_sample != 0:
+            raise ValueError(
+                f"spp {spp} not divisible by sample={n_sample}")
+        rows_per = height // n_tile
+        spp_per = spp // n_sample
 
-            img, alb, nrm, (t_g, prim_g) = wavefront.render.__wrapped__(
-                scene, materials, camera, width, height, spp=spp,
-                seed=seed, background=background, max_depth=max_depth,
-                intersector=inter, env=env, want_aux=True)
-            # hit world points via pixel-center rays (sub-pixel jitter
-            # mismatch is far inside the validity tolerances)
-            o_c, d_c = camera.generate_rays(width, height)
-            hit_ok = (t_g < INF)[..., None]
-            x = jnp.where(hit_ok, o_c + t_g[..., None] * d_c, o_c + d_c)
+    # everything below is parameterized by chunk_impl's OWN arguments
+    # (shard_map rebinds them to shard-local values on the sharded path;
+    # no closure capture of traced operands)
+    def chunk_impl(fd, ks, seeds, base_inter, materials, camera,
+                   extra_spheres, extra_triangles, env, textures, lights,
+                   background, tstate, *, banded: bool = False):
+
+        def build_scene(k):
             if mode == "mesh":
-                from optix_ray_tracer_tpu.models.renderer_mesh import (
-                    prev_world_points,
+                return _mesh_scene(fd, k, extra_spheres, extra_triangles,
+                                   has_extras)
+            return _time_scene(fd, k, extra_spheres, extra_triangles,
+                               has_extras, euler_path)
+
+        def postprocess(carry, k, img, alb, nrm, aux):
+            """Full-frame tail: temporal blend, denoise, quantize."""
+            if temporal:
+                from optix_ray_tracer_tpu.render import temporal as tmod
+                from optix_ray_tracer_tpu.utils.vecmath import (
+                    INF, normalize,
                 )
-                x_prev = prev_world_points(fd, k, x, prim_g)
-            else:
-                from optix_ray_tracer_tpu.models.renderer_time import (
-                    prev_world_points,
-                )
-                x_prev = prev_world_points(fd, k, x, prim_g,
-                                           euler_path=euler_path)
-            px, py, in_front = tmod.project_to_pixels(
-                camera, x_prev, width, height)
-            prev_t = jnp.linalg.norm(x_prev - camera.center, axis=-1)
-            safe_alb = jnp.maximum(alb, 1e-3)
-            nrm_u = normalize(nrm)
-            blended, carry = tmod.temporal_blend(
-                carry, img / safe_alb, t_g, nrm_u, px, py, prev_t,
-                in_front)
-            if do_denoise:
-                from optix_ray_tracer_tpu.render.denoise import (
-                    filter_irradiance,
-                )
-                # history-adaptive edge-stopping: converged pixels filter
-                # tighter (see filter_irradiance docstring)
-                sig = 1.0 / jnp.sqrt(jnp.maximum(carry["hist"], 1.0))
-                img = filter_irradiance(blended, nrm,
-                                        sigma_color=sig) * safe_alb
-            else:
-                img = blended * safe_alb
-        else:
-            img, alb, nrm = wavefront.render.__wrapped__(
+
+                t_g, prim_g = aux
+                # hit world points via pixel-center rays (sub-pixel jitter
+                # mismatch is far inside the validity tolerances)
+                o_c, d_c = camera.generate_rays(width, height)
+                hit_ok = (t_g < INF)[..., None]
+                x = jnp.where(hit_ok, o_c + t_g[..., None] * d_c,
+                              o_c + d_c)
+                if mode == "mesh":
+                    from optix_ray_tracer_tpu.models.renderer_mesh import (
+                        prev_world_points,
+                    )
+                    x_prev = prev_world_points(fd, k, x, prim_g)
+                else:
+                    from optix_ray_tracer_tpu.models.renderer_time import (
+                        prev_world_points,
+                    )
+                    x_prev = prev_world_points(fd, k, x, prim_g,
+                                               euler_path=euler_path)
+                px, py, in_front = tmod.project_to_pixels(
+                    camera, x_prev, width, height)
+                prev_t = jnp.linalg.norm(x_prev - camera.center, axis=-1)
+                safe_alb = jnp.maximum(alb, 1e-3)
+                nrm_u = normalize(nrm)
+                blended, carry = tmod.temporal_blend(
+                    carry, img / safe_alb, t_g, nrm_u, px, py, prev_t,
+                    in_front)
+                if do_denoise:
+                    from optix_ray_tracer_tpu.render.denoise import (
+                        filter_irradiance,
+                    )
+                    # history-adaptive edge-stopping: converged pixels
+                    # filter tighter (see filter_irradiance docstring)
+                    sig = 1.0 / jnp.sqrt(jnp.maximum(carry["hist"], 1.0))
+                    img = filter_irradiance(blended, nrm,
+                                            sigma_color=sig) * safe_alb
+                else:
+                    img = blended * safe_alb
+            elif do_denoise:
+                from optix_ray_tracer_tpu.render.denoise import denoise
+                img = denoise.__wrapped__(img, alb, nrm)
+            if quantize:
+                from optix_ray_tracer_tpu.utils.color import color_to_uint8
+                img = color_to_uint8(img)
+            return carry, (img, alb, nrm) if want_guides else (img,)
+
+        def render_full(scene, inter, seed):
+            # NOTE: call the UNJITTED implementations (__wrapped__):
+            # first-tracing a public jitted entry inside this scan poisons
+            # its top-level dispatch cache on this jax version ("Execution
+            # supplied 18 buffers but compiled program expected 20")
+            if integrator == "path":
+                img, alb, nrm = pathtracer.render_path.__wrapped__(
+                    scene, materials, lights, camera, width=width,
+                    height=height, spp=spp, seed=seed,
+                    background=background, max_depth=max_depth,
+                    intersector=inter, env=env, textures=textures)
+                return img, alb, nrm, None
+            out = wavefront.render.__wrapped__(
                 scene, materials, camera, width, height, spp=spp,
                 seed=seed, background=background, max_depth=max_depth,
-                intersector=inter, env=env)
-        if do_denoise and not temporal:
-            from optix_ray_tracer_tpu.render.denoise import denoise
-            img = denoise.__wrapped__(img, alb, nrm)
-        if quantize:
-            from optix_ray_tracer_tpu.utils.color import color_to_uint8
-            img = color_to_uint8(img)
-        return carry, (img, alb, nrm) if want_guides else (img,)
+                intersector=inter, env=env, want_aux=temporal)
+            if temporal:
+                return out
+            return out + (None,)
 
-    if temporal:
-        from optix_ray_tracer_tpu.render import temporal as tmod
+        def render_band(scene, inter, seed):
+            """Trace this device's row band, then psum samples +
+            all_gather tiles into replicated full frames for the
+            postprocess tail."""
+            from optix_ray_tracer_tpu.parallel.sharding import _tile_rays
+            from optix_ray_tracer_tpu.utils.vecmath import INF
 
-        init = tstate if tstate is not None \
-            else tmod.empty_state(width, height)
-        final, out = jax.lax.scan(step, init, (ks, seeds))
-        return out, final
-    _, out = jax.lax.scan(step, None, (ks, seeds))
-    return out
+            tile_idx = jax.lax.axis_index("tile")
+            sample_idx = jax.lax.axis_index("sample")
+            spp_offset = sample_idx * spp_per
+            npix = rows_per * width
+            # GLOBAL pixel ids (bands are contiguous rows) -> the same
+            # RNG streams as the single-device render
+            pixel_id = (tile_idx * npix
+                        + jnp.arange(npix, dtype=jnp.int32))
+            background_a = jnp.asarray(background, jnp.float32)
+            want_aux = temporal and integrator != "path"
+
+            def sample_step(acc, s_local):
+                o, d = _tile_rays(camera, width, height, rows_per,
+                                  tile_idx, spp_offset, s_local, pixel_id,
+                                  seed, True)
+                if integrator == "path":
+                    r, a, n = pathtracer.trace_path.__wrapped__(
+                        scene, materials, lights, o, d, pixel_id,
+                        spp_offset + s_local, seed, background_a,
+                        max_depth, inter, env, textures)
+                    new = (acc[0] + r, acc[1] + a, acc[2] + n)
+                else:
+                    out = wavefront.trace.__wrapped__(
+                        scene, materials, o, d, pixel_id,
+                        spp_offset + s_local, seed, background_a,
+                        max_depth, inter, env, want_aux=want_aux)
+                    new = (acc[0] + out[0], acc[1] + out[1],
+                           acc[2] + out[2])
+                    if want_aux:
+                        # depth/prim taps come from GLOBAL sample 0 only
+                        t_b, prim_b = out[3]
+                        first = (spp_offset + s_local) == 0
+                        new += (jnp.where(first, t_b, acc[3]),
+                                jnp.where(first, prim_b, acc[4]))
+                return new, None
+
+            z = jnp.zeros((npix, 3), jnp.float32)
+            init = (z, z, z)
+            if want_aux:
+                init += (jnp.full((npix,), INF, jnp.float32),
+                         jnp.full((npix,), -1, jnp.int32))
+            acc, _ = jax.lax.scan(sample_step, init,
+                                  jnp.arange(spp_per, dtype=jnp.int32))
+
+            def full(band):  # (npix, ...) band -> replicated full frame
+                band = band.reshape((rows_per, width) + band.shape[1:])
+                return jax.lax.all_gather(band, "tile", axis=0,
+                                          tiled=True)
+
+            img, alb, nrm = (
+                full(jax.lax.psum(a, "sample") / spp) for a in acc[:3])
+            aux = None
+            if want_aux:
+                # only the sample-0 shard holds real taps; the others
+                # carry masked zeros, so a psum reconstructs them
+                t_f = full(jax.lax.psum(
+                    jnp.where(sample_idx == 0, acc[3], 0.0), "sample"))
+                p_f = full(jax.lax.psum(
+                    jnp.where(sample_idx == 0, acc[4], 0), "sample"))
+                aux = (t_f, p_f)
+            return img, alb, nrm, aux
+
+        render_frame = render_band if banded else render_full
+
+        def step(carry, xs):
+            k, seed = xs
+            scene = build_scene(k)
+            # the updateIAS-refit analog, on device, inside the scan
+            inter = (refit_march_intersector(base_inter, scene)
+                     if use_march else None)
+            img, alb, nrm, aux = render_frame(scene, inter, seed)
+            return postprocess(carry, k, img, alb, nrm, aux)
+
+        if temporal:
+            from optix_ray_tracer_tpu.render import temporal as tmod
+
+            init = tstate if tstate is not None \
+                else tmod.empty_state(width, height)
+            final, out = jax.lax.scan(step, init, (ks, seeds))
+            return out, final
+        _, out = jax.lax.scan(step, None, (ks, seeds))
+        return out
+
+    if mesh is None:
+        return chunk_impl(fd, ks, seeds, base_inter, materials, camera,
+                          extra_spheres, extra_triangles, env, textures,
+                          lights, background, tstate)
+
+    # ---- sharded chunk scan: ONE shard_map around the whole scan ----
+    # inputs replicated; every output is replicated too (bands gather
+    # before the full-frame tail), so one P() prefix covers all leaves.
+    # check_vma off for the same reason as parallel/sharding.py: the
+    # variance checker demands pvary annotations inside the device-local
+    # integrators; equality across mesh shapes is covered by
+    # tests/test_sharding.py instead.
+    from jax.sharding import PartitionSpec as P
+
+    fn = jax.shard_map(partial(chunk_impl, banded=True), mesh=mesh,
+                       in_specs=(P(),) * 13, out_specs=P(),
+                       check_vma=False)
+    return fn(fd, ks, seeds, base_inter, materials, camera, extra_spheres,
+              extra_triangles, env, textures, lights, background, tstate)
 
 
 def render_frames_fused(data, mode: str, file_data_fn, width: int,
                         height: int, spp: int, max_frames, loop: bool,
                         fetch_guides: bool = False,
-                        quantize: bool = False):
+                        quantize: bool = False, mesh=None):
     """Shared fused render loop for both frontends: yields
     (file_index, frame_index, Film) — or (…, U8Frame) with ``quantize``.
 
     ``file_data_fn(data, fi, n_frames) -> fd dict`` supplies the per-file
     arrays consumed by the scene builders above.
+
+    ``mesh``: tile/sample-shard every chunk over a device mesh
+    (``fused_chunk``'s sharded path); the render height pads up to a
+    tile multiple and crops on output.
 
     Transfer policy (the tunnel D2H path runs ~35 MB/s — measured to cost
     2x the COMPUTE of a 1200x800 chunk): chunks are software-pipelined
@@ -239,6 +378,9 @@ def render_frames_fused(data, mode: str, file_data_fn, width: int,
     cfg = data.config
     ld = cfg.loop_data
     bg = jnp.asarray(cfg.background, jnp.float32)
+    # pad the render height to a tile multiple; frames crop on emit
+    n_tile = mesh.shape["tile"] if mesh is not None else 1
+    hp = -(-height // n_tile) * n_tile
     # SVGF temporal reprojection (render/temporal.py): fused-path only —
     # history rides the scan carry across frames, chunks, and files
     use_temporal = bool(getattr(cfg, "temporal", True)
@@ -246,7 +388,7 @@ def render_frames_fused(data, mode: str, file_data_fn, width: int,
     state = {"lights": None, "base": None, "tstate": None}
     if use_temporal:
         from optix_ray_tracer_tpu.render import temporal as tmod
-        state["tstate"] = tmod.empty_state(width, height)
+        state["tstate"] = tmod.empty_state(width, hp)
 
     def dispatch_chunks():
         """Dispatch fused chunks asynchronously; yields
@@ -276,7 +418,7 @@ def render_frames_fused(data, mode: str, file_data_fn, width: int,
                 use_march = isinstance(state["base"], MarchIntersector)
                 fd = file_data_fn(data, fi, n_frames)
                 bpp = (4 if quantize else 12) + (24 if fetch_guides else 0)
-                chunk = chunk_size(width, height, n_frames, bpp)
+                chunk = chunk_size(width, hp, n_frames, bpp)
                 for k0 in range(0, n_frames, chunk):
                     ks = jnp.arange(k0, k0 + chunk, dtype=jnp.float32)
                     seeds = jnp.arange(
@@ -287,14 +429,14 @@ def render_frames_fused(data, mode: str, file_data_fn, width: int,
                         data.camera, data.extra_spheres,
                         data.extra_triangles, data.env, data.textures,
                         state["lights"], bg, state["tstate"],
-                        mode=mode, width=width, height=height, spp=spp,
+                        mode=mode, width=width, height=hp, spp=spp,
                         integrator=cfg.integrator, do_denoise=cfg.denoise,
                         max_depth=cfg.max_depth, use_march=use_march,
                         has_extras=bool(data.extra_triangles.count),
                         euler_path=getattr(data, "reference_euler_path",
                                            False),
                         quantize=quantize, want_guides=fetch_guides,
-                        temporal=use_temporal)
+                        temporal=use_temporal, mesh=mesh)
                     if use_temporal:
                         out, state["tstate"] = out
                     yield fi, k0, chunk, out
@@ -317,13 +459,13 @@ def render_frames_fused(data, mode: str, file_data_fn, width: int,
             albs = nrms = None
         for j in range(chunk):
             if quantize:
-                frame = U8Frame(imgs[j], spp)
+                frame = U8Frame(imgs[j][:height], spp)
             else:
-                z = np.zeros_like(imgs[j])
+                z = np.zeros((height, width, 3), imgs.dtype)
                 frame = Film.create(width, height).add(
-                    imgs[j],
-                    albs[j] if albs is not None else z,
-                    nrms[j] if nrms is not None else z, spp)
+                    imgs[j][:height],
+                    albs[j][:height] if albs is not None else z,
+                    nrms[j][:height] if nrms is not None else z, spp)
             yield fi, k0 + j, frame
             produced += 1
             if max_frames is not None and produced >= max_frames:

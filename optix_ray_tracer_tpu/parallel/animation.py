@@ -8,9 +8,12 @@ runs on the merged frame.  The counter-based RNG keys off global pixel
 ids, so output is bit-identical to the single-device per-frame path for
 any mesh shape (tests/test_sharding.py).
 
-Per-frame dispatch (not the fused chunk scan): sharded renders already
-amortize dispatch over devices, and the intersector refit stays
-replicated host-side per frame.
+The default route is the FUSED sharded scan (models/fused.py with a
+mesh): refit + render + denoise + quantize for a whole frame chunk in
+one shard_mapped dispatch, each device tracing its row band.  The
+per-frame loop below remains as the fallback for host-side per-frame
+hooks (``update_fn``), debug mode, and spp not divisible by the sample
+axis — the same eligibility rule as the frontends' fused routing.
 """
 
 from __future__ import annotations
@@ -25,7 +28,8 @@ from optix_ray_tracer_tpu.models import common
 def render_frames_sharded(data, mode: str, width: int, height: int,
                           spp: int, mesh, max_frames=None,
                           loop: bool = False,
-                          quantize: bool = False) -> Iterator[tuple]:
+                          quantize: bool = False,
+                          fetch_guides: bool = False) -> Iterator[tuple]:
     """Yield (file_index, frame_index, Film|U8Frame) with every frame
     tile-sharded over ``mesh``.  ``height`` is padded up to a tile
     multiple for the render and cropped on output."""
@@ -34,8 +38,23 @@ def render_frames_sharded(data, mode: str, width: int, height: int,
         render_path_sharded, render_sharded,
     )
     from optix_ray_tracer_tpu.render.film import Film, U8Frame
+    from optix_ray_tracer_tpu.utils.debug import DEBUG_MODE
 
     frontend = renderer_mesh if mode == "mesh" else renderer_time
+
+    fused_ok = (data.update_fn is None and not DEBUG_MODE
+                and data.file_count
+                and (mode == "mesh"
+                     or getattr(data, "library").num_shapes > 0)
+                and spp % mesh.shape["sample"] == 0)
+    if fused_ok:
+        from optix_ray_tracer_tpu.models import fused
+        fdfn = (fused.mesh_file_data if mode == "mesh"
+                else fused.time_file_data)
+        yield from fused.render_frames_fused(
+            data, mode, fdfn, width, height, spp, max_frames, loop,
+            fetch_guides=fetch_guides, quantize=quantize, mesh=mesh)
+        return
     cfg = data.config
     ld = cfg.loop_data
     n_tile = mesh.shape["tile"]

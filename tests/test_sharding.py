@@ -125,51 +125,104 @@ class TestMarchSharding:
                                        err_msg=f"mesh ({tile},{sample})")
 
 
+def _reference_time_data():
+    import json
+    import os
+
+    REF = "/root/reference/files"
+    if not os.path.isdir(REF):
+        pytest.skip("reference data not mounted")
+    from optix_ray_tracer_tpu.io.config import parse_config_dict
+    from optix_ray_tracer_tpu.models import renderer_time
+
+    with open(f"{REF}/config.json") as f:
+        raw = json.load(f)
+    raw["series-name"] = "particle-short.vtk.series"
+    raw["series-path"] = REF
+    raw["stl-path"] = f"{REF}/shape/separated/"
+    raw["loop-data"]["window-width"] = 32
+    raw["loop-data"]["window-height"] = 24
+    raw["loop-data"]["fps"] = 2
+    raw["loop-data"]["render-speed-ratio"] = 50
+    cfg = parse_config_dict(raw, base_dir=REF)
+    return renderer_time.commit(cfg)
+
+
 class TestShardedAnimation:
-    """The CLI --shard product path (parallel/animation.py): reference-
-    dataset frames rendered tile-sharded over the 8-device mesh match the
-    per-frame single-device loop bit-for-bit."""
+    """The CLI --shard product path (parallel/animation.py)."""
 
     @pytest.mark.slow
-    def test_reference_frames_sharded_match(self):
-        import json
-        import os
-
-        REF = "/root/reference/files"
-        if not os.path.isdir(REF):
-            pytest.skip("reference data not mounted")
-        from optix_ray_tracer_tpu.io.config import parse_config_dict
+    def test_fused_sharded_matches_single_device(self):
+        """Default route: the FUSED sharded chunk scan (one shard_map
+        around refit+render+temporal+denoise).  A tile-only mesh keeps
+        every accumulation order identical, so frames match the
+        single-device fused path bit-for-bit."""
         from optix_ray_tracer_tpu.models import renderer_time
         from optix_ray_tracer_tpu.parallel.animation import (
             render_frames_sharded,
         )
 
-        with open(f"{REF}/config.json") as f:
-            raw = json.load(f)
-        raw["series-name"] = "particle-short.vtk.series"
-        raw["series-path"] = REF
-        raw["stl-path"] = f"{REF}/shape/separated/"
-        raw["loop-data"]["window-width"] = 32
-        raw["loop-data"]["window-height"] = 24
-        raw["loop-data"]["fps"] = 2
-        raw["loop-data"]["render-speed-ratio"] = 50
-        cfg = parse_config_dict(raw, base_dir=REF)
-        data = renderer_time.commit(cfg)
-
+        data = _reference_time_data()
         mesh = make_mesh(tile=8)
         sharded = [(fi, k, np.asarray(f.mean()))
                    for fi, k, f in render_frames_sharded(
-                       data, "time", 32, 24, 1, mesh, max_frames=2)]
-        # per-frame single-device loop (update hook forces it; temporal
-        # exists only in the fused path so both sides are per-frame math)
+                       data, "time", 32, 24, 1, mesh, max_frames=3)]
+        plain = [(fi, k, np.asarray(f.mean()))
+                 for fi, k, f in renderer_time.render_frames(
+                     data, width=32, height=24, spp=1, max_frames=3)]
+        assert [(a, b) for a, b, _ in sharded] == \
+            [(a, b) for a, b, _ in plain]
+        for (_, _, fa), (_, _, fb) in zip(sharded, plain):
+            np.testing.assert_array_equal(fa, fb)
+
+    @pytest.mark.slow
+    def test_perframe_fallback_sharded_match(self):
+        """An update_fn hook forces the per-frame fallback on both sides
+        (no fused scan, no temporal history): sharded matches the
+        single-device per-frame loop."""
+        from optix_ray_tracer_tpu.models import renderer_time
+        from optix_ray_tracer_tpu.parallel.animation import (
+            render_frames_sharded,
+        )
+
+        data = _reference_time_data()
         renderer_time.set_update_fn(data, lambda s, k: None)
         try:
+            mesh = make_mesh(tile=8)
+            sharded = [(fi, k, np.asarray(f.mean()))
+                       for fi, k, f in render_frames_sharded(
+                           data, "time", 32, 24, 1, mesh, max_frames=2)]
             plain = [(fi, k, np.asarray(f.mean()))
                      for fi, k, f in renderer_time.render_frames(
-                         data, max_frames=2)]
+                         data, width=32, height=24, spp=1, max_frames=2)]
         finally:
             data.update_fn = None
         assert [(a, b) for a, b, _ in sharded] == \
             [(a, b) for a, b, _ in plain]
         for (_, _, fa), (_, _, fb) in zip(sharded, plain):
             np.testing.assert_allclose(fa, fb, atol=1e-6)
+
+    @pytest.mark.slow
+    def test_fused_sharded_sample_axis_path_integrator(self):
+        """Mixed (tile, sample) mesh through the fused scan with the
+        PATH integrator: sample partial sums merge with a psum, so
+        equality is up to fp accumulation order."""
+        from optix_ray_tracer_tpu.models import renderer_time
+        from optix_ray_tracer_tpu.parallel.animation import (
+            render_frames_sharded,
+        )
+
+        data = _reference_time_data()
+        data.config.integrator = "path"
+        try:
+            mesh = make_mesh(tile=4, sample=2)
+            sharded = [np.asarray(f.mean())
+                       for _, _, f in render_frames_sharded(
+                           data, "time", 32, 24, 2, mesh, max_frames=2)]
+            plain = [np.asarray(f.mean())
+                     for _, _, f in renderer_time.render_frames(
+                         data, width=32, height=24, spp=2, max_frames=2)]
+        finally:
+            data.config.integrator = "whitted"
+        for fa, fb in zip(sharded, plain):
+            np.testing.assert_allclose(fa, fb, atol=1e-5)
