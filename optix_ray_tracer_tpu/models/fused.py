@@ -111,11 +111,14 @@ def fused_chunk(fd, ks, seeds, base_inter, materials, camera,
     ``fd`` is the per-file data dict (equal shapes across files, so one
     compile serves the whole series).
 
-    ``temporal`` (whitted integrator only; camera must be constant over
-    the chunk): SVGF temporal reprojection across frames using the
-    exactly-known per-instance rigid motion — ``tstate`` is the carried
-    history (render/temporal.py ``empty_state``), and the return becomes
-    ``(outs, final_tstate)`` so history flows across chunks and files.
+    ``temporal`` (camera must be constant over the chunk): SVGF temporal
+    reprojection across frames using the exactly-known per-instance rigid
+    motion — ``tstate`` is the carried history (render/temporal.py
+    ``empty_state``), and the return becomes ``(outs, final_tstate)`` so
+    history flows across chunks and files.  Works with both integrators:
+    radiance is demodulated by the first-hit albedo guide before the
+    blend (for the path integrator this folds NEE direct light into the
+    blended irradiance, the standard SVGF treatment).
 
     ``mesh`` (a ``jax.sharding.Mesh`` with ``tile``/``sample`` axes):
     run the SAME chunk scan once across all mesh devices via shard_map —
@@ -126,10 +129,6 @@ def fused_chunk(fd, ks, seeds, base_inter, materials, camera,
     quantize stages, which need full frames."""
     from optix_ray_tracer_tpu.ops.march import refit_march_intersector
     from optix_ray_tracer_tpu.render import pathtracer, wavefront
-
-    if temporal and integrator == "path":
-        raise ValueError("temporal reprojection requires the whitted "
-                         "integrator (aux buffers)")
 
     if mesh is not None:
         n_tile = mesh.shape["tile"]
@@ -216,16 +215,17 @@ def fused_chunk(fd, ks, seeds, base_inter, materials, camera,
             # its top-level dispatch cache on this jax version ("Execution
             # supplied 18 buffers but compiled program expected 20")
             if integrator == "path":
-                img, alb, nrm = pathtracer.render_path.__wrapped__(
+                out = pathtracer.render_path.__wrapped__(
                     scene, materials, lights, camera, width=width,
                     height=height, spp=spp, seed=seed,
                     background=background, max_depth=max_depth,
-                    intersector=inter, env=env, textures=textures)
-                return img, alb, nrm, None
-            out = wavefront.render.__wrapped__(
-                scene, materials, camera, width, height, spp=spp,
-                seed=seed, background=background, max_depth=max_depth,
-                intersector=inter, env=env, want_aux=temporal)
+                    intersector=inter, env=env, textures=textures,
+                    want_aux=temporal)
+            else:
+                out = wavefront.render.__wrapped__(
+                    scene, materials, camera, width, height, spp=spp,
+                    seed=seed, background=background, max_depth=max_depth,
+                    intersector=inter, env=env, want_aux=temporal)
             if temporal:
                 return out
             return out + (None,)
@@ -246,31 +246,30 @@ def fused_chunk(fd, ks, seeds, base_inter, materials, camera,
             pixel_id = (tile_idx * npix
                         + jnp.arange(npix, dtype=jnp.int32))
             background_a = jnp.asarray(background, jnp.float32)
-            want_aux = temporal and integrator != "path"
+            want_aux = temporal
 
             def sample_step(acc, s_local):
                 o, d = _tile_rays(camera, width, height, rows_per,
                                   tile_idx, spp_offset, s_local, pixel_id,
                                   seed, True)
                 if integrator == "path":
-                    r, a, n = pathtracer.trace_path.__wrapped__(
+                    out = pathtracer.trace_path.__wrapped__(
                         scene, materials, lights, o, d, pixel_id,
                         spp_offset + s_local, seed, background_a,
-                        max_depth, inter, env, textures)
-                    new = (acc[0] + r, acc[1] + a, acc[2] + n)
+                        max_depth, inter, env, textures,
+                        want_aux=want_aux)
                 else:
                     out = wavefront.trace.__wrapped__(
                         scene, materials, o, d, pixel_id,
                         spp_offset + s_local, seed, background_a,
                         max_depth, inter, env, want_aux=want_aux)
-                    new = (acc[0] + out[0], acc[1] + out[1],
-                           acc[2] + out[2])
-                    if want_aux:
-                        # depth/prim taps come from GLOBAL sample 0 only
-                        t_b, prim_b = out[3]
-                        first = (spp_offset + s_local) == 0
-                        new += (jnp.where(first, t_b, acc[3]),
-                                jnp.where(first, prim_b, acc[4]))
+                new = (acc[0] + out[0], acc[1] + out[1], acc[2] + out[2])
+                if want_aux:
+                    # depth/prim taps come from GLOBAL sample 0 only
+                    t_b, prim_b = out[3]
+                    first = (spp_offset + s_local) == 0
+                    new += (jnp.where(first, t_b, acc[3]),
+                            jnp.where(first, prim_b, acc[4]))
                 return new, None
 
             z = jnp.zeros((npix, 3), jnp.float32)
@@ -382,9 +381,10 @@ def render_frames_fused(data, mode: str, file_data_fn, width: int,
     n_tile = mesh.shape["tile"] if mesh is not None else 1
     hp = -(-height // n_tile) * n_tile
     # SVGF temporal reprojection (render/temporal.py): fused-path only —
-    # history rides the scan carry across frames, chunks, and files
-    use_temporal = bool(getattr(cfg, "temporal", True)
-                        and cfg.integrator != "path")
+    # history rides the scan carry across frames, chunks, and files;
+    # both integrators (the path tracer demodulates by the first-hit
+    # albedo guide, folding NEE direct light into the blended irradiance)
+    use_temporal = bool(getattr(cfg, "temporal", True))
     state = {"lights": None, "base": None, "tstate": None}
     if use_temporal:
         from optix_ray_tracer_tpu.render import temporal as tmod

@@ -62,12 +62,17 @@ def _cosine_sample(n, pixel_id, sample, bounce, seed):
     return normalize(d), pdf
 
 
-@partial(jax.jit, static_argnames=("max_depth", "rr_start"))
+@partial(jax.jit, static_argnames=("max_depth", "rr_start", "want_aux"))
 def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
                origins, directions, pixel_id, sample, seed, background,
                max_depth: int = 8, intersector=None, env=None,
-               textures=None, rr_start: int = 3, clamp: float = 0.0):
-    """Trace a wavefront with NEE+MIS.  Returns (radiance, albedo_g, normal_g).
+               textures=None, rr_start: int = 3, clamp: float = 0.0,
+               want_aux: bool = False):
+    """Trace a wavefront with NEE+MIS.  Returns (radiance, albedo_g, normal_g);
+    with ``want_aux`` also (t (R,), prim_id (R,) int32) of the PRIMARY hit
+    (INF / -1 on miss or sphere hit) — the depth/id buffers the temporal
+    reprojector consumes (render/temporal.py), same contract as
+    wavefront.trace.
 
     ``lights`` may be None (falls back to BSDF sampling only).
     ``rr_start``: bounce index where Russian roulette begins (unbiased;
@@ -96,6 +101,9 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
         prev_pdf=jnp.zeros((nrays,), jnp.float32),
         albedo_g=jnp.zeros((nrays, 3), jnp.float32),
         normal_g=jnp.zeros((nrays, 3), jnp.float32))
+    if want_aux:
+        state["t_g"] = jnp.full((nrays,), INF, jnp.float32)
+        state["prim_g"] = jnp.full((nrays,), -1, jnp.int32)
 
     def bounce_step(s, b, ext_isect=None):
         alive = s["alive"]
@@ -146,6 +154,14 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
                                        emission, albedo),
                              s["albedo_g"])
         normal_g = jnp.where(first[..., None], n_unit, s["normal_g"])
+        aux = {}
+        if want_aux:
+            # primary-hit depth + TRIANGLE id (-1 for miss/sphere hits:
+            # spheres are static extras, reprojection treats them static)
+            aux["t_g"] = jnp.where(first, hit.t, s["t_g"])
+            aux["prim_g"] = jnp.where(
+                first & (hit.prim_type == isect.PRIM_TRIANGLE),
+                hit.prim_id, s["prim_g"])
 
         is_diffuse = mtype == ROUGH
         shading_alive = hit_alive & ~is_emitter
@@ -229,7 +245,7 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
 
         return dict(o=o, d=d, throughput=throughput, radiance=radiance,
                     alive=shading_alive, prev_pdf=prev_pdf,
-                    albedo_g=albedo_g, normal_g=normal_g), None
+                    albedo_g=albedo_g, normal_g=normal_g, **aux), None
 
     # bounce 0 (coherent camera rays) unrolled with the morton-sorted
     # intersector; bounces >= 1 scanned with the probe-sorted one
@@ -237,25 +253,32 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
     if max_depth > 1:
         state, _ = jax.lax.scan(bounce_step, state,
                                 jnp.arange(1, max_depth, dtype=jnp.int32))
+    if want_aux:
+        return (state["radiance"], state["albedo_g"], state["normal_g"],
+                (state["t_g"], state["prim_g"]))
     return state["radiance"], state["albedo_g"], state["normal_g"]
 
 
 @partial(jax.jit,
          static_argnames=("width", "height", "spp", "max_depth", "jitter",
-                          "rr_start", "samples_per_wave"))
+                          "rr_start", "samples_per_wave", "want_aux"))
 def render_path(scene: Scene, materials: MaterialTable, lights, camera,
                 width: int, height: int, spp: int = 16, seed: int = 0,
                 background=(0.0, 0.0, 0.0), max_depth: int = 8,
                 intersector=None, env=None, textures=None,
                 jitter: bool = True, rr_start: int = 3, clamp: float = 0.0,
-                samples_per_wave: int | None = None):
+                samples_per_wave: int | None = None,
+                want_aux: bool = False):
     """Full-frame path trace; same conventions as wavefront.render,
     including the samples-per-wave merge (same-pixel samples share
     block-march clusters; RNG streams are (pixel, sample, bounce)-keyed so
     merging is exact).  Unlike the whitted wavefront (+15% measured),
     merging is slightly NEGATIVE here (-4% on the Sponza-class config:
     NEE shadow waves aim at per-sample light points, so merged samples do
-    not share clusters), hence the default S=1."""
+    not share clusters), hence the default S=1.
+
+    ``want_aux``: also return (t, prim) primary-hit buffers from sample 0
+    (the temporal reprojector's depth/id taps, as in wavefront.render)."""
     npix = width * height
     pixel_id = jnp.arange(npix, dtype=jnp.int32)
     S = samples_per_wave or 1
@@ -272,19 +295,33 @@ def render_path(scene: Scene, materials: MaterialTable, lights, camera,
         else:
             jit_uv = jnp.full((S, height, width, 2), 0.5, jnp.float32)
         o, d = camera.generate_rays(width, height, jit_uv)  # (S, H, W, 3)
-        radiance, alb, nrm = trace_path(
+        out = trace_path(
             scene, materials, lights, o.reshape(-1, 3), d.reshape(-1, 3),
             pix_rep, samp, seed, background, max_depth, intersector, env,
-            textures, rr_start, clamp)
-        return (acc[0] + radiance.reshape(S, npix, 3).sum(0),
-                acc[1] + alb.reshape(S, npix, 3).sum(0),
-                acc[2] + nrm.reshape(S, npix, 3).sum(0)), None
+            textures, rr_start, clamp, want_aux=want_aux)
+        radiance, alb, nrm = out[:3]
+        nxt = (acc[0] + radiance.reshape(S, npix, 3).sum(0),
+               acc[1] + alb.reshape(S, npix, 3).sum(0),
+               acc[2] + nrm.reshape(S, npix, 3).sum(0))
+        if want_aux:
+            t_g, prim_g = out[3]
+            keep = s0 == 0
+            nxt += (jnp.where(keep, t_g[:npix], acc[3]),
+                    jnp.where(keep, prim_g[:npix], acc[4]))
+        return nxt, None
 
     zeros = jnp.zeros((npix, 3), jnp.float32)
-    (rad, alb, nrm), _ = jax.lax.scan(
-        sample_step, (zeros, zeros, zeros),
-        jnp.arange(0, spp, S, dtype=jnp.int32))
+    init = (zeros, zeros, zeros)
+    if want_aux:
+        init += (jnp.full((npix,), INF, jnp.float32),
+                 jnp.full((npix,), -1, jnp.int32))
+    acc, _ = jax.lax.scan(
+        sample_step, init, jnp.arange(0, spp, S, dtype=jnp.int32))
     inv = 1.0 / spp
-    return (rad.reshape(height, width, 3) * inv,
-            alb.reshape(height, width, 3) * inv,
-            nrm.reshape(height, width, 3) * inv)
+    outs = (acc[0].reshape(height, width, 3) * inv,
+            acc[1].reshape(height, width, 3) * inv,
+            acc[2].reshape(height, width, 3) * inv)
+    if want_aux:
+        return outs + ((acc[3].reshape(height, width),
+                        acc[4].reshape(height, width)),)
+    return outs

@@ -237,3 +237,40 @@ class TestTemporalAnimationGain:
         # deterministic seeds: measured +0.61 dB at this fixture; the
         # margin leaves headroom for cross-platform fp accumulation drift
         assert p_t > p_s + 0.4, (p_t, p_s)
+
+    def test_path_integrator_temporal_gain(self, data):
+        """The temporal term also serves the NEE path integrator (its
+        aux depth/prim taps + albedo demodulation): blended 1-spp frames
+        must beat independent 1-spp frames against a 64-spp truth."""
+        from optix_ray_tracer_tpu.models import common, renderer_time
+        from optix_ray_tracer_tpu.utils.color import linear_to_srgb
+
+        cfg = data.config
+        old_int = cfg.integrator
+        cfg.integrator = "path"
+        try:
+            a = self._last_frame(data, temporal=True, denoise=False)
+            b = self._last_frame(data, temporal=False, denoise=False)
+            ld = cfg.loop_data
+            n_frames = common.frame_count_for_file(
+                data.durations[0], ld.fps, ld.render_speed_ratio)
+            k = self.N_FRAMES - 1
+            scene = renderer_time.frame_scene(data, 0, k, n_frames)
+            intersector = common.choose_intersector(scene)
+            truth, _, _ = common.render_frame(
+                cfg, scene, data.materials, data.camera, 96, 64, spp=64,
+                seed=cfg.seed + k, intersector=intersector, env=data.env,
+                textures=data.textures,
+                lights=common.collect_lights(cfg, scene, data.materials),
+                denoise_override=False)
+        finally:
+            cfg.integrator = old_int
+        truth = np.asarray(truth)
+
+        def p(x):
+            return psnr(np.asarray(linear_to_srgb(jnp.asarray(x))),
+                        np.asarray(linear_to_srgb(jnp.asarray(truth))))
+
+        p_t, p_s = p(a), p(b)
+        assert p_t > p_s + 0.4, (p_t, p_s)
+        assert np.isfinite(a).all()
