@@ -208,6 +208,7 @@ def _run_viewer(frontend, data, config, args, out_dir) -> int:
                 mode=mode, width=width, height=height,
                 spp=args.spp or 1, integrator=config.integrator,
                 do_denoise=bool(denoise_on and config.denoise),
+                denoiser=common.resolve_denoiser(config),
                 max_depth=config.max_depth,
                 use_march=isinstance(state["intersector"],
                                      MarchIntersector),

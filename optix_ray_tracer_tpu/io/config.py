@@ -106,6 +106,10 @@ class RendererConfig:
     # denoise every frame like the reference hot loop (RendererImpl.cu:
     # 680-734); the CLI --no-denoise flag is the Tab-bypass analog
     denoise: bool = True
+    # which filter: "atrous" (render/denoise.py) or "neural" (the learned
+    # KPCN in render/neural_denoise.py — the AI-denoiser parity analog of
+    # the reference's optixDenoiserInvoke, RendererImpl.cu:584-669)
+    denoiser: str = "atrous"
     # temporal reprojection (SVGF temporal term) in the fused animation
     # path: history accumulated across frames using the exactly-known
     # per-instance rigid motion; falls back to spatial-only when off
@@ -136,6 +140,20 @@ def _vec3(v, key) -> tuple[float, float, float]:
     if not isinstance(v, (list, tuple)) or len(v) != 3:
         raise ConfigError(f"'{key}' must be a 3-element array")
     return tuple(float(x) for x in v)
+
+
+def _parse_denoise(v) -> tuple[bool, str]:
+    """``denoise`` accepts true/false (reference-compatible) or a filter
+    name: "atrous" | "neural" | "off"."""
+    if isinstance(v, str):
+        name = v.strip().lower()
+        if name in ("off", "false", "none"):
+            return False, "atrous"
+        if name not in ("atrous", "neural"):
+            raise ConfigError(
+                f"'denoise' must be true/false/'atrous'/'neural', got {v!r}")
+        return True, name
+    return bool(v), "atrous"
 
 
 def parse_config_dict(data: dict, base_dir: str = ".") -> RendererConfig:
@@ -237,7 +255,8 @@ def parse_config_dict(data: dict, base_dir: str = ".") -> RendererConfig:
             seed=int(data.get("seed", 0)),
             output_dir=str(data.get("output-dir", "./out")),
             integrator=integrator,
-            denoise=bool(data.get("denoise", True)),
+            denoise=_parse_denoise(data.get("denoise", True))[0],
+            denoiser=_parse_denoise(data.get("denoise", True))[1],
             temporal=bool(data.get("temporal", True)),
             dielectrics=dielectrics, emissives=emissives,
             envmap=envmap, textures_cfg=textures_cfg, meshes=meshes,

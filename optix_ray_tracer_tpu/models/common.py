@@ -279,10 +279,31 @@ def render_frame(config: RendererConfig, scene, materials, camera,
             intersector=intersector, env=env)
     do_denoise = (config.denoise if denoise_override is None
                   else denoise_override)
-    if do_denoise:
+    if do_denoise and resolve_denoiser(config) == "neural":
+        from optix_ray_tracer_tpu.render.neural_denoise import (
+            denoise_neural,
+        )
+        img = denoise_neural(img, alb, nrm)
+    elif do_denoise:
         from optix_ray_tracer_tpu.render.denoise import denoise
         img = denoise(img, alb, nrm)
     return img, alb, nrm
+
+
+def resolve_denoiser(config) -> str:
+    """``config.denoiser``, degraded to "atrous" (with one warning) when
+    the pretrained neural weights asset is absent."""
+    if getattr(config, "denoiser", "atrous") != "neural":
+        return "atrous"
+    from optix_ray_tracer_tpu.render import neural_denoise
+    if neural_denoise.default_params() is None:
+        import logging
+        logging.getLogger("optix_ray_tracer_tpu").warning(
+            "denoise='neural' requested but no pretrained weights at %s;"
+            " falling back to the a-trous filter",
+            neural_denoise._WEIGHTS_FILE)
+        return "atrous"
+    return "neural"
 
 
 def collect_lights(config: RendererConfig, scene, materials):

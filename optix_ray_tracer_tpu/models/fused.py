@@ -86,13 +86,14 @@ def _time_scene(fd, k, extra_spheres, extra_triangles, has_extras: bool,
 
 @partial(jax.jit, static_argnames=(
     "mode", "width", "height", "spp", "integrator", "do_denoise",
-    "max_depth", "use_march", "has_extras", "euler_path", "quantize",
-    "want_guides", "temporal", "mesh"))
+    "denoiser", "max_depth", "use_march", "has_extras", "euler_path",
+    "quantize", "want_guides", "temporal", "mesh"))
 def fused_chunk(fd, ks, seeds, base_inter, materials, camera,
                 extra_spheres, extra_triangles, env, textures, lights,
                 background, tstate=None, *, mode: str, width: int,
                 height: int,
                 spp: int, integrator: str, do_denoise: bool,
+                denoiser: str = "atrous",
                 max_depth: int, use_march: bool, has_extras: bool,
                 euler_path: bool = False, quantize: bool = False,
                 want_guides: bool = True, temporal: bool = False,
@@ -190,7 +191,18 @@ def fused_chunk(fd, ks, seeds, base_inter, materials, camera,
                 blended, carry = tmod.temporal_blend(
                     carry, img / safe_alb, t_g, nrm_u, px, py, prev_t,
                     in_front)
-                if do_denoise:
+                if do_denoise and denoiser == "neural":
+                    from optix_ray_tracer_tpu.render import neural_denoise
+                    # learned spatial filter faded out as history
+                    # converges (the a-trous branch gets the same effect
+                    # through its history-adaptive sigma)
+                    params = neural_denoise.default_params()
+                    filt = neural_denoise.apply(params, blended, alb,
+                                                normalize(nrm))
+                    w = (1.0 / jnp.sqrt(jnp.maximum(carry["hist"], 1.0))
+                         )[..., None]
+                    img = (w * filt + (1.0 - w) * blended) * safe_alb
+                elif do_denoise:
                     from optix_ray_tracer_tpu.render.denoise import (
                         filter_irradiance,
                     )
@@ -201,6 +213,10 @@ def fused_chunk(fd, ks, seeds, base_inter, materials, camera,
                                             sigma_color=sig) * safe_alb
                 else:
                     img = blended * safe_alb
+            elif do_denoise and denoiser == "neural":
+                from optix_ray_tracer_tpu.render import neural_denoise
+                img = neural_denoise.denoise_neural.__wrapped__(
+                    img, alb, nrm, neural_denoise.default_params())
             elif do_denoise:
                 from optix_ray_tracer_tpu.render.denoise import denoise
                 img = denoise.__wrapped__(img, alb, nrm)
@@ -431,6 +447,7 @@ def render_frames_fused(data, mode: str, file_data_fn, width: int,
                         state["lights"], bg, state["tstate"],
                         mode=mode, width=width, height=hp, spp=spp,
                         integrator=cfg.integrator, do_denoise=cfg.denoise,
+                        denoiser=common.resolve_denoiser(cfg),
                         max_depth=cfg.max_depth, use_march=use_march,
                         has_extras=bool(data.extra_triangles.count),
                         euler_path=getattr(data, "reference_euler_path",

@@ -1,0 +1,276 @@
+"""Train the learned denoiser (render/neural_denoise.py) on self-rendered
+noisy/clean pairs.
+
+The reference ships a pretrained AI denoiser (RendererImpl.cu:584-669);
+we train ours in-repo, on this renderer's own output — no external data.
+Scenes: the five BASELINE benchmark configs (models/benchmarks.py) plus
+the shipped reference particle series when mounted.  For each scene and
+several orbit cameras we render a 1-spp frame (noisy, with albedo/normal
+guides) and a high-spp frame (clean target), then fit the
+kernel-predicting CNN on random 64x64 crops.
+
+Usage:
+    python -m optix_ray_tracer_tpu.render.train_denoiser \
+        [--steps 3000] [--out render/denoiser_data/weights.npz]
+
+Runs on whatever backend jax picks (TPU preferred: rendering the
+training set is the expensive part).  The held-out scene (config3 mesh)
+is never trained on; the script reports raw / a-trous / neural PSNR on
+it at the end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def _orbit(camera, angle: float, lift: float = 0.0):
+    """New Camera orbited about the target by ``angle`` radians.
+
+    |target - center| is preserved up to the small ``lift`` term, so the
+    FOV (set by |W| in the UVW model) stays essentially unchanged."""
+    from optix_ray_tracer_tpu.scene.camera import Camera
+
+    c = np.asarray(camera.center, np.float64)
+    t = np.asarray(camera.target, np.float64)
+    off = c - t
+    ca, sa = np.cos(angle), np.sin(angle)
+    off = np.asarray([off[0] * ca - off[1] * sa,
+                      off[0] * sa + off[1] * ca,
+                      off[2] + lift * np.linalg.norm(off)])
+    return Camera.look_at(tuple(t + off), tuple(t), (0.0, 0.0, 1.0))
+
+
+def _render_pair(cfg, camera, size, seed, clean_spp):
+    """(noisy 1spp, albedo, normal, clean) for one view, linear HWC."""
+    import jax.numpy as jnp
+
+    from optix_ray_tracer_tpu.models import common as mcommon
+    from optix_ray_tracer_tpu.render import pathtracer, wavefront
+
+    scene, mats = cfg["scene"], cfg["materials"]
+    inter = mcommon.choose_intersector(scene)
+    W = H = size
+    kw = dict(width=W, height=H, intersector=inter,
+              background=cfg.get("background", (0.7, 0.8, 0.9)),
+              max_depth=cfg.get("max_depth", 5),
+              env=cfg.get("env"), )
+    if cfg.get("integrator") == "path":
+        def rend(spp, sd):
+            return pathtracer.render_path(
+                scene, mats, cfg.get("lights"), camera, spp=spp, seed=sd,
+                textures=cfg.get("textures"), clamp=8.0, **kw)
+    else:
+        def rend(spp, sd):
+            return wavefront.render(scene, mats, camera, spp=spp, seed=sd,
+                                    **kw)
+    noisy, alb, nrm = rend(1, seed)
+    # clean target in <=64-spp host-side chunks: one multi-minute scan
+    # dispatch trips the device watchdog on heavy scenes (config5 at
+    # 512 spp crashed the worker); equal-size chunk averaging with
+    # disjoint counter-RNG seeds is statistically identical
+    chunk = min(clean_spp, 64)
+    n_chunks = max(clean_spp // chunk, 1)
+    acc = None
+    for c in range(n_chunks):
+        img, _, _ = rend(chunk, seed + 7919 + c * 65_537)
+        img = np.asarray(img, np.float64)
+        acc = img if acc is None else acc + img
+    clean = (acc / n_chunks).astype(np.float32)
+    return tuple(np.asarray(x) for x in (noisy, alb, nrm, clean))
+
+
+def build_dataset(size: int = 192, views: int = 4, clean_spp: int = 256,
+                  include_reference: bool = True, verbose: bool = True):
+    """Render (noisy, albedo, normal, clean) image tuples.
+
+    Returns (train_imgs, heldout_imgs); config3 (70k-tri mesh) is held
+    out entirely.
+    """
+    from optix_ray_tracer_tpu.models import benchmarks as B
+
+    scenes = [("config1", B.config1_sphere_ground()),
+              ("config2", B.config2_whitted_spheres()),
+              ("config4", B.config4_cornell()),
+              ("config5", B.config5_sponza_class(n_cols=4))]
+    heldout_scenes = [("config3", B.config3_mesh_diffuse(20_000))]
+
+    REF = "/root/reference/files"
+    if include_reference and os.path.isdir(REF):
+        import json
+
+        from optix_ray_tracer_tpu.io.config import parse_config_dict
+        from optix_ray_tracer_tpu.models import common as mcommon
+        from optix_ray_tracer_tpu.models import renderer_time
+
+        with open(f"{REF}/config.json") as f:
+            raw = json.load(f)
+        raw["series-name"] = "particle-short.vtk.series"
+        raw["series-path"] = REF
+        raw["stl-path"] = f"{REF}/shape/separated/"
+        rcfg = parse_config_dict(raw, base_dir=REF)
+        data = renderer_time.commit(rcfg)
+        n_frames = mcommon.frame_count_for_file(
+            data.durations[0], rcfg.loop_data.fps,
+            rcfg.loop_data.render_speed_ratio)
+        scene = renderer_time.frame_scene(data, 0, 0, max(n_frames, 1))
+        scenes.append(("reference", dict(
+            scene=scene, materials=data.materials, camera=data.camera,
+            integrator="whitted", background=rcfg.background,
+            max_depth=rcfg.max_depth, env=data.env)))
+
+    def render_set(slist):
+        out = []
+        for name, cfg in slist:
+            cam0 = cfg["camera"]
+            for v in range(views):
+                cam = cam0 if v == 0 else _orbit(
+                    cam0, angle=0.45 * v, lift=0.08 * (v - views / 2))
+                cspp = clean_spp if cfg.get("integrator") != "path" \
+                    else max(clean_spp, 256)
+                t0 = time.time()
+                pair = _render_pair(cfg, cam, size, seed=101 * v + 13,
+                                    clean_spp=cspp)
+                if verbose:
+                    print(f"  {name} view {v}: {time.time()-t0:.1f}s")
+                out.append(pair)
+        return out
+
+    return render_set(scenes), render_set(heldout_scenes)
+
+
+def _crops(imgs, n_per_img: int, crop: int, rng):
+    """Random augmented crops -> stacked arrays (N, crop, crop, 3) x4."""
+    outs = [[], [], [], []]
+    for noisy, alb, nrm, clean in imgs:
+        H, W = noisy.shape[:2]
+        for _ in range(n_per_img):
+            y = rng.integers(0, H - crop + 1)
+            x = rng.integers(0, W - crop + 1)
+            k = rng.integers(0, 4)
+            fl = rng.integers(0, 2)
+            for o, im in zip(outs, (noisy, alb, nrm, clean)):
+                c = im[y:y + crop, x:x + crop]
+                c = np.rot90(c, k)
+                if fl:
+                    c = c[:, ::-1]
+                o.append(np.ascontiguousarray(c))
+    return [np.stack(o) for o in outs]
+
+
+def train(train_imgs, steps: int = 3000, batch: int = 16, crop: int = 64,
+          lr: float = 2e-3, seed: int = 0, verbose: bool = True):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from optix_ray_tracer_tpu.render import neural_denoise as nd
+
+    rng = np.random.default_rng(seed)
+    noisy, alb, nrm, clean = _crops(train_imgs, n_per_img=24, crop=crop,
+                                    rng=rng)
+    n = len(noisy)
+    if verbose:
+        print(f"dataset: {n} crops of {crop}x{crop}")
+
+    params = jax.tree.map(jnp.asarray, nd.init_params(seed))
+    sched = optax.cosine_decay_schedule(lr, steps, alpha=0.02)
+    opt = optax.adam(sched)
+    opt_state = opt.init(params)
+
+    def loss_fn(p, no, al, nr, cl):
+        safe = jnp.maximum(al, 1e-3)
+        out = nd.apply(p, no / safe, al, nr) * safe
+        # L1 in log space (tone-robust) + raw L1 for dark regions
+        return (jnp.abs(jnp.log1p(out) - jnp.log1p(cl)).mean()
+                + 0.5 * jnp.abs(out - cl).mean())
+
+    # the whole crop set lives on device (~100 MB); per-step batches are
+    # gathered there — only the (batch,) index vector crosses the host
+    # link each step (the TPU tunnel is ~35 MB/s, a 3 MB batch would
+    # dominate step time otherwise)
+    dev = jax.devices()[0]
+    dno, dal, dnr, dcl = (jax.device_put(a, dev)
+                          for a in (noisy, alb, nrm, clean))
+
+    @jax.jit
+    def step(p, s, idx):
+        args = [jnp.take(a, idx, axis=0) for a in (dno, dal, dnr, dcl)]
+        l, g = jax.value_and_grad(loss_fn)(p, *args)
+        up, s = opt.update(g, s)
+        return optax.apply_updates(p, up), s, l
+
+    t0 = time.time()
+    for i in range(steps):
+        idx = rng.integers(0, n, batch)
+        params, opt_state, l = step(params, opt_state, idx)
+        if verbose and (i % 200 == 0 or i == steps - 1):
+            print(f"step {i}: loss {float(l):.4f} "
+                  f"({time.time()-t0:.0f}s)")
+    return params
+
+
+def evaluate(params, imgs, label: str = "held-out", verbose: bool = True):
+    """(raw, atrous, neural) PSNR in sRGB on full images."""
+    import jax.numpy as jnp
+
+    from optix_ray_tracer_tpu.render import denoise as dn
+    from optix_ray_tracer_tpu.render import neural_denoise as nd
+    from optix_ray_tracer_tpu.utils.color import linear_to_srgb
+
+    def psnr(a, b):
+        a = np.asarray(linear_to_srgb(jnp.asarray(a)))
+        b = np.asarray(linear_to_srgb(jnp.asarray(b)))
+        mse = float(np.mean((a - b) ** 2))
+        return 10.0 * np.log10(1.0 / max(mse, 1e-12))
+
+    raws, ats, nns = [], [], []
+    for noisy, alb, nrm, clean in imgs:
+        raws.append(psnr(noisy, clean))
+        ats.append(psnr(np.asarray(dn.denoise(
+            jnp.asarray(noisy), jnp.asarray(alb), jnp.asarray(nrm))),
+            clean))
+        nns.append(psnr(np.asarray(nd.denoise_neural(
+            jnp.asarray(noisy), jnp.asarray(alb), jnp.asarray(nrm),
+            params)), clean))
+    out = (float(np.mean(raws)), float(np.mean(ats)), float(np.mean(nns)))
+    if verbose:
+        print(f"{label}: raw {out[0]:.2f} dB | a-trous {out[1]:.2f} dB | "
+              f"neural {out[2]:.2f} dB")
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--size", type=int, default=192)
+    ap.add_argument("--views", type=int, default=4)
+    ap.add_argument("--clean-spp", type=int, default=256)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from optix_ray_tracer_tpu.render import neural_denoise as nd
+
+    out = args.out or nd._WEIGHTS_FILE
+    print("rendering training set ...")
+    train_imgs, heldout = build_dataset(
+        size=args.size, views=args.views, clean_spp=args.clean_spp)
+    params = train(train_imgs, steps=args.steps)
+    evaluate(params, train_imgs[:4], label="train[0:4]")
+    evaluate(params, heldout)
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    nd.save_params(params, out)
+    print(f"saved {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -193,6 +193,30 @@ class TestFusedEquivalence:
         cfg = parse_config_dict(raw, base_dir=REF)
         return renderer_time.commit(cfg)
 
+    def test_fused_neural_denoiser_branch(self, data, tmp_path,
+                                          monkeypatch):
+        """config denoise='neural' routes the fused chunk through the
+        learned filter (synthetic weights: wiring, not quality)."""
+        from optix_ray_tracer_tpu.render import neural_denoise as nd
+
+        wfile = str(tmp_path / "w.npz")
+        nd.save_params(nd.init_params(seed=3), wfile)
+        monkeypatch.setattr(nd, "_WEIGHTS_FILE", wfile)
+        monkeypatch.setattr(nd, "_DEFAULT", None)
+        cfg = data.config
+        old = cfg.denoiser
+        cfg.denoiser = "neural"
+        try:
+            frames = [np.asarray(film.mean())
+                      for _, _, film in renderer_time.render_frames(
+                          data, max_frames=2)]
+        finally:
+            cfg.denoiser = old
+        assert len(frames) == 2
+        for f in frames:
+            assert np.isfinite(f).all()
+            assert f.std() > 0.01          # rendered something
+
     @pytest.mark.slow
     def test_fused_matches_per_frame(self, data):
         n = 20  # spans 2 chunks of file 0 + the start of file 1

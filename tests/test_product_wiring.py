@@ -41,6 +41,17 @@ class TestConfigExtensions:
         cfg2 = parse_config_dict({})
         assert cfg2.integrator == "whitted"
         assert cfg2.denoise is True
+        assert cfg2.denoiser == "atrous"
+
+    def test_denoise_filter_names(self):
+        cfg = parse_config_dict({"denoise": "neural"})
+        assert cfg.denoise is True and cfg.denoiser == "neural"
+        cfg = parse_config_dict({"denoise": "atrous"})
+        assert cfg.denoise is True and cfg.denoiser == "atrous"
+        cfg = parse_config_dict({"denoise": "off"})
+        assert cfg.denoise is False
+        with pytest.raises(ConfigError):
+            parse_config_dict({"denoise": "bilateral"})
 
     def test_invalid_integrator_rejected(self):
         with pytest.raises(ConfigError):

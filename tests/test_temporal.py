@@ -160,6 +160,79 @@ class TestDenoiserPSNR:
         assert p_dn > p_raw + 6.0, (p_raw, p_dn)
         assert p_dn > 26.0, p_dn
 
+    @pytest.mark.slow
+    def test_neural_denoised_psnr_floor(self, scene):
+        """The learned KPCN (render/neural_denoise.py, trained in-repo by
+        render/train_denoiser.py) must clear the same kind of floor the
+        a-trous test enforces — this scene is NOT in its training set."""
+        from optix_ray_tracer_tpu.render import neural_denoise, wavefront
+        from optix_ray_tracer_tpu.utils.color import linear_to_srgb
+
+        if neural_denoise.default_params() is None:
+            pytest.skip("no pretrained denoiser weights committed")
+        sc, mats, cam = scene
+        golden = np.load(GOLDEN)["img"]
+        img, alb, nrm = wavefront.render(sc, mats, cam, 96, 72, spp=1,
+                                         seed=3)
+        dn = neural_denoise.denoise_neural(img, alb, nrm)
+        g = np.asarray(linear_to_srgb(jnp.asarray(golden)))
+        p_raw = psnr(np.asarray(linear_to_srgb(img)), g)
+        p_dn = psnr(np.asarray(linear_to_srgb(jnp.asarray(dn))), g)
+        assert p_dn > p_raw + 6.0, (p_raw, p_dn)
+        assert p_dn > 26.0, p_dn
+
+
+class TestNeuralDenoiseProperties:
+    """Weight-independent invariants of the kernel-predicting filter."""
+
+    def test_output_is_convex_combination_of_taps(self):
+        # softmax kernel weights => each output pixel lies inside the
+        # [min, max] of the input irradiance, for ANY parameters — the
+        # filter cannot invent energy (neural_denoise.py docstring)
+        from optix_ray_tracer_tpu.render import neural_denoise as nd
+
+        rng = np.random.default_rng(7)
+        params = nd.init_params(seed=1)
+        # perturb so the test is not about the identity-biased init
+        params = {k: v + rng.normal(0, 0.05, v.shape).astype(np.float32)
+                  for k, v in params.items()}
+        irr = rng.uniform(0.0, 3.0, (12, 16, 3)).astype(np.float32)
+        alb = rng.uniform(0.1, 1.0, (12, 16, 3)).astype(np.float32)
+        nrm = np.tile([0.0, 0.0, 1.0], (12, 16, 1)).astype(np.float32)
+        out = np.asarray(nd.apply(params, jnp.asarray(irr),
+                                  jnp.asarray(alb), jnp.asarray(nrm)))
+        assert out.shape == irr.shape
+        assert out.min() >= irr.min() - 1e-5
+        assert out.max() <= irr.max() + 1e-5
+
+    def test_batched_matches_single(self):
+        from optix_ray_tracer_tpu.render import neural_denoise as nd
+
+        rng = np.random.default_rng(11)
+        params = nd.init_params(seed=2)
+        irr = rng.uniform(0, 2, (2, 8, 8, 3)).astype(np.float32)
+        alb = rng.uniform(0.2, 1, (2, 8, 8, 3)).astype(np.float32)
+        nrm = np.tile([0.0, 0.0, 1.0], (2, 8, 8, 1)).astype(np.float32)
+        batched = np.asarray(nd.apply(params, irr, alb, nrm))
+        single = np.asarray(nd.apply(params, irr[0], alb[0], nrm[0]))
+        np.testing.assert_allclose(batched[0], single, atol=1e-5)
+
+    def test_missing_weights_fall_back_to_atrous(self, monkeypatch, caplog):
+        import logging
+
+        from optix_ray_tracer_tpu.models import common
+        from optix_ray_tracer_tpu.render import neural_denoise as nd
+
+        monkeypatch.setattr(nd, "_DEFAULT", None)
+        monkeypatch.setattr(nd, "_WEIGHTS_FILE", "/nonexistent/w.npz")
+
+        class Cfg:
+            denoiser = "neural"
+
+        with caplog.at_level(logging.WARNING, "optix_ray_tracer_tpu"):
+            assert common.resolve_denoiser(Cfg()) == "atrous"
+        assert any("falling back" in r.message for r in caplog.records)
+
 
 @pytest.mark.slow
 @pytest.mark.skipif(not HAVE_REF, reason="reference data not mounted")
