@@ -195,13 +195,17 @@ def fused_chunk(fd, ks, seeds, base_inter, materials, camera,
                     from optix_ray_tracer_tpu.render import neural_denoise
                     # learned spatial filter faded out as history
                     # converges (the a-trous branch gets the same effect
-                    # through its history-adaptive sigma)
+                    # through its history-adaptive sigma).  Rescale to
+                    # the neural demod convention (miss pixels filter
+                    # raw radiance — neural_denoise.demod_albedo)
+                    alb_n = neural_denoise.demod_albedo(alb)
+                    irr_n = blended * (safe_alb / alb_n)
                     params = neural_denoise.default_params()
-                    filt = neural_denoise.apply(params, blended, alb,
+                    filt = neural_denoise.apply(params, irr_n, alb,
                                                 normalize(nrm))
-                    w = (1.0 / jnp.sqrt(jnp.maximum(carry["hist"], 1.0))
-                         )[..., None]
-                    img = (w * filt + (1.0 - w) * blended) * safe_alb
+                    # hist is (H, W, 1) — broadcasts over color directly
+                    w = 1.0 / jnp.sqrt(jnp.maximum(carry["hist"], 1.0))
+                    img = (w * filt + (1.0 - w) * irr_n) * alb_n
                 elif do_denoise:
                     from optix_ray_tracer_tpu.render.denoise import (
                         filter_irradiance,

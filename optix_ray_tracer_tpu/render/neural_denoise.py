@@ -126,6 +126,18 @@ def default_params() -> dict | None:
     return _DEFAULT
 
 
+def demod_albedo(albedo):
+    """Albedo used for irradiance demodulation.
+
+    Miss/sky pixels carry a ~zero albedo guide; dividing by the 1e-3
+    floor there would inflate the background to ~1000x surface
+    irradiance, poisoning both the convex-combination filter (one stray
+    sky tap ruins a surface pixel) and any training loss.  Treat
+    near-black albedo as 1 (filter raw radiance there) instead."""
+    black = jnp.all(albedo < 1e-3, axis=-1, keepdims=True)
+    return jnp.where(black, 1.0, jnp.maximum(albedo, 1e-3))
+
+
 @partial(jax.jit, static_argnames=())
 def denoise_neural(color, albedo, normal, params=None):
     """Drop-in counterpart of render/denoise.py::denoise using the
@@ -137,6 +149,6 @@ def denoise_neural(color, albedo, normal, params=None):
             raise FileNotFoundError(
                 f"no pretrained denoiser weights at {_WEIGHTS_FILE}; run "
                 "python -m optix_ray_tracer_tpu.render.train_denoiser")
-    safe_albedo = jnp.maximum(albedo, 1e-3)
+    safe_albedo = demod_albedo(albedo)
     out = apply(params, color / safe_albedo, albedo, normal)
     return out * safe_albedo

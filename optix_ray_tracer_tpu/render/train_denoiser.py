@@ -183,11 +183,13 @@ def train(train_imgs, steps: int = 3000, batch: int = 16, crop: int = 64,
     opt_state = opt.init(params)
 
     def loss_fn(p, no, al, nr, cl):
-        safe = jnp.maximum(al, 1e-3)
+        safe = nd.demod_albedo(al)
         out = nd.apply(p, no / safe, al, nr) * safe
-        # L1 in log space (tone-robust) + raw L1 for dark regions
-        return (jnp.abs(jnp.log1p(out) - jnp.log1p(cl)).mean()
-                + 0.5 * jnp.abs(out - cl).mean())
+        # L1 on Reinhard-tonemapped radiance: bounded, so the HDR
+        # outliers of clamped path-traced crops cannot dominate the
+        # gradient (raw L1 measured to stall training at near-identity)
+        tone = lambda x: x / (1.0 + jnp.abs(x))
+        return jnp.abs(tone(out) - tone(cl)).mean()
 
     # the whole crop set lives on device (~100 MB); per-step batches are
     # gathered there — only the (batch,) index vector crosses the host
@@ -244,6 +246,24 @@ def evaluate(params, imgs, label: str = "held-out", verbose: bool = True):
     return out
 
 
+def _save_dataset(path, train_imgs, heldout):
+    arrs = {}
+    for tag, imgs in (("train", train_imgs), ("held", heldout)):
+        for j, name in enumerate(("noisy", "alb", "nrm", "clean")):
+            arrs[f"{tag}_{name}"] = np.stack([im[j] for im in imgs])
+    np.savez_compressed(path, **arrs)
+
+
+def _load_dataset(path):
+    with np.load(path) as z:
+        out = []
+        for tag in ("train", "held"):
+            stacks = [z[f"{tag}_{n}"] for n in ("noisy", "alb", "nrm",
+                                                "clean")]
+            out.append(list(zip(*[list(s) for s in stacks])))
+    return out[0], out[1]
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=3000)
@@ -252,6 +272,9 @@ def main(argv=None):
     ap.add_argument("--clean-spp", type=int, default=256)
     ap.add_argument("--out", default=None)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--data", default=None,
+                    help="npz cache of the rendered dataset: loaded if "
+                         "present, written after rendering otherwise")
     args = ap.parse_args(argv)
     if args.cpu:
         import jax
@@ -261,9 +284,16 @@ def main(argv=None):
     from optix_ray_tracer_tpu.render import neural_denoise as nd
 
     out = args.out or nd._WEIGHTS_FILE
-    print("rendering training set ...")
-    train_imgs, heldout = build_dataset(
-        size=args.size, views=args.views, clean_spp=args.clean_spp)
+    if args.data and os.path.exists(args.data):
+        print(f"loading dataset {args.data} ...")
+        train_imgs, heldout = _load_dataset(args.data)
+    else:
+        print("rendering training set ...")
+        train_imgs, heldout = build_dataset(
+            size=args.size, views=args.views, clean_spp=args.clean_spp)
+        if args.data:
+            _save_dataset(args.data, train_imgs, heldout)
+            print(f"saved dataset {args.data}")
     params = train(train_imgs, steps=args.steps)
     evaluate(params, train_imgs[:4], label="train[0:4]")
     evaluate(params, heldout)

@@ -204,18 +204,20 @@ class TestFusedEquivalence:
         monkeypatch.setattr(nd, "_WEIGHTS_FILE", wfile)
         monkeypatch.setattr(nd, "_DEFAULT", None)
         cfg = data.config
-        old = cfg.denoiser
+        old = (cfg.denoiser, cfg.temporal)
         cfg.denoiser = "neural"
         try:
-            frames = [np.asarray(film.mean())
-                      for _, _, film in renderer_time.render_frames(
-                          data, max_frames=2)]
+            for temporal in (False, True):   # both postprocess branches
+                cfg.temporal = temporal
+                frames = [np.asarray(film.mean())
+                          for _, _, film in renderer_time.render_frames(
+                              data, max_frames=2)]
+                assert len(frames) == 2
+                for f in frames:
+                    assert np.isfinite(f).all()
+                    assert f.std() > 0.01      # rendered something
         finally:
-            cfg.denoiser = old
-        assert len(frames) == 2
-        for f in frames:
-            assert np.isfinite(f).all()
-            assert f.std() > 0.01          # rendered something
+            cfg.denoiser, cfg.temporal = old
 
     @pytest.mark.slow
     def test_fused_matches_per_frame(self, data):
