@@ -121,7 +121,7 @@ def main() -> None:
     _sync(t_vals == 0, sh_)
 
     # pipelined throughput (frames stream in production: REPS async
-    # dispatches, one sync), best of 3 measurements — the tunneled
+    # dispatches, one sync), best of 5 measurements — the tunneled
     # runtime shows transient slowdowns; the best run is the
     # reproducible hardware number
     def measure():
@@ -131,7 +131,7 @@ def main() -> None:
         _sync(tv == 0, sh2)
         return (time.perf_counter() - t0) / REPS
 
-    dt = min(measure() for _ in range(3))
+    dt = min(measure() for _ in range(5))
 
     nrays = 2 * WIDTH * HEIGHT  # primary + shadow
     mrays = nrays / dt / 1e6
@@ -161,16 +161,16 @@ def main() -> None:
         _sync(tv == 0)
         return (time.perf_counter() - t0) / REPS
 
-    dti = min(measure_inc() for _ in range(3))
+    dti = min(measure_inc() for _ in range(5))
     print(f"incoherent: {R / dti / 1e6:.2f} Mrays/s", file=sys.stderr)
 
     # methodology in the label: the number is min over 3 measurements of a
     # 5-dispatch pipelined average (PERF.md "bench step jitted")
     label = ("primary+shadow Mrays/sec/chip, 100k-tri mesh, 1024x1024 "
-             "(best-of-3, 5-rep pipelined avg)")
+             "(best-of-5, 5-rep pipelined avg)")
     if args.shard and n_dev > 1:
         label = (f"primary+shadow Mrays/sec ({n_dev} devices), 100k-tri "
-                 f"mesh (best-of-3, 5-rep pipelined avg)")
+                 f"mesh (best-of-5, 5-rep pipelined avg)")
     print(json.dumps({
         "metric": label,
         "value": round(mrays, 2),
