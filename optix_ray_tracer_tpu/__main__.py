@@ -197,7 +197,7 @@ def _run_viewer(frontend, data, config, args, out_dir) -> int:
         from optix_ray_tracer_tpu.utils.color import color_to_uint8 as _q
 
         def _chunk(camera, ks, seeds, denoise_on, quantize,
-                   temporal=False):
+                   temporal=False, filter_name=None):
             out = fused.fused_chunk(
                 state["fd"], jnp.asarray(ks, jnp.float32),
                 jnp.asarray(seeds, jnp.int32), state["intersector"],
@@ -208,7 +208,7 @@ def _run_viewer(frontend, data, config, args, out_dir) -> int:
                 mode=mode, width=width, height=height,
                 spp=args.spp or 1, integrator=config.integrator,
                 do_denoise=bool(denoise_on and config.denoise),
-                denoiser=common.resolve_denoiser(config),
+                denoiser=_resolve_filter(filter_name),
                 max_depth=config.max_depth,
                 use_march=isinstance(state["intersector"],
                                      MarchIntersector),
@@ -219,9 +219,19 @@ def _run_viewer(frontend, data, config, args, out_dir) -> int:
                 out, state["tstate"] = out
             return out
 
+        def _resolve_filter(name):
+            """Viewer /filter override; None = config default.  Degrades
+            to a-trous when the neural weights asset is absent."""
+            if name is None:
+                return common.resolve_denoiser(config)
+            import types
+            return common.resolve_denoiser(
+                types.SimpleNamespace(denoiser=name))
+
         still = {"cam": None, "acc": None, "spp": 0}
 
-        def render_chunk_fn(camera, chunk, denoise_on, animate):
+        def render_chunk_fn(camera, chunk, denoise_on, animate,
+                            filter_name=None):
             fi, k, n_frames = schedule[state["step"] % len(schedule)]
             if state["key"] != fi or state["fd"] is None:
                 scene0 = frontend.frame_scene(data, fi, 0, n_frames)
@@ -273,7 +283,7 @@ def _run_viewer(frontend, data, config, args, out_dir) -> int:
                 ks = [k] * chunk     # newly-still camera: 1 chunk of
                 seeds = config.seed + np.arange(chunk, dtype=np.int32)
             out = _chunk(camera, ks, seeds, denoise_on, quantize=True,
-                         temporal=use_temporal)
+                         temporal=use_temporal, filter_name=filter_name)
             return np.asarray(out[0])
 
     LOG.info("interactive viewer: %dx%d%s", width, height,

@@ -38,12 +38,14 @@ font-family:monospace"><h3>optix_ray_tracer_tpu viewer</h3>
 <img src="/stream" style="image-rendering:pixelated;width:75%%">
 <p>keys: GET /key?k=[w|a|s|d|space|shift] &mdash; look: GET /look?dx=10&dy=0
 &mdash; wheel: GET /wheel?d=1 &mdash; Tab: toggle denoiser &mdash;
+n: cycle denoise filter (atrous/neural; first switch re-jits) &mdash;
 p: toggle animation &mdash; quit: GET /quit</p>
 <script>
 document.addEventListener('keydown', e => {
   const m = {w:'w',a:'a',s:'s',d:'d',' ':'space',Shift:'shift'};
   if (m[e.key]) fetch('/key?k='+m[e.key]);
   if (e.key === 'Tab') { e.preventDefault(); fetch('/denoise'); }
+  if (e.key === 'n') fetch('/filter');
   if (e.key === 'p') fetch('/anim');
 });
 document.addEventListener('wheel',
@@ -115,6 +117,7 @@ class ViewerServer:
         self._input_lock = threading.Lock()
         self._pending: dict = {"dx": 0, "dy": 0, "wheel": 0, "keys": set()}
         self.denoise_on = True     # Tab-bypass analog: GET /denoise toggles
+        self.filter_name = None    # None = config default; GET /filter cycles
         self.animate = False       # GET /anim toggles animation stepping
         self._stop = threading.Event()
         self._httpd: ThreadingHTTPServer | None = None
@@ -126,6 +129,12 @@ class ViewerServer:
                 inspect.signature(render_fn).parameters) >= 3
         except (TypeError, ValueError):
             self._rich_render = False
+        try:
+            self._chunk_takes_filter = (
+                render_chunk_fn is not None and "filter_name"
+                in inspect.signature(render_chunk_fn).parameters)
+        except (TypeError, ValueError):
+            self._chunk_takes_filter = False
 
     # ---- input & camera ---------------------------------------------------
 
@@ -169,8 +178,10 @@ class ViewerServer:
                 # camera reacts within one frame)
                 k = 1 if (self._had_input or self._input_pending()) \
                     else self.chunk
+                kw = ({"filter_name": self.filter_name}
+                      if self._chunk_takes_filter else {})
                 frames = np.asarray(self.render_chunk_fn(
-                    camera, k, self.denoise_on, self.animate))
+                    camera, k, self.denoise_on, self.animate, **kw))
                 for j in range(frames.shape[0]):
                     self._publish(frames[j])
                     dt = time.time() - t0
@@ -240,6 +251,22 @@ class ViewerServer:
                     self.end_headers()
                     self.wfile.write(
                         b"denoise on" if viewer.denoise_on else b"denoise off")
+                elif url.path == "/filter":
+                    # cycle config-default -> atrous -> neural; an explicit
+                    # ?f=atrous|neural sets directly.  Switching filters
+                    # re-jits the chunk on first use (one-time hitch).
+                    f = q.get("f", [None])[0]
+                    if f in ("atrous", "neural"):
+                        viewer.filter_name = f
+                    else:
+                        cycle = [None, "atrous", "neural"]
+                        i = cycle.index(viewer.filter_name) \
+                            if viewer.filter_name in cycle else 0
+                        viewer.filter_name = cycle[(i + 1) % len(cycle)]
+                    self.send_response(200)
+                    self.end_headers()
+                    self.wfile.write(
+                        (viewer.filter_name or "default").encode())
                 elif url.path == "/anim":
                     viewer.animate = not viewer.animate
                     self.send_response(200)

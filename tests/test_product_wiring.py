@@ -258,6 +258,46 @@ class TestViewerEndpoints:
                     break
                 time.sleep(0.02)
             assert any(c == (False, True) for c in calls)
+            # /filter cycles default -> atrous -> neural -> default,
+            # and ?f= sets directly
+            assert urllib.request.urlopen(f"{base}/filter").read() \
+                == b"atrous"
+            assert urllib.request.urlopen(f"{base}/filter").read() \
+                == b"neural"
+            assert urllib.request.urlopen(f"{base}/filter").read() \
+                == b"default"
+            assert urllib.request.urlopen(
+                f"{base}/filter?f=neural").read() == b"neural"
+            assert srv.filter_name == "neural"
+        finally:
+            srv.stop()
+
+    def test_chunk_fn_receives_filter_name(self):
+        import time
+        import urllib.request
+
+        from optix_ray_tracer_tpu.render.viewer import ViewerServer
+        from optix_ray_tracer_tpu.scene.camera import Camera
+
+        cam = Camera.look_at((3, 0, 0), (0, 0, 0), (0, 0, 1))
+        seen = []
+
+        def render_chunk_fn(camera, chunk, denoise_on, animate,
+                            filter_name=None):
+            seen.append(filter_name)
+            return np.zeros((chunk, 8, 8, 4), np.uint8)
+
+        srv = ViewerServer(cam, render_chunk_fn=render_chunk_fn, chunk=2,
+                           port=0, fps_limit=200.0)
+        srv.serve(blocking=False)
+        port = srv._httpd.server_address[1]
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/filter?f=atrous")
+            deadline = time.time() + 5.0
+            while time.time() < deadline and "atrous" not in seen:
+                time.sleep(0.02)
+            assert "atrous" in seen
         finally:
             srv.stop()
 
