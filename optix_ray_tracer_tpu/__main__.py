@@ -209,6 +209,7 @@ def _run_viewer(frontend, data, config, args, out_dir) -> int:
                 spp=args.spp or 1, integrator=config.integrator,
                 do_denoise=bool(denoise_on and config.denoise),
                 denoiser=_resolve_filter(filter_name),
+                sampler=getattr(config, "sampler", "pcg"),
                 max_depth=config.max_depth,
                 use_march=isinstance(state["intersector"],
                                      MarchIntersector),

@@ -110,6 +110,10 @@ class RendererConfig:
     # KPCN in render/neural_denoise.py — the AI-denoiser parity analog of
     # the reference's optixDenoiserInvoke, RendererImpl.cu:584-669)
     denoiser: str = "atrous"
+    # sample stream: "pcg" (PCG4D counter hash, reference-parity default)
+    # or "sobol" (Owen-scrambled Sobol, utils/qmc.py — measured 1.4-4.4x
+    # lower RMSE at 4-64 spp on the Cornell config, PERF.md)
+    sampler: str = "pcg"
     # temporal reprojection (SVGF temporal term) in the fused animation
     # path: history accumulated across frames using the exactly-known
     # per-instance rigid motion; falls back to spatial-only when off
@@ -179,6 +183,11 @@ def parse_config_dict(data: dict, base_dir: str = ".") -> RendererConfig:
                 shift=_vec3(s.get("shift", (0, 0, 0)), "sphere.shift"),
                 rotate=_vec3(s.get("rotate", (0, 0, 0)), "sphere.rotate"),
                 scale=_vec3(s.get("scale", (1, 1, 1)), "sphere.scale")))
+
+        sampler = str(data.get("sampler", "pcg"))
+        if sampler not in ("pcg", "sobol"):
+            raise ConfigError(
+                f"'sampler' must be 'pcg' or 'sobol', got '{sampler}'")
 
         integrator = str(data.get("integrator", "whitted"))
         if integrator not in ("whitted", "path"):
@@ -255,6 +264,7 @@ def parse_config_dict(data: dict, base_dir: str = ".") -> RendererConfig:
             seed=int(data.get("seed", 0)),
             output_dir=str(data.get("output-dir", "./out")),
             integrator=integrator,
+            sampler=sampler,
             denoise=_parse_denoise(data.get("denoise", True))[0],
             denoiser=_parse_denoise(data.get("denoise", True))[1],
             temporal=bool(data.get("temporal", True)),

@@ -271,12 +271,14 @@ def render_frame(config: RendererConfig, scene, materials, camera,
             scene, materials, lights, camera, width=width, height=height,
             spp=spp, seed=seed, background=config.background,
             max_depth=config.max_depth, intersector=intersector,
-            env=env, textures=textures)
+            env=env, textures=textures,
+            sampler=getattr(config, "sampler", "pcg"))
     else:
         img, alb, nrm = wavefront.render(
             scene, materials, camera, width, height, spp=spp, seed=seed,
             background=config.background, max_depth=config.max_depth,
-            intersector=intersector, env=env)
+            intersector=intersector, env=env,
+            sampler=getattr(config, "sampler", "pcg"))
     do_denoise = (config.denoise if denoise_override is None
                   else denoise_override)
     if do_denoise and resolve_denoiser(config) == "neural":

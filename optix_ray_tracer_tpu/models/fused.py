@@ -86,14 +86,14 @@ def _time_scene(fd, k, extra_spheres, extra_triangles, has_extras: bool,
 
 @partial(jax.jit, static_argnames=(
     "mode", "width", "height", "spp", "integrator", "do_denoise",
-    "denoiser", "max_depth", "use_march", "has_extras", "euler_path",
-    "quantize", "want_guides", "temporal", "mesh"))
+    "denoiser", "sampler", "max_depth", "use_march", "has_extras",
+    "euler_path", "quantize", "want_guides", "temporal", "mesh"))
 def fused_chunk(fd, ks, seeds, base_inter, materials, camera,
                 extra_spheres, extra_triangles, env, textures, lights,
                 background, tstate=None, *, mode: str, width: int,
                 height: int,
                 spp: int, integrator: str, do_denoise: bool,
-                denoiser: str = "atrous",
+                denoiser: str = "atrous", sampler: str = "pcg",
                 max_depth: int, use_march: bool, has_extras: bool,
                 euler_path: bool = False, quantize: bool = False,
                 want_guides: bool = True, temporal: bool = False,
@@ -240,12 +240,13 @@ def fused_chunk(fd, ks, seeds, base_inter, materials, camera,
                     height=height, spp=spp, seed=seed,
                     background=background, max_depth=max_depth,
                     intersector=inter, env=env, textures=textures,
-                    want_aux=temporal)
+                    want_aux=temporal, sampler=sampler)
             else:
                 out = wavefront.render.__wrapped__(
                     scene, materials, camera, width, height, spp=spp,
                     seed=seed, background=background, max_depth=max_depth,
-                    intersector=inter, env=env, want_aux=temporal)
+                    intersector=inter, env=env, want_aux=temporal,
+                    sampler=sampler)
             if temporal:
                 return out
             return out + (None,)
@@ -277,12 +278,13 @@ def fused_chunk(fd, ks, seeds, base_inter, materials, camera,
                         scene, materials, lights, o, d, pixel_id,
                         spp_offset + s_local, seed, background_a,
                         max_depth, inter, env, textures,
-                        want_aux=want_aux)
+                        want_aux=want_aux, sampler=sampler)
                 else:
                     out = wavefront.trace.__wrapped__(
                         scene, materials, o, d, pixel_id,
                         spp_offset + s_local, seed, background_a,
-                        max_depth, inter, env, want_aux=want_aux)
+                        max_depth, inter, env, want_aux=want_aux,
+                        sampler=sampler)
                 new = (acc[0] + out[0], acc[1] + out[1], acc[2] + out[2])
                 if want_aux:
                     # depth/prim taps come from GLOBAL sample 0 only
@@ -452,6 +454,7 @@ def render_frames_fused(data, mode: str, file_data_fn, width: int,
                         mode=mode, width=width, height=hp, spp=spp,
                         integrator=cfg.integrator, do_denoise=cfg.denoise,
                         denoiser=common.resolve_denoiser(cfg),
+                        sampler=getattr(cfg, "sampler", "pcg"),
                         max_depth=cfg.max_depth, use_march=use_march,
                         has_extras=bool(data.extra_triangles.count),
                         euler_path=getattr(data, "reference_euler_path",

@@ -54,20 +54,22 @@ def _onb(n):
     return t, bt
 
 
-def _cosine_sample(n, pixel_id, sample, bounce, seed):
-    local = rng.random_cosine_direction(pixel_id, sample, bounce, seed)
+def _cosine_sample(n, pixel_id, sample, bounce, seed, mode="pcg"):
+    local = rng.random_cosine_direction(pixel_id, sample, bounce, seed,
+                                        mode)
     t, bt = _onb(n)
     d = (local[..., 0:1] * t + local[..., 1:2] * bt + local[..., 2:3] * n)
     pdf = jnp.maximum(local[..., 2], 1e-6) / PI
     return normalize(d), pdf
 
 
-@partial(jax.jit, static_argnames=("max_depth", "rr_start", "want_aux"))
+@partial(jax.jit, static_argnames=("max_depth", "rr_start", "want_aux",
+                                   "sampler"))
 def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
                origins, directions, pixel_id, sample, seed, background,
                max_depth: int = 8, intersector=None, env=None,
                textures=None, rr_start: int = 3, clamp: float = 0.0,
-               want_aux: bool = False):
+               want_aux: bool = False, sampler: str = "pcg"):
     """Trace a wavefront with NEE+MIS.  Returns (radiance, albedo_g, normal_g);
     with ``want_aux`` also (t (R,), prim_id (R,) int32) of the PRIMARY hit
     (INF / -1 on miss or sphere hit) — the depth/id buffers the temporal
@@ -169,7 +171,8 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
         # ---- NEE: one light sample at diffuse vertices ------------------
         if have_lights:
             wl, dist, pdf_l, emitted, _ = sample_lights(
-                lights, point, pixel_id, sample, b, seed ^ _DIM_LIGHT)
+                lights, point, pixel_id, sample, b, seed ^ _DIM_LIGHT,
+                mode=sampler)
             cos_s = dot(wl, n_unit)
             valid = shading_alive & is_diffuse & (cos_s > 0.0) & (pdf_l > 0.0)
             # shadow ray (offset along the light direction; end before light)
@@ -189,10 +192,10 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
         # ---- BSDF sampling ----------------------------------------------
         # diffuse: cosine hemisphere
         d_diff, pdf_diff = _cosine_sample(n_unit, pixel_id, sample, b,
-                                          seed ^ _DIM_BSDF)
+                                          seed ^ _DIM_BSDF, sampler)
         # metal: mirror + fuzz
         fuzz_vec = rng.random_unit_vector(pixel_id, sample, b,
-                                          seed ^ _DIM_LOBE)
+                                          seed ^ _DIM_LOBE, sampler)
         d_metal = normalize(normalize(reflect(s["d"], n_unit))
                             + param[..., None] * fuzz_vec)
         # dielectric
@@ -201,7 +204,8 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
         cos_theta = jnp.minimum(-dot(s["d"], n_unit), 1.0)
         sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta ** 2))
         cannot = eta * sin_theta > 1.0
-        u_fr = rng.uniform4(pixel_id, sample, b, seed ^ _DIM_LOBE)[1]
+        u_fr = rng.uniform4(pixel_id, sample, b, seed ^ _DIM_LOBE,
+                            sampler)[1]
         do_reflect = cannot | (schlick_fresnel(cos_theta, ior) > u_fr)
         d_diel = jnp.where(do_reflect[..., None],
                            normalize(reflect(s["d"], n_unit)),
@@ -229,7 +233,8 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
         # bounce, so on the block-march kernel RR converts deep-path work
         # into immediate block exits.
         if rr_start < max_depth:
-            u_rr = rng.uniform4(pixel_id, sample, b, seed ^ _DIM_RR)[0]
+            u_rr = rng.uniform4(pixel_id, sample, b, seed ^ _DIM_RR,
+                                sampler)[0]
             p_cont = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 1.0)
             do_rr = shading_alive & (b >= rr_start)
             survive = ~do_rr | (u_rr < p_cont)
@@ -261,14 +266,15 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
 
 @partial(jax.jit,
          static_argnames=("width", "height", "spp", "max_depth", "jitter",
-                          "rr_start", "samples_per_wave", "want_aux"))
+                          "rr_start", "samples_per_wave", "want_aux",
+                          "sampler"))
 def render_path(scene: Scene, materials: MaterialTable, lights, camera,
                 width: int, height: int, spp: int = 16, seed: int = 0,
                 background=(0.0, 0.0, 0.0), max_depth: int = 8,
                 intersector=None, env=None, textures=None,
                 jitter: bool = True, rr_start: int = 3, clamp: float = 0.0,
                 samples_per_wave: int | None = None,
-                want_aux: bool = False):
+                want_aux: bool = False, sampler: str = "pcg"):
     """Full-frame path trace; same conventions as wavefront.render,
     including the samples-per-wave merge (same-pixel samples share
     block-march clusters; RNG streams are (pixel, sample, bounce)-keyed so
@@ -290,7 +296,8 @@ def render_path(scene: Scene, materials: MaterialTable, lights, camera,
         s_vec = s0 + jnp.arange(S, dtype=jnp.int32)
         samp = jnp.repeat(s_vec, npix)
         if jitter:
-            u1, u2 = rng.stratified_jitter(pix_rep, samp, seed)
+            u1, u2 = rng.stratified_jitter(pix_rep, samp, seed,
+                                           sampler)
             jit_uv = jnp.stack([u1, u2], -1).reshape(S, height, width, 2)
         else:
             jit_uv = jnp.full((S, height, width, 2), 0.5, jnp.float32)
@@ -298,7 +305,7 @@ def render_path(scene: Scene, materials: MaterialTable, lights, camera,
         out = trace_path(
             scene, materials, lights, o.reshape(-1, 3), d.reshape(-1, 3),
             pix_rep, samp, seed, background, max_depth, intersector, env,
-            textures, rr_start, clamp, want_aux=want_aux)
+            textures, rr_start, clamp, want_aux=want_aux, sampler=sampler)
         radiance, alb, nrm = out[:3]
         nxt = (acc[0] + radiance.reshape(S, npix, 3).sum(0),
                acc[1] + alb.reshape(S, npix, 3).sum(0),

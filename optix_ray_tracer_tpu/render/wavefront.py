@@ -56,7 +56,7 @@ DEFAULT_BACKGROUND = (0.7, 0.8, 0.9)
 
 
 def scatter(materials: MaterialTable, material_id, d_in, normal, front_face,
-            pixel_id, sample, bounce, seed):
+            pixel_id, sample, bounce, seed, sampler: str = "pcg"):
     """Compute the scattered direction + attenuation for a batch of hits.
 
     Vectorized replacement for the material switch in ``closesthitImpl``
@@ -72,7 +72,7 @@ def scatter(materials: MaterialTable, material_id, d_in, normal, front_face,
     # ROUGH: Lambertian, dir = normal + unit_sphere_sample with the
     # degenerate-cancellation guard (Shader.cu:169-179).
     rand_unit = rng.random_unit_vector(pixel_id, sample, bounce,
-                                       seed ^ _DIM_SCATTER)
+                                       seed ^ _DIM_SCATTER, sampler)
     d_rough = n + rand_unit
     degenerate = length_squared(d_rough) < EPS
     d_rough = jnp.where(degenerate[..., None], n, d_rough)
@@ -80,7 +80,7 @@ def scatter(materials: MaterialTable, material_id, d_in, normal, front_face,
     # METAL: mirror + fuzz * unit_sphere_sample (Shader.cu:180-191).
     d_metal = normalize(reflect(d_in, n))
     fuzz_vec = rng.random_unit_vector(pixel_id, sample, bounce,
-                                      seed ^ _DIM_FUZZ)
+                                      seed ^ _DIM_FUZZ, sampler)
     d_metal = d_metal + param[..., None] * fuzz_vec
 
     # DIELECTRIC: refract unless TIR/Schlick says reflect.
@@ -89,7 +89,8 @@ def scatter(materials: MaterialTable, material_id, d_in, normal, front_face,
     cos_theta = jnp.minimum(-dot(d_in, n), 1.0)
     sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
     cannot_refract = eta * sin_theta > 1.0
-    u_fresnel = rng.uniform4(pixel_id, sample, bounce, seed ^ _DIM_FRESNEL)[0]
+    u_fresnel = rng.uniform4(pixel_id, sample, bounce,
+                             seed ^ _DIM_FRESNEL, sampler)[0]
     reflectance = schlick_fresnel(cos_theta, ior)
     do_reflect = cannot_refract | (reflectance > u_fresnel)
     d_refr = refract(d_in, n, eta[..., None])
@@ -120,11 +121,12 @@ def _default_intersector():
     return BruteForceIntersector()
 
 
-@partial(jax.jit, static_argnames=("max_depth", "want_aux"))
+@partial(jax.jit, static_argnames=("max_depth", "want_aux", "sampler"))
 def trace(scene: Scene, materials: MaterialTable, origins, directions,
           pixel_id, sample, seed, background,
           max_depth: int = DEFAULT_MAX_DEPTH,
-          intersector=None, env=None, want_aux: bool = False):
+          intersector=None, env=None, want_aux: bool = False,
+          sampler: str = "pcg"):
     """Trace a wavefront of rays to completion.
 
     origins/directions: (R, 3); pixel_id: (R,) int32; sample: scalar int;
@@ -179,7 +181,7 @@ def trace(scene: Scene, materials: MaterialTable, origins, directions,
             scene, state["o"], state["d"], hit)
         new_dir, attenuation, emission, emissive_hit = scatter(
             materials, material_id, state["d"], normal, front_face,
-            pixel_id, sample, b, seed)
+            pixel_id, sample, b, seed, sampler)
 
         # EMISSIVE extension: emitters contribute and end the path.
         radiance = radiance + jnp.where(
@@ -237,14 +239,14 @@ def _default_samples_per_wave(spp: int) -> int:
 
 @partial(jax.jit,
          static_argnames=("width", "height", "spp", "max_depth", "jitter",
-                          "samples_per_wave", "want_aux"))
+                          "samples_per_wave", "want_aux", "sampler"))
 def render(scene: Scene, materials: MaterialTable, camera,
            width: int, height: int, spp: int = 1, seed: int = 0,
            background=DEFAULT_BACKGROUND,
            max_depth: int = DEFAULT_MAX_DEPTH,
            intersector=None, env=None,
            jitter: bool = True, samples_per_wave: int | None = None,
-           want_aux: bool = False):
+           want_aux: bool = False, sampler: str = "pcg"):
     """Render a full frame: spp samples per pixel, accumulated in linear space.
 
     The reference renders 1 spp/frame at pixel centers and relies on the AI
@@ -274,7 +276,7 @@ def render(scene: Scene, materials: MaterialTable, camera,
         s_vec = s0 + jnp.arange(S, dtype=jnp.int32)      # (S,)
         samp = jnp.repeat(s_vec, npix)                   # (S*npix,)
         if jitter:
-            u1, u2 = rng.stratified_jitter(pix_rep, samp, seed)
+            u1, u2 = rng.stratified_jitter(pix_rep, samp, seed, sampler)
             jit_uv = jnp.stack([u1, u2], -1).reshape(S, height, width, 2)
         else:
             # pixel centers for every sample (reference parity)
@@ -283,7 +285,7 @@ def render(scene: Scene, materials: MaterialTable, camera,
         out = trace(
             scene, materials, o.reshape(-1, 3), d.reshape(-1, 3),
             pix_rep, samp, seed, background, max_depth, intersector, env,
-            want_aux=want_aux)
+            want_aux=want_aux, sampler=sampler)
         radiance, albedo_g, normal_g = out[:3]
         nxt = (acc[0] + radiance.reshape(S, npix, 3).sum(0),
                acc[1] + albedo_g.reshape(S, npix, 3).sum(0),

@@ -84,7 +84,7 @@ def collect_area_lights(scene: Scene, materials: MaterialTable) -> AreaLights | 
 
 
 def sample_lights(lights: AreaLights, shading_point, pixel_id, sample, bounce,
-                  seed):
+                  seed, mode: str = "pcg"):
     """Sample one point on the light set per shading point.
 
     Returns (direction (R,3) unit, distance (R,), pdf_solid_angle (R,),
@@ -92,7 +92,11 @@ def sample_lights(lights: AreaLights, shading_point, pixel_id, sample, bounce,
     pdf is w.r.t. solid angle at the shading point (for MIS against BSDF
     pdfs); zero where the light faces away.
     """
-    u1, u2, u3, _ = rng.uniform4(pixel_id, sample, bounce, seed)
+    u1, u2, u3, _ = rng.uniform4(pixel_id, sample, bounce, seed, mode)
+    if mode == "sobol":
+        # give the 2D barycentric pair the strict (0,2)-sequence dims
+        # (components 0,1); the discrete CDF pick rides dim 2
+        u1, u2, u3 = u3, u1, u2
     # select triangle by area CDF
     li = jnp.searchsorted(lights.cdf, u1).astype(jnp.int32)
     li = jnp.clip(li, 0, lights.count - 1)

@@ -73,8 +73,17 @@ def _to_unit_float(u):
     return (u >> 8).astype(jnp.float32) * _INV_2_24
 
 
-def uniform4(pixel_id, sample, bounce, seed):
-    """Four independent U[0,1) floats per (pixel, sample, bounce, seed)."""
+def uniform4(pixel_id, sample, bounce, seed, mode: str = "pcg"):
+    """Four U[0,1) floats per (pixel, sample, bounce, seed).
+
+    ``mode`` selects the stream (a trace-time static): "pcg" — PCG4D
+    pseudo-random (reference-parity default); "sobol" — Owen-scrambled
+    Sobol over the SAMPLE index (utils/qmc.py), same purity contract,
+    ~1/N^2 variance on smooth integrands.
+    """
+    if mode == "sobol":
+        from optix_ray_tracer_tpu.utils.qmc import sobol_owen4
+        return sobol_owen4(pixel_id, sample, bounce, seed)
     x, y, z, w = pcg4d(pixel_id, sample, bounce, seed)
     return _to_unit_float(x), _to_unit_float(y), _to_unit_float(z), _to_unit_float(w)
 
@@ -83,7 +92,7 @@ def uniform_in_range(u, lo, hi):
     return lo + (hi - lo) * u
 
 
-def random_unit_vector(pixel_id, sample, bounce, seed):
+def random_unit_vector(pixel_id, sample, bounce, seed, mode: str = "pcg"):
     """Uniform direction on the unit sphere (z/phi parameterization).
 
     Replaces the reference's rejection loop ``randomSpaceVector``
@@ -94,20 +103,21 @@ def random_unit_vector(pixel_id, sample, bounce, seed):
     directional bias, and our CPU oracle uses the same sampler so golden
     tests are exact.  Returns (..., 3) float32.
     """
-    u1, u2, _, _ = uniform4(pixel_id, sample, bounce, seed)
+    u1, u2, _, _ = uniform4(pixel_id, sample, bounce, seed, mode)
     z = 1.0 - 2.0 * u1
     r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
     phi = (2.0 * PI) * u2
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
 
 
-def random_cosine_direction(pixel_id, sample, bounce, seed):
+def random_cosine_direction(pixel_id, sample, bounce, seed,
+                            mode: str = "pcg"):
     """Cosine-weighted hemisphere sample about +z (for NEE/MIS shading).
 
     Counterpart of the reference's ``randomCosineVector``
     (DeviceFunctions.cuh:586-606), minus its non-unit-length quirk.
     """
-    u1, u2, _, _ = uniform4(pixel_id, sample, bounce, seed)
+    u1, u2, _, _ = uniform4(pixel_id, sample, bounce, seed, mode)
     phi = (2.0 * PI) * u1
     sq = jnp.sqrt(u2)
     return jnp.stack([jnp.cos(phi) * sq,
@@ -115,20 +125,21 @@ def random_cosine_direction(pixel_id, sample, bounce, seed):
                       jnp.sqrt(jnp.maximum(0.0, 1.0 - u2))], axis=-1)
 
 
-def random_in_unit_disk(pixel_id, sample, bounce, seed):
+def random_in_unit_disk(pixel_id, sample, bounce, seed,
+                        mode: str = "pcg"):
     """Uniform point in the unit disk (polar method, rejection-free).
 
     Counterpart of ``randomPlaneVector`` (DeviceFunctions.cuh:560-567),
     used for depth-of-field lens sampling.
     Returns (..., 2).
     """
-    u1, u2, _, _ = uniform4(pixel_id, sample, bounce, seed)
+    u1, u2, _, _ = uniform4(pixel_id, sample, bounce, seed, mode)
     r = jnp.sqrt(u1)
     phi = (2.0 * PI) * u2
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi)], axis=-1)
 
 
-def stratified_jitter(pixel_id, sample, seed):
+def stratified_jitter(pixel_id, sample, seed, mode: str = "pcg"):
     """Pixel-filter jitter (u1, u2) stratified over a fixed 4x4 subpixel
     grid cycled by sample index.
 
@@ -138,6 +149,12 @@ def stratified_jitter(pixel_id, sample, seed):
     Within-cell offsets come from the usual PCG4D stream, so any spp is
     unbiased; spp >= 16 gets full stratification per cycle.
     """
+    if mode == "sobol":
+        # Sobol's joint 2D (0,1) property IS pixel-filter stratification
+        # at every power-of-two prefix — no explicit grid needed
+        u1, u2, _, _ = uniform4(pixel_id, sample, jnp.int32(-1), seed,
+                                mode)
+        return u1, u2
     u1, u2, _, _ = uniform4(pixel_id, sample, jnp.int32(-1), seed)
     cell = jnp.asarray(sample, jnp.int32) % 16
     cx = (cell % 4).astype(jnp.float32)

@@ -1,0 +1,176 @@
+"""Owen-scrambled Sobol sampler (utils/qmc.py) — properties + wiring.
+
+The sampler's whole value proposition is its (0,1)-sequence structure:
+every 2^a x 2^b elementary interval of the first 2^(a+b) points holds
+exactly one point, and hash-based Owen scrambling/shuffling must
+PRESERVE that while decorrelating pixels.  These tests pin the
+structure, the unbiasedness, the variance win over the PCG stream, and
+the integrator wiring (``sampler="sobol"``).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from optix_ray_tracer_tpu.utils import qmc, rng
+
+
+def _elementary_ok(x, y, k):
+    """Every 2^a x 2^b cell (a+b=k) of the first 2^k points hits once."""
+    n = 1 << k
+    for a in range(k + 1):
+        b = k - a
+        cells = set(zip((x[:n] * (1 << a)).astype(int),
+                        (y[:n] * (1 << b)).astype(int)))
+        if len(cells) != n:
+            return False
+    return True
+
+
+class TestSobolStructure:
+    def test_dim0_is_bit_reversal(self):
+        idx = jnp.arange(64, dtype=jnp.uint32)
+        np.testing.assert_array_equal(np.asarray(qmc.sobol_u32(idx, 0)),
+                                      np.asarray(qmc.reverse_bits32(idx)))
+
+    def test_raw_2d_elementary_intervals(self):
+        idx = jnp.arange(64, dtype=jnp.uint32)
+        x = np.asarray(qmc.sobol_u32(idx, 0)) / 2.0 ** 32
+        y = np.asarray(qmc.sobol_u32(idx, 1)) / 2.0 ** 32
+        assert _elementary_ok(x, y, 6)
+
+    def test_owen_scramble_preserves_intervals(self):
+        idx = jnp.arange(64, dtype=jnp.uint32)
+        for seed in (1, 0xDEADBEEF, 77777):
+            x = np.asarray(qmc.owen_scramble(qmc.sobol_u32(idx, 0),
+                                             jnp.uint32(seed))) / 2.0 ** 32
+            y = np.asarray(qmc.owen_scramble(
+                qmc.sobol_u32(idx, 1),
+                jnp.uint32((seed * 3 + 1) & 0xFFFFFFFF))) / 2.0 ** 32
+            assert _elementary_ok(x, y, 6), seed
+
+    def test_owen4_pads_preserve_intervals(self):
+        idx = jnp.arange(64, dtype=jnp.uint32)
+        u0, u1, u2, u3 = (np.asarray(v) for v in qmc.sobol_owen4(
+            jnp.uint32(123), idx, jnp.uint32(4), jnp.uint32(99)))
+        # dims (0,1) are a (0,2)-sequence: strict one-point-per-cell
+        assert _elementary_ok(u0, u1, 6)
+        # higher Sobol dims pair with t > 0 (no strict 2D property), but
+        # every dim is individually (0,1) in 1D: each 2^k prefix hits
+        # all 2^k bins exactly once
+        for u in (u0, u1, u2, u3):
+            for k in (4, 5, 6):
+                n = 1 << k
+                assert len(set((u[:n] * n).astype(int))) == n
+            assert ((u >= 0) & (u < 1)).all()
+
+    def test_owen_scramble_is_bijection(self):
+        xs = jnp.arange(0, 1 << 16, dtype=jnp.uint32) * jnp.uint32(65521)
+        ys = np.asarray(qmc.owen_scramble(xs, jnp.uint32(31337)))
+        assert len(np.unique(ys)) == len(ys)
+
+    def test_pixels_decorrelated(self):
+        idx = jnp.arange(256, dtype=jnp.uint32)
+        a = np.asarray(qmc.sobol_owen4(jnp.uint32(0), idx, 0, 5)[0])
+        b = np.asarray(qmc.sobol_owen4(jnp.uint32(1), idx, 0, 5)[0])
+        assert not np.allclose(a, b)
+        assert abs(np.corrcoef(a, b)[0, 1]) < 0.2
+
+    def test_deterministic(self):
+        idx = jnp.arange(32, dtype=jnp.uint32)
+        r1 = [np.asarray(v) for v in qmc.sobol_owen4(7, idx, 2, 42)]
+        r2 = [np.asarray(v) for v in qmc.sobol_owen4(7, idx, 2, 42)]
+        for a, b in zip(r1, r2):
+            np.testing.assert_array_equal(a, b)
+
+
+class TestVarianceWin:
+    def test_quadrature_error_beats_pcg(self):
+        """Integrating the smooth f(u,v) = u*v (true value 1/4) over 64
+        samples, the mean absolute error across many pixels must be far
+        lower for the Sobol stream than for PCG — the 1/N^2-vs-1/N
+        variance behavior the sampler exists for."""
+        P, N = 128, 64
+        pix = jnp.arange(P, dtype=jnp.int32)[:, None]
+        samp = jnp.arange(N, dtype=jnp.int32)[None, :]
+
+        def err(mode):
+            u1, u2, _, _ = rng.uniform4(pix, samp, jnp.int32(3),
+                                        jnp.int32(9), mode)
+            est = (u1 * u2).mean(axis=1)          # per-pixel estimate
+            return float(jnp.abs(est - 0.25).mean())
+
+        e_pcg, e_sobol = err("pcg"), err("sobol")
+        assert e_sobol < e_pcg / 4.0, (e_pcg, e_sobol)
+
+    def test_sobol_mean_unbiased(self):
+        P, N = 64, 256
+        pix = jnp.arange(P, dtype=jnp.int32)[:, None]
+        samp = jnp.arange(N, dtype=jnp.int32)[None, :]
+        u1, u2, u3, u4 = rng.uniform4(pix, samp, jnp.int32(0),
+                                      jnp.int32(17), "sobol")
+        for u in (u1, u2, u3, u4):
+            assert abs(float(u.mean()) - 0.5) < 0.01
+
+
+class TestIntegratorWiring:
+    def test_render_path_sobol_finite_and_distinct(self):
+        from optix_ray_tracer_tpu.models import common
+        from optix_ray_tracer_tpu.render import pathtracer
+        from optix_ray_tracer_tpu.scene.camera import Camera
+        from optix_ray_tracer_tpu.scene.geometry import (
+            Scene, Spheres, Triangles,
+        )
+        from optix_ray_tracer_tpu.scene.materials import MaterialBuilder
+
+        mb = MaterialBuilder()
+        g = mb.add_rough((0.7, 0.6, 0.5))
+        r = mb.add_rough((0.6, 0.1, 0.1))
+        scene = Scene(spheres=Spheres.from_list([
+            ((0.0, 0.0, -1000.5), 1000.0, g),
+            ((0.0, 0.0, 0.0), 0.5, r)]), triangles=Triangles.empty())
+        cam = Camera.look_at((4, 0, 0.5), (0, 0, 0), (0, 0, 1))
+        kw = dict(width=24, height=16, spp=4, seed=1,
+                  background=(0.7, 0.8, 0.9), max_depth=3,
+                  intersector=common.choose_intersector(scene))
+        a, _, _ = pathtracer.render_path(scene, mb.build(), None, cam,
+                                         sampler="pcg", **kw)
+        b, _, _ = pathtracer.render_path(scene, mb.build(), None, cam,
+                                         sampler="sobol", **kw)
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all() and np.isfinite(b).all()
+        assert not np.allclose(a, b)              # different streams
+        # same scene in expectation: low-spp means still close
+        assert abs(a.mean() - b.mean()) < 0.08
+
+    def test_wavefront_sobol_finite(self):
+        from optix_ray_tracer_tpu.models import common
+        from optix_ray_tracer_tpu.render import wavefront
+        from optix_ray_tracer_tpu.scene.camera import Camera
+        from optix_ray_tracer_tpu.scene.geometry import (
+            Scene, Spheres, Triangles,
+        )
+        from optix_ray_tracer_tpu.scene.materials import MaterialBuilder
+
+        mb = MaterialBuilder()
+        g = mb.add_rough((0.7, 0.6, 0.5))
+        m = mb.add_metal((0.8, 0.8, 0.9), 0.1)
+        scene = Scene(spheres=Spheres.from_list([
+            ((0.0, 0.0, -1000.5), 1000.0, g),
+            ((0.0, 0.0, 0.0), 0.5, m)]), triangles=Triangles.empty())
+        cam = Camera.look_at((4, 0, 0.5), (0, 0, 0), (0, 0, 1))
+        img, _, _ = wavefront.render(
+            scene, mb.build(), cam, 24, 16, spp=4, seed=2,
+            intersector=common.choose_intersector(scene), sampler="sobol")
+        assert np.isfinite(np.asarray(img)).all()
+
+    def test_config_sampler_key(self):
+        from optix_ray_tracer_tpu.io.config import (
+            ConfigError, parse_config_dict,
+        )
+
+        assert parse_config_dict({}).sampler == "pcg"
+        assert parse_config_dict({"sampler": "sobol"}).sampler == "sobol"
+        with pytest.raises(ConfigError):
+            parse_config_dict({"sampler": "halton"})
