@@ -159,7 +159,8 @@ def _run_viewer(frontend, data, config, args, out_dir) -> int:
     state = {"step": 0, "intersector": None, "key": None, "lights": None,
              "fd": None}
 
-    def render_fn(camera, denoise_on=True, animate=False):
+    def render_fn(camera, denoise_on=True, animate=False,
+                  filter_name=None):
         fi, k, n_frames = schedule[state["step"] % len(schedule)]
         if animate:
             state["step"] += 1
@@ -178,7 +179,8 @@ def _run_viewer(frontend, data, config, args, out_dir) -> int:
             spp=args.spp or 1, seed=config.seed,
             intersector=state["intersector"], env=data.env,
             textures=data.textures, lights=state["lights"],
-            denoise_override=denoise_on and config.denoise)
+            denoise_override=denoise_on and config.denoise,
+            denoiser_override=filter_name)
         return np.asarray(color_to_uint8(img))
 
     render_chunk_fn = None

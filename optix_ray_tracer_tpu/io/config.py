@@ -153,6 +153,8 @@ def _parse_denoise(v) -> tuple[bool, str]:
         name = v.strip().lower()
         if name in ("off", "false", "none"):
             return False, "atrous"
+        if name in ("on", "true"):
+            return True, "atrous"
         if name not in ("atrous", "neural"):
             raise ConfigError(
                 f"'denoise' must be true/false/'atrous'/'neural', got {v!r}")
@@ -183,6 +185,9 @@ def parse_config_dict(data: dict, base_dir: str = ".") -> RendererConfig:
                 shift=_vec3(s.get("shift", (0, 0, 0)), "sphere.shift"),
                 rotate=_vec3(s.get("rotate", (0, 0, 0)), "sphere.rotate"),
                 scale=_vec3(s.get("scale", (1, 1, 1)), "sphere.scale")))
+
+        denoise_on, denoiser_name = _parse_denoise(
+            data.get("denoise", True))
 
         sampler = str(data.get("sampler", "pcg"))
         if sampler not in ("pcg", "sobol"):
@@ -265,8 +270,8 @@ def parse_config_dict(data: dict, base_dir: str = ".") -> RendererConfig:
             output_dir=str(data.get("output-dir", "./out")),
             integrator=integrator,
             sampler=sampler,
-            denoise=_parse_denoise(data.get("denoise", True))[0],
-            denoiser=_parse_denoise(data.get("denoise", True))[1],
+            denoise=denoise_on,
+            denoiser=denoiser_name,
             temporal=bool(data.get("temporal", True)),
             dielectrics=dielectrics, emissives=emissives,
             envmap=envmap, textures_cfg=textures_cfg, meshes=meshes,

@@ -255,7 +255,8 @@ def rebuild_or_choose(prev, scene):
 def render_frame(config: RendererConfig, scene, materials, camera,
                  width: int, height: int, spp: int, seed: int,
                  intersector, env=None, textures=None, lights=None,
-                 denoise_override: bool | None = None):
+                 denoise_override: bool | None = None,
+                 denoiser_override: str | None = None):
     """One frame through the configured integrator + denoiser.
 
     The shared hot-loop step of both frontends (startRender step 10-11
@@ -281,7 +282,13 @@ def render_frame(config: RendererConfig, scene, materials, camera,
             sampler=getattr(config, "sampler", "pcg"))
     do_denoise = (config.denoise if denoise_override is None
                   else denoise_override)
-    if do_denoise and resolve_denoiser(config) == "neural":
+    if denoiser_override is not None:
+        import types
+        denoiser = resolve_denoiser(
+            types.SimpleNamespace(denoiser=denoiser_override))
+    else:
+        denoiser = resolve_denoiser(config)
+    if do_denoise and denoiser == "neural":
         from optix_ray_tracer_tpu.render.neural_denoise import (
             denoise_neural,
         )
@@ -292,18 +299,24 @@ def render_frame(config: RendererConfig, scene, materials, camera,
     return img, alb, nrm
 
 
+_warned_no_weights = False
+
+
 def resolve_denoiser(config) -> str:
-    """``config.denoiser``, degraded to "atrous" (with one warning) when
-    the pretrained neural weights asset is absent."""
+    """``config.denoiser``, degraded to "atrous" (with one warning per
+    process) when the pretrained neural weights asset is absent."""
     if getattr(config, "denoiser", "atrous") != "neural":
         return "atrous"
     from optix_ray_tracer_tpu.render import neural_denoise
     if neural_denoise.default_params() is None:
-        import logging
-        logging.getLogger("optix_ray_tracer_tpu").warning(
-            "denoise='neural' requested but no pretrained weights at %s;"
-            " falling back to the a-trous filter",
-            neural_denoise._WEIGHTS_FILE)
+        global _warned_no_weights
+        if not _warned_no_weights:
+            import logging
+            logging.getLogger("optix_ray_tracer_tpu").warning(
+                "denoise='neural' requested but no pretrained weights at"
+                " %s; falling back to the a-trous filter",
+                neural_denoise._WEIGHTS_FILE)
+            _warned_no_weights = True
         return "atrous"
     return "neural"
 

@@ -77,6 +77,7 @@ def render_frames_sharded(data, mode: str, width: int, height: int,
                                else common.refit_or_choose(intersector,
                                                            scene))
                 seed = cfg.seed + produced
+                sampler = getattr(cfg, "sampler", "pcg")
                 if cfg.integrator == "path":
                     img, alb, nrm = render_path_sharded(
                         scene, data.materials, lights, data.camera,
@@ -84,15 +85,20 @@ def render_frames_sharded(data, mode: str, width: int, height: int,
                         background=cfg.background,
                         max_depth=cfg.max_depth, intersector=intersector,
                         env=data.env, textures=data.textures,
-                        want_guides=True)
+                        want_guides=True, sampler=sampler)
                 else:
                     img, alb, nrm = render_sharded(
                         scene, data.materials, data.camera, width, hp,
                         spp, mesh, seed=seed, background=cfg.background,
                         max_depth=cfg.max_depth, intersector=intersector,
-                        env=data.env, want_guides=True)
+                        env=data.env, want_guides=True, sampler=sampler)
                 img, alb, nrm = img[:height], alb[:height], nrm[:height]
-                if cfg.denoise:
+                if cfg.denoise and common.resolve_denoiser(cfg) == "neural":
+                    from optix_ray_tracer_tpu.render.neural_denoise import (
+                        denoise_neural,
+                    )
+                    img = denoise_neural(img, alb, nrm)
+                elif cfg.denoise:
                     from optix_ray_tracer_tpu.render.denoise import denoise
                     img = denoise(img, alb, nrm)
                 film = Film.create(width, height).add(img, alb, nrm, spp)

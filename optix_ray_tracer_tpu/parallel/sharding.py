@@ -40,7 +40,8 @@ def make_mesh(tile: int = 1, sample: int = 1, devices=None) -> Mesh:
 
 
 def _tile_rays(camera, width, height, rows_per_shard, tile_idx, spp_offset,
-               sample_in_shard, pixel_id, seed, jitter):
+               sample_in_shard, pixel_id, seed, jitter,
+               sampler: str = "pcg"):
     """Primary rays for one row band with GLOBAL pixel ids/jitter."""
     iy0 = tile_idx * rows_per_shard
     iy = (jnp.arange(rows_per_shard, dtype=jnp.float32)[:, None]
@@ -48,7 +49,7 @@ def _tile_rays(camera, width, height, rows_per_shard, tile_idx, spp_offset,
     ix = jnp.arange(width, dtype=jnp.float32)[None, :]
     if jitter:
         u1, u2 = rng_mod.stratified_jitter(
-            pixel_id, spp_offset + sample_in_shard, seed)
+            pixel_id, spp_offset + sample_in_shard, seed, sampler)
         ox = u1.reshape(rows_per_shard, width)
         oy = u2.reshape(rows_per_shard, width)
     else:
@@ -66,13 +67,13 @@ def _tile_rays(camera, width, height, rows_per_shard, tile_idx, spp_offset,
 
 @partial(jax.jit,
          static_argnames=("width", "height", "spp", "max_depth", "jitter",
-                          "mesh", "want_guides"))
+                          "mesh", "want_guides", "sampler"))
 def render_sharded(scene, materials, camera, width: int, height: int,
                    spp: int, mesh: Mesh, seed: int = 0,
                    background=wavefront.DEFAULT_BACKGROUND,
                    max_depth: int = wavefront.DEFAULT_MAX_DEPTH,
                    intersector=None, jitter: bool = True, env=None,
-                   want_guides: bool = False):
+                   want_guides: bool = False, sampler: str = "pcg"):
     """Render with the pixel grid sharded over ``tile`` and samples over
     ``sample``.  Returns a (H, W, 3) linear image (sharded along rows on the
     tile axis; sample axis already reduced); with ``want_guides`` returns
@@ -105,11 +106,12 @@ def render_sharded(scene, materials, camera, width: int, height: int,
 
         def sample_step(acc, s_local):
             o, d = _tile_rays(camera, width, height, rows_per, tile_idx,
-                              spp_offset, s_local, pixel_id, seed, jitter)
+                              spp_offset, s_local, pixel_id, seed, jitter,
+                              sampler)
             radiance, alb, nrm = wavefront.trace(
                 scene, materials, o, d, pixel_id,
                 spp_offset + s_local, seed, background_a, max_depth,
-                intersector, env)
+                intersector, env, sampler=sampler)
             return (acc[0] + radiance, acc[1] + alb, acc[2] + nrm), None
 
         z = jnp.zeros((npix, 3), jnp.float32)
@@ -140,12 +142,13 @@ def render_sharded(scene, materials, camera, width: int, height: int,
 
 @partial(jax.jit,
          static_argnames=("width", "height", "spp", "max_depth", "jitter",
-                          "mesh", "want_guides"))
+                          "mesh", "want_guides", "sampler"))
 def render_path_sharded(scene, materials, lights, camera, width: int,
                         height: int, spp: int, mesh: Mesh, seed: int = 0,
                         background=(0.0, 0.0, 0.0), max_depth: int = 8,
                         intersector=None, env=None, textures=None,
-                        jitter: bool = True, want_guides: bool = False):
+                        jitter: bool = True, want_guides: bool = False,
+                        sampler: str = "pcg"):
     """NEE+MIS path tracing over the (tile, sample) mesh — same sharding
     contract as :func:`render_sharded` (exact under any mesh shape).
     With ``want_guides`` returns (image, albedo, normal)."""
@@ -177,11 +180,12 @@ def render_path_sharded(scene, materials, lights, camera, width: int,
 
         def sample_step(acc, s_local):
             o, d = _tile_rays(camera, width, height, rows_per, tile_idx,
-                              spp_offset, s_local, pixel_id, seed, jitter)
+                              spp_offset, s_local, pixel_id, seed, jitter,
+                              sampler)
             radiance, alb, nrm = trace_path(
                 scene, materials, lights, o, d, pixel_id,
                 spp_offset + s_local, seed, background_a, max_depth,
-                intersector, env, textures)
+                intersector, env, textures, sampler=sampler)
             return (acc[0] + radiance, acc[1] + alb, acc[2] + nrm), None
 
         z = jnp.zeros((npix, 3), jnp.float32)

@@ -97,11 +97,23 @@ def apply(params: dict, irradiance, albedo, normal):
     logits = _conv(x, params["w_out"], params["b_out"], 1)  # (N,H,W,75)
     w = jax.nn.softmax(logits, axis=-1)
     # tap-by-tap accumulation: 75 fused roll-mul-adds, never materializes
-    # an (N, H, W, 75, 3) stack (matters at 1080p full frames)
+    # an (N, H, W, 75, 3) stack (matters at 1080p full frames).  Taps
+    # that would wrap around the image (jnp.roll is cyclic, but the
+    # zero-padded conv features carry no cross-edge signal) are masked
+    # out and the kernel renormalized over the surviving taps — still a
+    # convex combination, now of in-bounds radiance only.
+    H, W = irradiance.shape[1:3]
+    yy = jnp.arange(H)[:, None]
+    xx = jnp.arange(W)[None, :]
     out = jnp.zeros_like(irradiance)
+    wsum = jnp.zeros(irradiance.shape[:3] + (1,), irradiance.dtype)
     for i, (dy, dx) in enumerate(_tap_offsets()):
-        out = out + jnp.roll(irradiance, (-dy, -dx),
-                             axis=(1, 2)) * w[..., i:i + 1]
+        valid = ((yy + dy >= 0) & (yy + dy < H)
+                 & (xx + dx >= 0) & (xx + dx < W))
+        wv = w[..., i:i + 1] * valid[None, ..., None]
+        out = out + jnp.roll(irradiance, (-dy, -dx), axis=(1, 2)) * wv
+        wsum = wsum + wv
+    out = out / jnp.maximum(wsum, 1e-12)   # center tap is always valid
     return out[0] if single else out
 
 
@@ -116,13 +128,19 @@ def load_params(path: str) -> dict:
 
 
 _DEFAULT = None
+_DEFAULT_KEY = None
 
 
 def default_params() -> dict | None:
-    """The committed pretrained weights, or None if not trained yet."""
-    global _DEFAULT
-    if _DEFAULT is None and os.path.exists(_WEIGHTS_FILE):
+    """The committed pretrained weights, or None if not trained yet.
+    Cached per (path, mtime): retraining in-process is picked up."""
+    global _DEFAULT, _DEFAULT_KEY
+    if not os.path.exists(_WEIGHTS_FILE):
+        return None
+    key = (_WEIGHTS_FILE, os.path.getmtime(_WEIGHTS_FILE))
+    if _DEFAULT is None or _DEFAULT_KEY != key:
         _DEFAULT = load_params(_WEIGHTS_FILE)
+        _DEFAULT_KEY = key
     return _DEFAULT
 
 
@@ -138,17 +156,33 @@ def demod_albedo(albedo):
     return jnp.where(black, 1.0, jnp.maximum(albedo, 1e-3))
 
 
-@partial(jax.jit, static_argnames=())
+@jax.jit
+def _denoise_neural_jit(color, albedo, normal, params):
+    safe_albedo = demod_albedo(albedo)
+    out = apply(params, color / safe_albedo, albedo, normal)
+    return out * safe_albedo
+
+
 def denoise_neural(color, albedo, normal, params=None):
     """Drop-in counterpart of render/denoise.py::denoise using the
     learned filter.  color/albedo/normal (H, W, 3) linear; returns
-    filtered (H, W, 3) linear."""
+    filtered (H, W, 3) linear.
+
+    Weights are resolved OUTSIDE the jit boundary and passed as a pytree
+    argument: the compiled trace is shared across weight values, so
+    retraining (or a monkeypatched weights path) takes effect on the
+    next call instead of being baked into a stale compile."""
     if params is None:
         params = default_params()
         if params is None:
             raise FileNotFoundError(
                 f"no pretrained denoiser weights at {_WEIGHTS_FILE}; run "
                 "python -m optix_ray_tracer_tpu.render.train_denoiser")
-    safe_albedo = demod_albedo(albedo)
-    out = apply(params, color / safe_albedo, albedo, normal)
-    return out * safe_albedo
+    return _denoise_neural_jit(color, albedo, normal, params)
+
+
+# keep the unjitted-call convention used inside fused scans
+denoise_neural.__wrapped__ = \
+    lambda color, albedo, normal, params=None: _denoise_neural_jit.__wrapped__(
+        color, albedo, normal,
+        params if params is not None else default_params())

@@ -74,7 +74,7 @@ def _render_pair(cfg, camera, size, seed, clean_spp):
     # 512 spp crashed the worker); equal-size chunk averaging with
     # disjoint counter-RNG seeds is statistically identical
     chunk = min(clean_spp, 64)
-    n_chunks = max(clean_spp // chunk, 1)
+    n_chunks = max(-(-clean_spp // chunk), 1)   # ceil: never drop samples
     acc = None
     for c in range(n_chunks):
         img, _, _ = rend(chunk, seed + 7919 + c * 65_537)
@@ -297,7 +297,9 @@ def main(argv=None):
     params = train(train_imgs, steps=args.steps)
     evaluate(params, train_imgs[:4], label="train[0:4]")
     evaluate(params, heldout)
-    os.makedirs(os.path.dirname(out), exist_ok=True)
+    out_dir = os.path.dirname(out)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
     nd.save_params(params, out)
     print(f"saved {out}")
 

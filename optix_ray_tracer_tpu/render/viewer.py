@@ -135,6 +135,12 @@ class ViewerServer:
                 in inspect.signature(render_chunk_fn).parameters)
         except (TypeError, ValueError):
             self._chunk_takes_filter = False
+        try:
+            self._render_takes_filter = (
+                render_fn is not None and "filter_name"
+                in inspect.signature(render_fn).parameters)
+        except (TypeError, ValueError):
+            self._render_takes_filter = False
 
     # ---- input & camera ---------------------------------------------------
 
@@ -193,8 +199,11 @@ class ViewerServer:
                         break
                 continue
             if self._rich_render:
+                kw = ({"filter_name": self.filter_name}
+                      if self._render_takes_filter else {})
                 rgba = np.asarray(self.render_fn(
-                    camera, denoise_on=self.denoise_on, animate=self.animate))
+                    camera, denoise_on=self.denoise_on,
+                    animate=self.animate, **kw))
             else:
                 rgba = np.asarray(self.render_fn(camera))
             self._publish(rgba)

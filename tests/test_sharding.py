@@ -92,6 +92,29 @@ class TestPathSharding:
                                        atol=1e-6,
                                        err_msg=f"mesh ({tile},{sample})")
 
+    @pytest.mark.slow
+    def test_sobol_sampler_shard_invariant(self):
+        """The Owen-Sobol stream keys on global (pixel, sample) counters
+        exactly like PCG, so sampler="sobol" must also be bit-stable
+        across mesh shapes (and actually reach the sharded path)."""
+        from optix_ray_tracer_tpu.parallel.sharding import render_path_sharded
+        from optix_ray_tracer_tpu.render.pathtracer import render_path
+        from optix_ray_tracer_tpu.scene.cornell import build_cornell_box
+        from optix_ray_tracer_tpu.scene.lights import collect_area_lights
+
+        scene, mats, cam = build_cornell_box(with_blocks=False)
+        lights = collect_area_lights(scene, mats)
+        ref, _, _ = render_path(scene, mats, lights, cam, 16, 16, spp=8,
+                                seed=3, sampler="sobol")
+        ref_pcg, _, _ = render_path(scene, mats, lights, cam, 16, 16,
+                                    spp=8, seed=3, sampler="pcg")
+        assert not np.allclose(np.asarray(ref), np.asarray(ref_pcg))
+        mesh = make_mesh(tile=4, sample=2)
+        img = render_path_sharded(scene, mats, lights, cam, 16, 16, 8,
+                                  mesh, seed=3, sampler="sobol")
+        np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                                   atol=1e-6)
+
 
 class TestMarchSharding:
     """The PRODUCTION intersector (fused Pallas block marcher) under

@@ -225,6 +225,7 @@ class TestNeuralDenoiseProperties:
 
         monkeypatch.setattr(nd, "_DEFAULT", None)
         monkeypatch.setattr(nd, "_WEIGHTS_FILE", "/nonexistent/w.npz")
+        monkeypatch.setattr(common, "_warned_no_weights", False)
 
         class Cfg:
             denoiser = "neural"
