@@ -75,6 +75,11 @@ class LoopDataConfig:
     render_speed_ratio: int = 1
     particle_shift: tuple = (0.0, 0.0, 0.0)
     particle_scale: tuple = (1.0, 1.0, 1.0)
+    # thin-lens extensions (reference camera is pinhole-only):
+    # aperture = lens radius in world units (0 = pinhole), focus-distance
+    # <= 0 = auto (the camera-target distance)
+    aperture: float = 0.0
+    focus_distance: float = -1.0
 
 
 @dataclasses.dataclass
@@ -245,7 +250,9 @@ def parse_config_dict(data: dict, base_dir: str = ".") -> RendererConfig:
             mouse_sensitivity=float(ld.get("mouse-sensitivity", 0.002)),
             render_speed_ratio=int(ld.get("render-speed-ratio", 1)),
             particle_shift=_vec3(ld.get("particle-shift", (0, 0, 0)), "particle-shift"),
-            particle_scale=_vec3(ld.get("particle-scale", (1, 1, 1)), "particle-scale"))
+            particle_scale=_vec3(ld.get("particle-scale", (1, 1, 1)), "particle-scale"),
+            aperture=float(ld.get("aperture", 0.0)),
+            focus_distance=float(ld.get("focus-distance", -1.0)))
 
         cfg = RendererConfig(
             mesh=bool(data.get("mesh", False)),

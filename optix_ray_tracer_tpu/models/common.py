@@ -167,7 +167,9 @@ def build_textures(config: RendererConfig, bases: MaterialBases,
 
 def camera_from_config(config: RendererConfig) -> Camera:
     ld = config.loop_data
-    return Camera.look_at(ld.camera_center, ld.camera_target, ld.up_direction)
+    return Camera.look_at(ld.camera_center, ld.camera_target,
+                          ld.up_direction, aperture=ld.aperture,
+                          focus_dist=ld.focus_distance)
 
 
 def frame_count_for_file(duration: float, fps: int, render_speed_ratio: int) -> int:

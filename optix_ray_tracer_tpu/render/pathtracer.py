@@ -40,6 +40,7 @@ _DIM_BSDF = 0x3C6EF372
 _DIM_LIGHT = 0x27220A95
 _DIM_LOBE = 0x165667B1
 _DIM_RR = 0x2545F491
+_DIM_LENS = 0x68E31DA4
 
 
 def _onb(n):
@@ -301,7 +302,11 @@ def render_path(scene: Scene, materials: MaterialTable, lights, camera,
             jit_uv = jnp.stack([u1, u2], -1).reshape(S, height, width, 2)
         else:
             jit_uv = jnp.full((S, height, width, 2), 0.5, jnp.float32)
-        o, d = camera.generate_rays(width, height, jit_uv)  # (S, H, W, 3)
+        lens = rng.random_in_unit_disk(
+            pix_rep, samp, jnp.int32(-2), seed ^ _DIM_LENS,
+            sampler).reshape(S, height, width, 2)
+        o, d = camera.generate_rays(width, height, jit_uv,
+                                    lens_uv=lens)   # (S, H, W, 3)
         out = trace_path(
             scene, materials, lights, o.reshape(-1, 3), d.reshape(-1, 3),
             pix_rep, samp, seed, background, max_depth, intersector, env,

@@ -48,6 +48,7 @@ from optix_ray_tracer_tpu.utils.vecmath import (
 _DIM_SCATTER = 0x1E3779B9
 _DIM_FUZZ = 0x05EBCA6B
 _DIM_FRESNEL = 0x42B2AE35
+_DIM_LENS = 0x68E31DA4
 
 # The reference's max recursion depth (include/Global/Shader.cuh:8).
 DEFAULT_MAX_DEPTH = 5
@@ -281,7 +282,11 @@ def render(scene: Scene, materials: MaterialTable, camera,
         else:
             # pixel centers for every sample (reference parity)
             jit_uv = jnp.full((S, height, width, 2), 0.5, jnp.float32)
-        o, d = camera.generate_rays(width, height, jit_uv)  # (S, H, W, 3)
+        lens = rng.random_in_unit_disk(
+            pix_rep, samp, jnp.int32(-2), seed ^ _DIM_LENS,
+            sampler).reshape(S, height, width, 2)
+        o, d = camera.generate_rays(width, height, jit_uv,
+                                    lens_uv=lens)   # (S, H, W, 3)
         out = trace(
             scene, materials, o.reshape(-1, 3), d.reshape(-1, 3),
             pix_rep, samp, seed, background, max_depth, intersector, env,

@@ -34,16 +34,24 @@ from optix_ray_tracer_tpu.utils.vecmath import (
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Camera:
-    """Immutable pinhole camera (a pytree-of-arrays; jit-friendly)."""
+    """Immutable thin-lens camera (a pytree-of-arrays; jit-friendly).
+
+    ``aperture`` (lens radius in world units; 0 = pinhole, the reference
+    model) and ``focus_dist`` (distance to the plane of sharp focus
+    along unit-w; <= 0 = auto, the target distance |w|) are extensions —
+    the reference has no depth of field."""
     center: Any   # (3,) float32
     u: Any        # (3,) unit right
     v: Any        # (3,) unit up
     w: Any        # (3,) UN-normalized forward = target - center
     up: Any       # (3,) unit world-up (kept for the controller)
     target: Any   # (3,)
+    aperture: Any = 0.0      # () lens radius; 0 disables DOF exactly
+    focus_dist: Any = -1.0   # () focus distance; <= 0 -> |w| (the target)
 
     @staticmethod
-    def look_at(center, target, up) -> "Camera":
+    def look_at(center, target, up, aperture: float = 0.0,
+                focus_dist: float = -1.0) -> "Camera":
         """UVW construction, semantics of SDL_GraphicsWindowConfigureCamera."""
         center = jnp.asarray(center, jnp.float32)
         target = jnp.asarray(target, jnp.float32)
@@ -51,15 +59,21 @@ class Camera:
         w = target - center
         u = normalize(cross(w, up))
         v = normalize(cross(u, w))
-        return Camera(center=center, u=u, v=v, w=w, up=up, target=target)
+        return Camera(center=center, u=u, v=v, w=w, up=up, target=target,
+                      aperture=jnp.float32(aperture),
+                      focus_dist=jnp.float32(focus_dist))
 
-    def generate_rays(self, width: int, height: int, jitter=None):
+    def generate_rays(self, width: int, height: int, jitter=None,
+                      lens_uv=None):
         """Primary rays for every pixel.
 
         ``jitter``: optional (H, W, 2) subpixel offsets in [0,1) for
         antialiasing (the reference renders 1 spp at pixel centers and
-        denoises; we support both).  Returns (origins, directions) of shape
-        (H, W, 3); row 0 is the image top.
+        denoises; we support both).  ``lens_uv``: optional (..., 2) unit-
+        disk samples for thin-lens depth of field — scaled by
+        ``aperture``, so a pinhole camera (aperture 0) returns the
+        BIT-EXACT pinhole rays via a select.  Returns (origins,
+        directions) of shape (H, W, 3); row 0 is the image top.
         """
         iy = jnp.arange(height, dtype=jnp.float32)[:, None]
         ix = jnp.arange(width, dtype=jnp.float32)[None, :]
@@ -76,7 +90,28 @@ class Camera:
              + self.w)
         directions = normalize(d)
         origins = jnp.broadcast_to(self.center, directions.shape)
+        if lens_uv is not None:
+            origins, directions = self.apply_lens(origins, directions,
+                                                  lens_uv)
         return origins, directions
+
+    def apply_lens(self, origins, directions, lens_uv):
+        """Thin-lens transform: jitter origins on the aperture disk and
+        re-aim at the focus plane (perpendicular to w at ``focus_dist``).
+        A select keeps aperture == 0 bit-identical to the pinhole path."""
+        ap = jnp.asarray(self.aperture, jnp.float32)
+        f = jnp.where(jnp.asarray(self.focus_dist, jnp.float32) > 0.0,
+                      self.focus_dist, length(self.w))
+        w_unit = normalize(self.w)
+        cos_w = jnp.maximum(dot(directions, w_unit, keepdims=True), 1e-6)
+        p_focus = origins + directions * (f / cos_w)
+        offset = ap * (lens_uv[..., 0:1] * self.u
+                       + lens_uv[..., 1:2] * self.v)
+        o2 = origins + offset
+        d2 = normalize(p_focus - o2)
+        use = ap > 0.0
+        return (jnp.where(use, o2, origins),
+                jnp.where(use, d2, directions))
 
 
 @dataclasses.dataclass
@@ -149,5 +184,7 @@ class FlyCameraController:
             new_center = new_center + translation
             new_target = new_target + translation
 
-        self.camera = Camera.look_at(new_center, new_target, cam.up)
+        self.camera = Camera.look_at(new_center, new_target, cam.up,
+                                     aperture=cam.aperture,
+                                     focus_dist=cam.focus_dist)
         return self.camera
