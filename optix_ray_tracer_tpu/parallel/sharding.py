@@ -62,12 +62,13 @@ def _tile_rays(camera, width, height, rows_per_shard, tile_idx, spp_offset,
     from optix_ray_tracer_tpu.utils.vecmath import normalize
     dirs = normalize(dirs)
     origins = jnp.broadcast_to(camera.center, dirs.shape)
-    # thin-lens DOF (no-op select for pinhole cameras), same stream
-    # keying as the integrators' sample_step
-    lens = rng_mod.random_in_unit_disk(
-        pixel_id, spp_offset + sample_in_shard, jnp.int32(-2),
-        seed ^ 0x68E31DA4, sampler).reshape(rows_per_shard, width, 2)
-    origins, dirs = camera.apply_lens(origins, dirs, lens)
+    # thin-lens DOF (static aperture: pruned entirely for pinhole
+    # cameras), same stream keying as the integrators' sample_step
+    if float(camera.aperture) > 0.0:
+        lens = rng_mod.random_in_unit_disk(
+            pixel_id, spp_offset + sample_in_shard, jnp.int32(-2),
+            seed ^ 0x68E31DA4, sampler).reshape(rows_per_shard, width, 2)
+        origins, dirs = camera.apply_lens(origins, dirs, lens)
     return origins.reshape(-1, 3), dirs.reshape(-1, 3)
 
 

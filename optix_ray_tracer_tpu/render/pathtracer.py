@@ -302,9 +302,11 @@ def render_path(scene: Scene, materials: MaterialTable, lights, camera,
             jit_uv = jnp.stack([u1, u2], -1).reshape(S, height, width, 2)
         else:
             jit_uv = jnp.full((S, height, width, 2), 0.5, jnp.float32)
-        lens = rng.random_in_unit_disk(
-            pix_rep, samp, jnp.int32(-2), seed ^ _DIM_LENS,
-            sampler).reshape(S, height, width, 2)
+        lens = None
+        if float(camera.aperture) > 0.0:   # static: pruned for pinhole
+            lens = rng.random_in_unit_disk(
+                pix_rep, samp, jnp.int32(-2), seed ^ _DIM_LENS,
+                sampler).reshape(S, height, width, 2)
         o, d = camera.generate_rays(width, height, jit_uv,
                                     lens_uv=lens)   # (S, H, W, 3)
         out = trace_path(

@@ -282,9 +282,11 @@ def render(scene: Scene, materials: MaterialTable, camera,
         else:
             # pixel centers for every sample (reference parity)
             jit_uv = jnp.full((S, height, width, 2), 0.5, jnp.float32)
-        lens = rng.random_in_unit_disk(
-            pix_rep, samp, jnp.int32(-2), seed ^ _DIM_LENS,
-            sampler).reshape(S, height, width, 2)
+        lens = None
+        if float(camera.aperture) > 0.0:   # static: pruned for pinhole
+            lens = rng.random_in_unit_disk(
+                pix_rep, samp, jnp.int32(-2), seed ^ _DIM_LENS,
+                sampler).reshape(S, height, width, 2)
         o, d = camera.generate_rays(width, height, jit_uv,
                                     lens_uv=lens)   # (S, H, W, 3)
         out = trace(

@@ -46,8 +46,13 @@ class Camera:
     w: Any        # (3,) UN-normalized forward = target - center
     up: Any       # (3,) unit world-up (kept for the controller)
     target: Any   # (3,)
-    aperture: Any = 0.0      # () lens radius; 0 disables DOF exactly
-    focus_dist: Any = -1.0   # () focus distance; <= 0 -> |w| (the target)
+    # static (trace-time) lens parameters: pinhole cameras compile with
+    # ZERO DOF overhead — the lens path is pruned at trace, not selected
+    # at runtime.  A new aperture value triggers one re-jit.
+    aperture: float = dataclasses.field(
+        default=0.0, metadata=dict(static=True))
+    focus_dist: float = dataclasses.field(
+        default=-1.0, metadata=dict(static=True))
 
     @staticmethod
     def look_at(center, target, up, aperture: float = 0.0,
@@ -60,8 +65,8 @@ class Camera:
         u = normalize(cross(w, up))
         v = normalize(cross(u, w))
         return Camera(center=center, u=u, v=v, w=w, up=up, target=target,
-                      aperture=jnp.float32(aperture),
-                      focus_dist=jnp.float32(focus_dist))
+                      aperture=float(aperture),
+                      focus_dist=float(focus_dist))
 
     def generate_rays(self, width: int, height: int, jitter=None,
                       lens_uv=None):
@@ -98,20 +103,19 @@ class Camera:
     def apply_lens(self, origins, directions, lens_uv):
         """Thin-lens transform: jitter origins on the aperture disk and
         re-aim at the focus plane (perpendicular to w at ``focus_dist``).
-        A select keeps aperture == 0 bit-identical to the pinhole path."""
-        ap = jnp.asarray(self.aperture, jnp.float32)
-        f = jnp.where(jnp.asarray(self.focus_dist, jnp.float32) > 0.0,
-                      self.focus_dist, length(self.w))
+        Aperture is static: a pinhole camera returns the inputs untouched
+        (bit-identical, zero compiled overhead)."""
+        if float(self.aperture) <= 0.0:
+            return origins, directions
+        f = (float(self.focus_dist) if float(self.focus_dist) > 0.0
+             else length(self.w))
         w_unit = normalize(self.w)
         cos_w = jnp.maximum(dot(directions, w_unit, keepdims=True), 1e-6)
         p_focus = origins + directions * (f / cos_w)
-        offset = ap * (lens_uv[..., 0:1] * self.u
-                       + lens_uv[..., 1:2] * self.v)
+        offset = self.aperture * (lens_uv[..., 0:1] * self.u
+                                  + lens_uv[..., 1:2] * self.v)
         o2 = origins + offset
-        d2 = normalize(p_focus - o2)
-        use = ap > 0.0
-        return (jnp.where(use, o2, origins),
-                jnp.where(use, d2, directions))
+        return o2, normalize(p_focus - o2)
 
 
 @dataclasses.dataclass
