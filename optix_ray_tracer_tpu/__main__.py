@@ -326,16 +326,18 @@ def _run_progressive(frontend, data, config, args, out_dir) -> int:
         film = Film.create(width, height)
 
     while int(film.spp) < target_spp:
-        # seed offset = accumulated spp => bit-exact continuation after
-        # resume (counter-based RNG).  Batches accumulate RAW radiance;
-        # denoising (non-linear) happens once at save.
+        # sample_offset = accumulated spp => bit-exact continuation after
+        # resume: one GLOBAL sample counter under a fixed seed, so jitter
+        # strata and (sampler "sobol") QMC sequences keep accumulating
+        # instead of restarting per batch.  Batches accumulate RAW
+        # radiance; denoising (non-linear) happens once at save.
         done = int(film.spp)
         batch = max(1, min(16, target_spp - done))
         img, alb, nrm = common.render_frame(
             config, scene, data.materials, data.camera, width, height,
-            spp=batch, seed=config.seed + done, intersector=intersector,
+            spp=batch, seed=config.seed, intersector=intersector,
             env=data.env, textures=data.textures, lights=lights,
-            denoise_override=False)
+            denoise_override=False, sample_offset=done)
         film = film.add(img, alb, nrm, batch)
         film.checkpoint(ckpt, meta={"seed": config.seed, "target": target_spp})
         LOG.info("progressive: %d/%d spp", int(film.spp), target_spp)

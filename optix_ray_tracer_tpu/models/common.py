@@ -258,7 +258,8 @@ def render_frame(config: RendererConfig, scene, materials, camera,
                  width: int, height: int, spp: int, seed: int,
                  intersector, env=None, textures=None, lights=None,
                  denoise_override: bool | None = None,
-                 denoiser_override: str | None = None):
+                 denoiser_override: str | None = None,
+                 sample_offset: int = 0):
     """One frame through the configured integrator + denoiser.
 
     The shared hot-loop step of both frontends (startRender step 10-11
@@ -275,13 +276,15 @@ def render_frame(config: RendererConfig, scene, materials, camera,
             spp=spp, seed=seed, background=config.background,
             max_depth=config.max_depth, intersector=intersector,
             env=env, textures=textures,
-            sampler=getattr(config, "sampler", "pcg"))
+            sampler=getattr(config, "sampler", "pcg"),
+            sample_offset=sample_offset)
     else:
         img, alb, nrm = wavefront.render(
             scene, materials, camera, width, height, spp=spp, seed=seed,
             background=config.background, max_depth=config.max_depth,
             intersector=intersector, env=env,
-            sampler=getattr(config, "sampler", "pcg"))
+            sampler=getattr(config, "sampler", "pcg"),
+            sample_offset=sample_offset)
     do_denoise = (config.denoise if denoise_override is None
                   else denoise_override)
     if denoiser_override is not None:

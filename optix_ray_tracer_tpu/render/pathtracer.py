@@ -275,7 +275,8 @@ def render_path(scene: Scene, materials: MaterialTable, lights, camera,
                 intersector=None, env=None, textures=None,
                 jitter: bool = True, rr_start: int = 3, clamp: float = 0.0,
                 samples_per_wave: int | None = None,
-                want_aux: bool = False, sampler: str = "pcg"):
+                want_aux: bool = False, sampler: str = "pcg",
+                sample_offset=0):
     """Full-frame path trace; same conventions as wavefront.render,
     including the samples-per-wave merge (same-pixel samples share
     block-march clusters; RNG streams are (pixel, sample, bounce)-keyed so
@@ -329,8 +330,13 @@ def render_path(scene: Scene, materials: MaterialTable, lights, camera,
     if want_aux:
         init += (jnp.full((npix,), INF, jnp.float32),
                  jnp.full((npix,), -1, jnp.int32))
+    # sample_offset (traced): progressive batches continue the GLOBAL
+    # sample counter, so jitter strata and Sobol sequences accumulate as
+    # one long stream across checkpoint/resume instead of restarting
     acc, _ = jax.lax.scan(
-        sample_step, init, jnp.arange(0, spp, S, dtype=jnp.int32))
+        sample_step, init,
+        jnp.arange(0, spp, S, dtype=jnp.int32)
+        + jnp.asarray(sample_offset, jnp.int32))
     inv = 1.0 / spp
     outs = (acc[0].reshape(height, width, 3) * inv,
             acc[1].reshape(height, width, 3) * inv,

@@ -247,7 +247,8 @@ def render(scene: Scene, materials: MaterialTable, camera,
            max_depth: int = DEFAULT_MAX_DEPTH,
            intersector=None, env=None,
            jitter: bool = True, samples_per_wave: int | None = None,
-           want_aux: bool = False, sampler: str = "pcg"):
+           want_aux: bool = False, sampler: str = "pcg",
+           sample_offset=0):
     """Render a full frame: spp samples per pixel, accumulated in linear space.
 
     The reference renders 1 spp/frame at pixel centers and relies on the AI
@@ -312,7 +313,9 @@ def render(scene: Scene, materials: MaterialTable, camera,
         init += (jnp.full((npix,), INF, jnp.float32),
                  jnp.full((npix,), -1, jnp.int32))
     acc, _ = jax.lax.scan(
-        sample_step, init, jnp.arange(0, spp, S, dtype=jnp.int32))
+        sample_step, init,
+        jnp.arange(0, spp, S, dtype=jnp.int32)
+        + jnp.asarray(sample_offset, jnp.int32))
     rad, alb, nrm = acc[:3]
     inv = 1.0 / spp
     outs = (rad.reshape(height, width, 3) * inv,

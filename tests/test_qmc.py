@@ -165,6 +165,41 @@ class TestIntegratorWiring:
             intersector=common.choose_intersector(scene), sampler="sobol")
         assert np.isfinite(np.asarray(img)).all()
 
+    @pytest.mark.parametrize("sampler", ["pcg", "sobol"])
+    def test_progressive_offset_continues_sequence(self, sampler):
+        """spp=8 in one dispatch == 4+4 with sample_offset — the
+        progressive checkpoint/resume contract: one GLOBAL sample
+        counter, exact for both streams (and for Sobol this is what
+        keeps QMC convergence across batches)."""
+        from optix_ray_tracer_tpu.models import common
+        from optix_ray_tracer_tpu.render import pathtracer
+        from optix_ray_tracer_tpu.scene.camera import Camera
+        from optix_ray_tracer_tpu.scene.geometry import (
+            Scene, Spheres, Triangles,
+        )
+        from optix_ray_tracer_tpu.scene.materials import MaterialBuilder
+
+        mb = MaterialBuilder()
+        g = mb.add_rough((0.7, 0.6, 0.5))
+        scene = Scene(spheres=Spheres.from_list([
+            ((0.0, 0.0, -1000.5), 1000.0, g),
+            ((0.0, 0.0, 0.0), 0.5, mb.add_rough((0.6, 0.1, 0.1)))]),
+            triangles=Triangles.empty())
+        cam = Camera.look_at((4, 0, 0.5), (0, 0, 0), (0, 0, 1))
+        kw = dict(width=16, height=12, seed=5,
+                  background=(0.7, 0.8, 0.9), max_depth=3,
+                  intersector=common.choose_intersector(scene),
+                  sampler=sampler)
+        full, _, _ = pathtracer.render_path(scene, mb.build(), None, cam,
+                                            spp=8, **kw)
+        a, _, _ = pathtracer.render_path(scene, mb.build(), None, cam,
+                                         spp=4, sample_offset=0, **kw)
+        b, _, _ = pathtracer.render_path(scene, mb.build(), None, cam,
+                                         spp=4, sample_offset=4, **kw)
+        np.testing.assert_allclose(
+            np.asarray(full), (np.asarray(a) + np.asarray(b)) / 2.0,
+            atol=1e-6)
+
     def test_config_sampler_key(self):
         from optix_ray_tracer_tpu.io.config import (
             ConfigError, parse_config_dict,
