@@ -1,6 +1,6 @@
 """Test configuration: run on CPU with 8 virtual devices.
 
-Fast core: ``pytest -m "not slow"`` deselects the >10 s tests (golden
+Fast core: ``pytest -m "not slow"`` deselects the >12 s tests (golden
 image comparisons, multi-frame animation equivalence, PSNR measurements)
 for quick iteration; the default run includes everything.
 

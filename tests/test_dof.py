@@ -73,6 +73,7 @@ class TestRenderedBlur:
             intersector=common.choose_intersector(scene))
         return np.asarray(img)
 
+    @pytest.mark.slow
     def test_in_focus_sharp_out_of_focus_blurred(self):
         scene, mats = _scene_one_sphere(0.0)
         center = (5.0, 0.0, 0.0)

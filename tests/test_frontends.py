@@ -193,6 +193,7 @@ class TestFusedEquivalence:
         cfg = parse_config_dict(raw, base_dir=REF)
         return renderer_time.commit(cfg)
 
+    @pytest.mark.slow
     def test_fused_neural_denoiser_branch(self, data, tmp_path,
                                           monkeypatch):
         """config denoise='neural' routes the fused chunk through the

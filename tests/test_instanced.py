@@ -56,6 +56,7 @@ def _flatten(lib, offsets, counts, shape_ids, rot, shift, scale):
 
 
 class TestInstancedTLAS:
+    @pytest.mark.slow
     @pytest.mark.parametrize("P,scale", [(12, 1.0), (40, 0.7)])
     def test_matches_flattened_oracle(self, P, scale):
         lib, offsets, counts = _library()

@@ -228,6 +228,7 @@ class TestHierMarch:
                                    np.asarray(h2.t)[hit2],
                                    rtol=1e-3, atol=1e-4)
 
+    @pytest.mark.slow
     def test_incoherent_matches_flat(self):
         from optix_ray_tracer_tpu.ops.pallas.block_march import (
             block_march, block_march_hier,
@@ -257,6 +258,7 @@ class TestHierMarch:
         np.testing.assert_array_equal(np.asarray(sf2) >= 0,
                                       np.asarray(sh2) >= 0)
 
+    @pytest.mark.slow
     def test_auto_delegation_policy(self, monkeypatch):
         """block_march routes to the hierarchical kernel past
         HIER_MIN_CLUSTERS (threshold lowered here to exercise the path

@@ -185,6 +185,7 @@ class TestDenoiserPSNR:
 class TestNeuralDenoiseProperties:
     """Weight-independent invariants of the kernel-predicting filter."""
 
+    @pytest.mark.slow
     def test_output_is_convex_combination_of_taps(self):
         # softmax kernel weights => each output pixel lies inside the
         # [min, max] of the input irradiance, for ANY parameters — the
@@ -205,6 +206,7 @@ class TestNeuralDenoiseProperties:
         assert out.min() >= irr.min() - 1e-5
         assert out.max() <= irr.max() + 1e-5
 
+    @pytest.mark.slow
     def test_batched_matches_single(self):
         from optix_ray_tracer_tpu.render import neural_denoise as nd
 
