@@ -22,8 +22,70 @@ from optix_ray_tracer_tpu.utils.vecmath import PI
 @dataclasses.dataclass(frozen=True)
 class EnvMap:
     """Equirectangular radiance image: (H, W, 3) float32, +z up,
-    phi = atan2(y, x) maps to the u axis."""
+    phi = atan2(y, x) maps to the u axis.
+
+    flat_cdf/pdf_tex (built by the factory functions) enable luminance
+    importance sampling for NEE — the variance killer for small bright
+    sources (a sun disk covers ~1e-3 of cosine-sampling's mass but most
+    of the CDF's).  ``flat_cdf`` is the flattened (H*W,) texel CDF over
+    3x3-max-filtered luminance x sin(theta) weights (the max filter keeps
+    the piecewise-constant pdf >= any bilinearly reachable radiance, so
+    texel edges next to a bright source cannot firefly); ``pdf_tex`` is
+    the matching per-texel pdf in (u, v) SPACE — the solid-angle pdf is
+    pdf_tex / (2 pi^2 sin(theta)) evaluated at the ACTUAL sampled theta
+    (not the texel center: v is jittered inside the texel, so the density
+    the sampler realizes varies with sin(theta) within it; using the
+    center value would bias coarse maps).  ``EnvMap(image=...)`` without
+    tables still works everywhere; NEE simply stays off for it."""
     image: jax.Array
+    flat_cdf: jax.Array | None = None
+    pdf_tex: jax.Array | None = None
+
+    @property
+    def can_sample(self) -> bool:
+        return self.flat_cdf is not None
+
+    def sample_direction(self, u1, u2):
+        """Importance-sample directions from the luminance CDF.
+
+        u1/u2: (...,) uniforms.  Returns (dir (..., 3) unit,
+        pdf_solid_angle (...,)).  u1 picks the texel via one searchsorted
+        on the flat CDF (its leftover fraction is re-used as the
+        in-texel u jitter — standard CDF-inversion stratification); u2
+        jitters v."""
+        h, w = self.image.shape[0], self.image.shape[1]
+        idx = jnp.clip(jnp.searchsorted(self.flat_cdf, u1), 0, h * w - 1)
+        idx = idx.astype(jnp.int32)
+        lo = jnp.where(idx > 0, self.flat_cdf[jnp.maximum(idx - 1, 0)], 0.0)
+        span = self.flat_cdf[idx] - lo
+        fu = jnp.clip((u1 - lo) / jnp.maximum(span, 1e-12), 0.0, 1.0)
+        y = idx // w
+        x = idx - y * w
+        u = (x.astype(jnp.float32) + fu) / w
+        v = (y.astype(jnp.float32) + u2) / h
+        theta = v * PI
+        phi = (u - 0.5) * (2.0 * PI)
+        st = jnp.sin(theta)
+        direction = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi),
+                               jnp.cos(theta)], axis=-1)
+        pdf = self.pdf_tex.reshape(-1)[idx] / (
+            2.0 * PI * PI * jnp.maximum(st, 1e-6))
+        return direction, pdf
+
+    def pdf_solid_angle(self, directions):
+        """pdf that :meth:`sample_direction` produced these (..., 3) unit
+        directions — the MIS counterpart for BSDF rays that escape."""
+        h, w = self.image.shape[0], self.image.shape[1]
+        x_, y_, z_ = (directions[..., 0], directions[..., 1],
+                      directions[..., 2])
+        phi = jnp.arctan2(y_, x_)
+        theta = jnp.arccos(jnp.clip(z_, -1.0, 1.0))
+        u = phi / (2.0 * PI) + 0.5
+        v = theta / PI
+        xi = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+        return self.pdf_tex[yi, xi] / (
+            2.0 * PI * PI * jnp.maximum(jnp.sin(theta), 1e-6))
 
     def sample(self, directions):
         """Bilinear lookup for (..., 3) unit directions -> (..., 3) radiance."""
@@ -53,9 +115,38 @@ class EnvMap:
         return top * (1 - fv) + bot * fv
 
 
+def _with_tables(img: np.ndarray) -> EnvMap:
+    """Build the importance-sampling tables for an (H, W, 3) radiance image
+    (host-side, at env construction).
+
+    Texel weights are 3x3-max-filtered luminance (wraparound in phi,
+    clamped in theta) x sin(theta): any radiance the bilinear lookup can
+    reach inside a texel comes from that texel's 3x3 neighborhood, so the
+    max filter bounds radiance/pdf and kills edge fireflies.  The sin
+    factor is the equirectangular area measure; it cancels out of the
+    solid-angle pdf."""
+    img = np.asarray(img, np.float32)
+    h, w = img.shape[:2]
+    lum = img @ np.asarray([0.2126, 0.7152, 0.0722], np.float32)
+    pad = np.concatenate([lum[:, -1:], lum, lum[:, :1]], axis=1)
+    pad = np.concatenate([pad[:1], pad, pad[-1:]], axis=0)
+    mx = np.max(np.stack([pad[dy:dy + h, dx:dx + w]
+                          for dy in range(3) for dx in range(3)]), axis=0)
+    sin_t = np.sin((np.arange(h) + 0.5) / h * np.pi).astype(np.float32)
+    wgt = mx * sin_t[:, None] + 1e-12
+    total = float(wgt.sum())
+    flat_cdf = np.cumsum(wgt.reshape(-1)) / total
+    flat_cdf[-1] = 1.0
+    # (u, v)-space pdf; divided by 2 pi^2 sin(theta_actual) at use sites
+    pdf_tex = wgt * (h * w) / total
+    return EnvMap(image=jnp.asarray(img),
+                  flat_cdf=jnp.asarray(flat_cdf.astype(np.float32)),
+                  pdf_tex=jnp.asarray(pdf_tex.astype(np.float32)))
+
+
 def constant_env(color) -> EnvMap:
-    return EnvMap(image=jnp.broadcast_to(
-        jnp.asarray(color, jnp.float32), (2, 4, 3)).copy())
+    return _with_tables(np.broadcast_to(
+        np.asarray(color, np.float32), (2, 4, 3)))
 
 
 def gradient_sky(zenith=(0.35, 0.55, 0.95), horizon=(0.9, 0.9, 0.95),
@@ -80,7 +171,7 @@ def gradient_sky(zenith=(0.35, 0.55, 0.95), horizon=(0.9, 0.9, 0.95),
             np.cos(theta)[:, None] * np.ones_like(phi)[None, :]), -1)
         mask = (dirs @ sd) > sun_cos
         img[mask] = sun_radiance
-    return EnvMap(image=jnp.asarray(img))
+    return _with_tables(img)
 
 
 def read_hdr(path: str) -> EnvMap:
@@ -131,4 +222,4 @@ def read_hdr(path: str) -> EnvMap:
     exponent = rgbe[..., 3].astype(np.int32)
     scale = np.where(exponent > 0,
                      np.ldexp(1.0, exponent - 136), 0.0).astype(np.float32)
-    return EnvMap(image=jnp.asarray(mantissa * scale[..., None]))
+    return _with_tables(mantissa * scale[..., None])

@@ -41,6 +41,7 @@ _DIM_LIGHT = 0x27220A95
 _DIM_LOBE = 0x165667B1
 _DIM_RR = 0x2545F491
 _DIM_LENS = 0x68E31DA4
+_DIM_ENV = 0x4F6CDD1D
 
 
 def _onb(n):
@@ -93,6 +94,10 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
     nrays = origins.shape[0]
     background = jnp.asarray(background, jnp.float32)
     have_lights = lights is not None and lights.count > 0
+    # env NEE: importance-sample the environment at diffuse vertices when
+    # the map carries sampling tables (factory-built maps always do) —
+    # MIS'd against the cosine lobe, symmetric to the area-light NEE
+    have_env_nee = env is not None and env.can_sample
 
     state = dict(
         o=origins, d=directions,
@@ -123,8 +128,22 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
                              jnp.minimum(contrib, clamp), contrib)
 
         miss_radiance = env.sample(s["d"]) if env is not None else background
+        if have_env_nee:
+            # MIS counterpart of the env NEE below: a BSDF ray that
+            # escapes is down-weighted by the env-sampling pdf of its
+            # direction (prev_pdf <= 0 = delta lobe / camera ray: the env
+            # could not have been NEE-sampled, full weight)
+            env_pdf_here = env.pdf_solid_angle(s["d"])
+            w_miss = jnp.where(
+                s["prev_pdf"] > 0.0,
+                s["prev_pdf"] / jnp.maximum(s["prev_pdf"] + env_pdf_here,
+                                            1e-12),
+                1.0)[..., None]
+        else:
+            w_miss = 1.0
         radiance = s["radiance"] + _cap(jnp.where(
-            missed[..., None], s["throughput"] * miss_radiance, 0.0))
+            missed[..., None], s["throughput"] * miss_radiance * w_miss,
+            0.0))
 
         point, normal, front_face, material_id = isect.shading_frame(
             scene, s["o"], s["d"], hit)
@@ -139,7 +158,8 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
         if have_lights:
             from optix_ray_tracer_tpu.scene.lights import light_pdf_solid_angle
             nee_pdf_here = light_pdf_solid_angle(
-                lights, hit.prim_id, s["o"], s["d"], hit.t, n_unit)
+                lights, hit.prim_id, hit.prim_type == isect.PRIM_TRIANGLE,
+                s["d"], hit.t, n_unit)
             w_bsdf = jnp.where(
                 s["prev_pdf"] > 0.0,
                 s["prev_pdf"] / jnp.maximum(s["prev_pdf"] + nee_pdf_here, 1e-12),
@@ -189,6 +209,29 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
                           * w_nee)[..., None])
             radiance = radiance + _cap(
                 jnp.where(visible[..., None], contrib, 0.0))
+
+        # ---- NEE: one environment sample at diffuse vertices ------------
+        if have_env_nee:
+            ue1, ue2, _, _ = rng.uniform4(pixel_id, sample, b,
+                                          seed ^ _DIM_ENV, sampler)
+            we, pdf_e = env.sample_direction(ue1, ue2)
+            cos_e = dot(we, n_unit)
+            valid_e = shading_alive & is_diffuse & (cos_e > 0.0) \
+                & (pdf_e > 0.0)
+            # occlusion to infinity (the env is behind everything)
+            occ_e = incoh.any_hit(
+                scene, point + n_unit * 1e-3, we,
+                t_min=1e-4, t_max=jnp.where(valid_e, INF, 0.0))
+            vis_e = valid_e & ~occ_e
+            le = env.sample(we)
+            f_e = albedo / PI
+            pdf_bsdf_for_env = jnp.maximum(cos_e, 0.0) / PI
+            w_env = pdf_e / jnp.maximum(pdf_e + pdf_bsdf_for_env, 1e-12)
+            contrib_e = (s["throughput"] * f_e * le
+                         * (jnp.maximum(cos_e, 0.0)
+                            / jnp.maximum(pdf_e, 1e-12) * w_env)[..., None])
+            radiance = radiance + _cap(
+                jnp.where(vis_e[..., None], contrib_e, 0.0))
 
         # ---- BSDF sampling ----------------------------------------------
         # diffuse: cosine hemisphere

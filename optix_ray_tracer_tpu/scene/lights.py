@@ -29,9 +29,16 @@ class AreaLights:
     normal:    (L, 3) unit geometric normals
     emission:  (L, 3) radiance
     area:      (L,)
-    cdf:       (L,) area-weighted selection CDF (last entry == 1)
+    cdf:       (L,) selection CDF, power-weighted (area x luminance) by
+               default (last entry == 1)
     tri_id:    (L,) source triangle index (to ignore self-hits)
     total_area:() scalar
+    pdf_scale: (L,) area-measure pdf of a point on light i under this
+               selection strategy: P(select i) / area_i.  The solid-angle
+               pdf at a shading point is dist^2 * pdf_scale / cos_light.
+    tri_pdf_scale: (T,) dense per-scene-triangle pdf_scale (0 for
+               non-emissive triangles) — the MIS counterpart lookup for
+               BSDF-sampled emitter hits, gathered by hit prim id.
     """
     v0: jax.Array
     e1: jax.Array
@@ -42,14 +49,23 @@ class AreaLights:
     cdf: jax.Array
     tri_id: jax.Array
     total_area: jax.Array
+    pdf_scale: jax.Array
+    tri_pdf_scale: jax.Array
 
     @property
     def count(self) -> int:
         return self.v0.shape[0]
 
 
-def collect_area_lights(scene: Scene, materials: MaterialTable) -> AreaLights | None:
-    """Gather all emissive triangles (host-side, at scene commit)."""
+def collect_area_lights(scene: Scene, materials: MaterialTable,
+                        power_weighted: bool = True) -> AreaLights | None:
+    """Gather all emissive triangles (host-side, at scene commit).
+
+    ``power_weighted`` selects lights proportionally to emitted power
+    (area x luminance) instead of area alone — the standard variance
+    reduction when lights differ in brightness; identical to area
+    weighting when all emitters share one radiance.
+    """
     import numpy as np
 
     if scene.triangle_count == 0:
@@ -71,7 +87,16 @@ def collect_area_lights(scene: Scene, materials: MaterialTable) -> AreaLights | 
     area = 0.5 * area2
     emission = np.asarray(materials.emission)[mids[ids]]
     total = float(area.sum())
-    cdf = np.cumsum(area) / max(total, 1e-30)
+    # selection weights: power (area x Rec.709 luminance) when requested
+    # and meaningful, else area.  Equal-radiance emitters reduce to area
+    # weighting exactly (the luminance factor cancels in the pdf).
+    lum = emission @ np.asarray([0.2126, 0.7152, 0.0722], emission.dtype)
+    weight = area * lum if power_weighted and float(lum.max()) > 0.0 else area
+    total_weight = float(weight.sum())
+    cdf = np.cumsum(weight) / max(total_weight, 1e-30)
+    pdf_scale = weight / np.maximum(total_weight * area, 1e-30)
+    tri_pdf_scale = np.zeros(scene.triangle_count, np.float32)
+    tri_pdf_scale[ids] = pdf_scale
     return AreaLights(
         v0=jnp.asarray(v0, jnp.float32), e1=jnp.asarray(e1, jnp.float32),
         e2=jnp.asarray(e2, jnp.float32),
@@ -80,7 +105,9 @@ def collect_area_lights(scene: Scene, materials: MaterialTable) -> AreaLights | 
         area=jnp.asarray(area, jnp.float32),
         cdf=jnp.asarray(cdf, jnp.float32),
         tri_id=jnp.asarray(ids, jnp.int32),
-        total_area=jnp.float32(total))
+        total_area=jnp.float32(total),
+        pdf_scale=jnp.asarray(pdf_scale, jnp.float32),
+        tri_pdf_scale=jnp.asarray(tri_pdf_scale))
 
 
 def sample_lights(lights: AreaLights, shading_point, pixel_id, sample, bounce,
@@ -118,20 +145,29 @@ def sample_lights(lights: AreaLights, shading_point, pixel_id, sample, bounce,
     cos_light = -dot(w, ln)
     # two-sided emitters: flip the normal toward the shading point
     cos_light = jnp.abs(cos_light)
-    # pdf_area = 1/total_area (area-weighted triangle selection x uniform on
-    # triangle); convert to solid angle: pdf = dist^2 / (cos * total_area)
-    pdf = dist2 / jnp.maximum(cos_light * lights.total_area, 1e-12)
+    # pdf_area = P(select li) / area_li = pdf_scale[li] (uniform on the
+    # selected triangle); convert to solid angle: pdf = dist^2 * scale / cos
+    pdf = dist2 * lights.pdf_scale[li] / jnp.maximum(cos_light, 1e-12)
     pdf = jnp.where(cos_light > 1e-6, pdf, 0.0)
     emitted = lights.emission[li]
     return w, dist, pdf, emitted, cos_light
 
 
-def light_pdf_solid_angle(lights: AreaLights, hit_tri_id, origin, direction,
-                          hit_t, hit_normal):
+def light_pdf_solid_angle(lights: AreaLights, hit_tri_id, is_triangle,
+                          direction, hit_t, hit_normal):
     """pdf (solid angle) that NEE would have produced this BSDF-sampled hit
-    on an emissive triangle — the MIS counterpart of :func:`sample_lights`."""
+    on an emissive triangle — the MIS counterpart of :func:`sample_lights`.
+
+    ``is_triangle`` masks hits NEE could actually have sampled: emissive
+    primitives outside the light table (e.g. spheres) get pdf 0, so the
+    BSDF MIS weight correctly stays 1 for them.
+    """
+    n_tris = lights.tri_pdf_scale.shape[0]
+    tid = jnp.clip(hit_tri_id, 0, max(n_tris - 1, 0))
+    scale = jnp.where(is_triangle, lights.tri_pdf_scale[tid], 0.0)
     cos_light = jnp.abs(dot(direction, hit_normal))
     dist2 = hit_t * hit_t
-    pdf = dist2 / jnp.maximum(cos_light * lights.total_area, 1e-12)
-    # only triangles that ARE lights count; caller masks by emissive hit
+    pdf = dist2 * scale / jnp.maximum(cos_light, 1e-12)
+    # non-light triangles have scale 0; caller additionally masks by
+    # emissive hit
     return pdf

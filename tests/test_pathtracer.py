@@ -48,6 +48,102 @@ class TestLights:
         assert float(pdf_f[0]) > float(pdf_n[0])
 
 
+def _quad(x0, x1, y0, y1, z, mat, up):
+    """Axis-aligned horizontal quad at height z as two triangles.
+    up=True faces +z (floor), False faces -z (ceiling light)."""
+    a, b, c, d = [x0, y0, z], [x1, y0, z], [x1, y1, z], [x0, y1, z]
+    tris = [[a, b, c], [a, c, d]] if up else [[a, c, b], [a, d, c]]
+    nz = 1.0 if up else -1.0
+    v = np.asarray(tris, np.float32)
+    n = np.tile(np.asarray([0.0, 0.0, nz], np.float32), (2, 3, 1))
+    return v, n, np.asarray([mat, mat], np.int32)
+
+
+def _two_light_scene():
+    """Diffuse floor under two emissive panels of very unequal power:
+    a small bright one (area 0.04, L=80) and a large dim one (area 4,
+    L=0.4).  Two thirds of the flux comes from the panel that
+    area-weighted selection picks ~1% of the time."""
+    mb = MaterialBuilder()
+    floor_m = mb.add_rough((0.7, 0.7, 0.7))
+    bright = mb.add_emissive((80.0, 80.0, 80.0))
+    dim = mb.add_emissive((0.4, 0.4, 0.4))
+    parts = [
+        _quad(-3, 3, -3, 3, 0.0, floor_m, up=True),
+        _quad(-1.1, -0.9, -0.1, 0.1, 2.0, bright, up=False),
+        _quad(0.0, 2.0, -1.0, 1.0, 2.0, dim, up=False),
+    ]
+    v = np.concatenate([p[0] for p in parts])
+    n = np.concatenate([p[1] for p in parts])
+    m = np.concatenate([p[2] for p in parts])
+    scene = Scene(spheres=Spheres.empty(),
+                  triangles=Triangles.from_arrays(v, n, m))
+    cam = Camera.look_at((0.0, -4.0, 1.2), (0.0, 0.0, 0.6), (0.0, 0.0, 1.0))
+    return scene, mb.build(), cam
+
+
+class TestPowerWeightedLights:
+    def test_selection_tables(self):
+        scene, mats, _ = _two_light_scene()
+        lights = collect_area_lights(scene, mats)
+        assert lights.count == 4
+        area = np.asarray(lights.area)
+        emission = np.asarray(lights.emission)
+        lum = emission @ np.asarray([0.2126, 0.7152, 0.0722])
+        weight = area * lum
+        sel = weight / weight.sum()
+        np.testing.assert_allclose(np.asarray(lights.cdf), np.cumsum(sel),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(lights.pdf_scale),
+                                   sel / area, rtol=1e-5)
+        # dense triangle map: pdf_scale at the light triangles, 0 elsewhere
+        tps = np.asarray(lights.tri_pdf_scale)
+        assert tps.shape == (scene.triangle_count,)
+        np.testing.assert_allclose(tps[np.asarray(lights.tri_id)],
+                                   np.asarray(lights.pdf_scale), rtol=1e-6)
+        mask = np.ones(scene.triangle_count, bool)
+        mask[np.asarray(lights.tri_id)] = False
+        assert (tps[mask] == 0.0).all()
+        # the small bright panel (2/3 of the flux) gets 2/3 selection mass
+        np.testing.assert_allclose(sel[:2].sum(), 2.0 / 3.0, rtol=1e-5)
+
+    def test_area_fallback_matches_old_behavior(self):
+        scene, mats, _ = _two_light_scene()
+        lights = collect_area_lights(scene, mats, power_weighted=False)
+        np.testing.assert_allclose(
+            np.asarray(lights.pdf_scale),
+            np.full(4, 1.0 / float(lights.total_area)), rtol=1e-5)
+
+    def test_lower_variance_same_mean(self):
+        """Equal-spp RMSE vs a converged truth: power-weighted selection
+        must beat area-weighted on the unequal-power scene, and both must
+        agree in the mean (pdf consistency)."""
+        scene, mats, cam = _two_light_scene()
+        bi = make_intersector(scene)
+        l_pow = collect_area_lights(scene, mats)
+        l_area = collect_area_lights(scene, mats, power_weighted=False)
+        truth, _, _ = render_path(scene, mats, l_pow, cam, 16, 16,
+                                  spp=768, seed=1, intersector=bi,
+                                  max_depth=3)
+        img_p, _, _ = render_path(scene, mats, l_pow, cam, 16, 16,
+                                  spp=8, seed=7, intersector=bi, max_depth=3)
+        img_a, _, _ = render_path(scene, mats, l_area, cam, 16, 16,
+                                  spp=8, seed=7, intersector=bi, max_depth=3)
+        t = np.asarray(truth)
+        rmse_p = float(np.sqrt(((np.asarray(img_p) - t) ** 2).mean()))
+        rmse_a = float(np.sqrt(((np.asarray(img_a) - t) ** 2).mean()))
+        # measured 11-14x across seeds; assert a conservative 3x
+        assert rmse_p < rmse_a / 3.0, (rmse_p, rmse_a)
+        # mean agreement: a 768-spp area-weighted render converges to the
+        # same image (both estimators are unbiased)
+        truth_a, _, _ = render_path(scene, mats, l_area, cam, 16, 16,
+                                    spp=768, seed=3, intersector=bi,
+                                    max_depth=3)
+        ta = np.asarray(truth_a)
+        rel = np.abs(t - ta) / (t + 0.05)
+        assert rel.mean() < 0.1, rel.mean()
+
+
 class TestCornell:
     @pytest.fixture(scope="class")
     def setup(self):

@@ -92,6 +92,33 @@ class TestPathSharding:
                                        atol=1e-6,
                                        err_msg=f"mesh ({tile},{sample})")
 
+    def test_env_nee_matches_single_device(self):
+        """Env importance sampling (sampling-table pytree leaves + the
+        env-NEE shadow wave) under shard_map: sharded == single-device."""
+        from optix_ray_tracer_tpu.parallel.sharding import render_path_sharded
+        from optix_ray_tracer_tpu.render.envmap import gradient_sky
+        from optix_ray_tracer_tpu.render.pathtracer import render_path
+        from optix_ray_tracer_tpu.scene.camera import Camera
+        from optix_ray_tracer_tpu.scene.geometry import (
+            Scene, Spheres, Triangles,
+        )
+        from optix_ray_tracer_tpu.scene.materials import MaterialBuilder
+
+        mb = MaterialBuilder()
+        g = mb.add_rough((0.7, 0.7, 0.7))
+        scene = Scene(spheres=Spheres.from_list([((0, 0, -100.5), 100.0, g)]),
+                      triangles=Triangles.empty())
+        cam = Camera.look_at((3.5, 0, 0.6), (0, 0, 0), (0, 0, 1))
+        env = gradient_sky(sun_dir=(0.4, 0.25, 0.88), sun_cos=0.9995)
+        mats = mb.build()
+        ref, _, _ = render_path(scene, mats, None, cam, 16, 16, spp=4,
+                                seed=5, env=env, max_depth=3)
+        mesh = make_mesh(tile=4, sample=2)
+        img = render_path_sharded(scene, mats, None, cam, 16, 16, 4, mesh,
+                                  seed=5, env=env, max_depth=3)
+        np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                                   atol=1e-6)
+
     @pytest.mark.slow
     def test_sobol_sampler_shard_invariant(self):
         """The Owen-Sobol stream keys on global (pixel, sample) counters
