@@ -46,14 +46,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from optix_ray_tracer_tpu.utils import rng as rng_mod
-from optix_ray_tracer_tpu.utils.color import color_to_uint8, write_png, write_ppm
+from optix_ray_tracer_tpu.utils.color import (
+    color_to_uint8, luminance as _luminance, write_png, write_ppm,
+)
 
 _DIM_LENS = 0x68E31DA4  # lens-sample dimension salt (render/pathtracer.py)
-
-
-def _luminance(rgb):
-    return (0.2126 * rgb[..., 0] + 0.7152 * rgb[..., 1]
-            + 0.0722 * rgb[..., 2])
 
 
 @jax.tree_util.register_dataclass

@@ -24,45 +24,70 @@ class EnvMap:
     """Equirectangular radiance image: (H, W, 3) float32, +z up,
     phi = atan2(y, x) maps to the u axis.
 
-    flat_cdf/pdf_tex (built by the factory functions) enable luminance
-    importance sampling for NEE — the variance killer for small bright
-    sources (a sun disk covers ~1e-3 of cosine-sampling's mass but most
-    of the CDF's).  ``flat_cdf`` is the flattened (H*W,) texel CDF over
+    The sampling tables (built by the factory functions when the map has
+    contrast worth importance-sampling) enable luminance importance
+    sampling for NEE — the variance killer for small bright sources (a
+    sun disk covers ~1e-3 of cosine-sampling's mass but most of the
+    CDF's).  The texel distribution is stored as a TWO-LEVEL CDF over
     3x3-max-filtered luminance x sin(theta) weights (the max filter keeps
     the piecewise-constant pdf >= any bilinearly reachable radiance, so
-    texel edges next to a bright source cannot firefly); ``pdf_tex`` is
-    the matching per-texel pdf in (u, v) SPACE — the solid-angle pdf is
-    pdf_tex / (2 pi^2 sin(theta)) evaluated at the ACTUAL sampled theta
-    (not the texel center: v is jittered inside the texel, so the density
-    the sampler realizes varies with sin(theta) within it; using the
-    center value would bias coarse maps).  ``EnvMap(image=...)`` without
-    tables still works everywhere; NEE simply stays off for it."""
+    texel edges next to a bright source cannot firefly):
+
+    - ``block_cdf`` (NB,): CDF over blocks of 128 consecutive texels;
+    - ``cond_cdf`` (NB, 128): per-block texel CDF, renormalized to [0, 1].
+
+    A single flat (H*W,) float32 CDF would lose dim texels on
+    production-size HDR maps (a 2048x4096 map has mean texel probability
+    ~1e-7, below float32 ULP near 1.0 — zero-width spans are never
+    sampled while the MIS counterpart still claims pdf > 0 = energy
+    loss); per-block renormalization keeps every stored span far above
+    ULP.  ``pdf_tex`` is the per-texel pdf in (u, v) SPACE — the
+    solid-angle pdf is pdf_tex / (2 pi^2 sin(theta)) evaluated at the
+    ACTUAL sampled theta (not the texel center: v is jittered inside the
+    texel, so the density the sampler realizes varies with sin(theta)
+    within it; using the center value would bias coarse maps).
+    ``EnvMap(image=...)`` without tables still works everywhere; NEE
+    simply stays off for it (as it does for near-constant maps, where an
+    extra shadow wave buys nothing over the cosine lobe)."""
     image: jax.Array
-    flat_cdf: jax.Array | None = None
+    block_cdf: jax.Array | None = None
+    cond_cdf: jax.Array | None = None
     pdf_tex: jax.Array | None = None
+
+    BLOCK = 128  # texels per CDF block (class constant, not a leaf)
 
     @property
     def can_sample(self) -> bool:
-        return self.flat_cdf is not None
+        return self.block_cdf is not None
 
-    def sample_direction(self, u1, u2):
-        """Importance-sample directions from the luminance CDF.
+    def sample_direction(self, u_block, u_texel, u_jit, v_jit):
+        """Importance-sample directions from the two-level luminance CDF.
 
-        u1/u2: (...,) uniforms.  Returns (dir (..., 3) unit,
-        pdf_solid_angle (...,)).  u1 picks the texel via one searchsorted
-        on the flat CDF (its leftover fraction is re-used as the
-        in-texel u jitter — standard CDF-inversion stratification); u2
-        jitters v."""
+        Four (...,) uniforms: ``u_block`` picks the 128-texel block
+        (one searchsorted on the block CDF), ``u_texel`` picks the texel
+        inside it (7-step branchless binary search on the block's
+        renormalized CDF row — per-lane gathers, no (R, 128) gather),
+        ``u_jit``/``v_jit`` jitter inside the texel.  Returns
+        (dir (..., 3) unit, pdf_solid_angle (...,))."""
         h, w = self.image.shape[0], self.image.shape[1]
-        idx = jnp.clip(jnp.searchsorted(self.flat_cdf, u1), 0, h * w - 1)
-        idx = idx.astype(jnp.int32)
-        lo = jnp.where(idx > 0, self.flat_cdf[jnp.maximum(idx - 1, 0)], 0.0)
-        span = self.flat_cdf[idx] - lo
-        fu = jnp.clip((u1 - lo) / jnp.maximum(span, 1e-12), 0.0, 1.0)
+        k = self.BLOCK
+        nb = self.block_cdf.shape[0]
+        blk = jnp.clip(jnp.searchsorted(self.block_cdf, u_block),
+                       0, nb - 1).astype(jnp.int32)
+        # branchless lower_bound over the block's K-entry CDF row
+        cond = self.cond_cdf.reshape(-1)
+        j = jnp.zeros_like(blk)
+        step = k // 2
+        while step >= 1:
+            t = j + step
+            val = cond[blk * k + (t - 1)]
+            j = jnp.where(val < u_texel, t, j)
+            step //= 2
+        idx = jnp.clip(blk * k + j, 0, h * w - 1)
         y = idx // w
         x = idx - y * w
-        u = (x.astype(jnp.float32) + fu) / w
-        v = (y.astype(jnp.float32) + u2) / h
+        u = (x.astype(jnp.float32) + u_jit) / w
+        v = (y.astype(jnp.float32) + v_jit) / h
         theta = v * PI
         phi = (u - 0.5) * (2.0 * PI)
         st = jnp.sin(theta)
@@ -124,24 +149,49 @@ def _with_tables(img: np.ndarray) -> EnvMap:
     reach inside a texel comes from that texel's 3x3 neighborhood, so the
     max filter bounds radiance/pdf and kills edge fireflies.  The sin
     factor is the equirectangular area measure; it cancels out of the
-    solid-angle pdf."""
+    solid-angle pdf.
+
+    Near-constant maps (max luminance < 1.05x mean) skip the tables:
+    their "importance" sample is uniform over the sphere — strictly worse
+    than the cosine lobe it would be MIS'd against — so env NEE would pay
+    a full extra shadow wave per diffuse vertex for nothing."""
+    from optix_ray_tracer_tpu.utils.color import luminance
+
     img = np.asarray(img, np.float32)
     h, w = img.shape[:2]
-    lum = img @ np.asarray([0.2126, 0.7152, 0.0722], np.float32)
+    lum = luminance(img)
+    if not float(lum.max()) > 1.05 * float(lum.mean()):
+        return EnvMap(image=jnp.asarray(img))
     pad = np.concatenate([lum[:, -1:], lum, lum[:, :1]], axis=1)
     pad = np.concatenate([pad[:1], pad, pad[-1:]], axis=0)
     mx = np.max(np.stack([pad[dy:dy + h, dx:dx + w]
                           for dy in range(3) for dx in range(3)]), axis=0)
-    sin_t = np.sin((np.arange(h) + 0.5) / h * np.pi).astype(np.float32)
-    wgt = mx * sin_t[:, None] + 1e-12
-    total = float(wgt.sum())
-    flat_cdf = np.cumsum(wgt.reshape(-1)) / total
-    flat_cdf[-1] = 1.0
+    sin_t = np.sin((np.arange(h) + 0.5) / h * np.pi)
+    wgt = mx.astype(np.float64) * sin_t[:, None] + 1e-30
+    total = wgt.sum()
     # (u, v)-space pdf; divided by 2 pi^2 sin(theta_actual) at use sites
-    pdf_tex = wgt * (h * w) / total
+    pdf_tex = (wgt * (h * w) / total).astype(np.float32)
+
+    # two-level CDF (see EnvMap docstring): pad the flat weight vector to
+    # a multiple of BLOCK with zero-probability texels (their renormalized
+    # conditional spans are zero-width, so the lower_bound never lands on
+    # them; a fully-zero pad block gets a zero-width block span)
+    k = EnvMap.BLOCK
+    flat = wgt.reshape(-1)
+    n_pad = (-len(flat)) % k
+    if n_pad:
+        flat = np.concatenate([flat, np.zeros(n_pad)])
+    blocks = flat.reshape(-1, k)
+    block_w = blocks.sum(axis=1)
+    block_cdf = np.cumsum(block_w) / total
+    block_cdf[-1] = 1.0
+    cond_cdf = np.cumsum(blocks, axis=1) / np.maximum(
+        block_w[:, None], 1e-300)
+    cond_cdf[:, -1] = 1.0
     return EnvMap(image=jnp.asarray(img),
-                  flat_cdf=jnp.asarray(flat_cdf.astype(np.float32)),
-                  pdf_tex=jnp.asarray(pdf_tex.astype(np.float32)))
+                  block_cdf=jnp.asarray(block_cdf.astype(np.float32)),
+                  cond_cdf=jnp.asarray(cond_cdf.astype(np.float32)),
+                  pdf_tex=jnp.asarray(pdf_tex))
 
 
 def constant_env(color) -> EnvMap:

@@ -159,7 +159,7 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
             from optix_ray_tracer_tpu.scene.lights import light_pdf_solid_angle
             nee_pdf_here = light_pdf_solid_angle(
                 lights, hit.prim_id, hit.prim_type == isect.PRIM_TRIANGLE,
-                s["d"], hit.t, n_unit)
+                s["d"], hit.t)
             w_bsdf = jnp.where(
                 s["prev_pdf"] > 0.0,
                 s["prev_pdf"] / jnp.maximum(s["prev_pdf"] + nee_pdf_here, 1e-12),
@@ -212,9 +212,11 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
 
         # ---- NEE: one environment sample at diffuse vertices ------------
         if have_env_nee:
-            ue1, ue2, _, _ = rng.uniform4(pixel_id, sample, b,
+            # dims 0/1 (the strict Sobol pair) drive the two-level texel
+            # pick; dims 2/3 are sub-texel jitter
+            ub, ut, uj, vj = rng.uniform4(pixel_id, sample, b,
                                           seed ^ _DIM_ENV, sampler)
-            we, pdf_e = env.sample_direction(ue1, ue2)
+            we, pdf_e = env.sample_direction(ub, ut, uj, vj)
             cos_e = dot(we, n_unit)
             valid_e = shading_alive & is_diffuse & (cos_e > 0.0) \
                 & (pdf_e > 0.0)

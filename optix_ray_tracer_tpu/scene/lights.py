@@ -36,9 +36,13 @@ class AreaLights:
     pdf_scale: (L,) area-measure pdf of a point on light i under this
                selection strategy: P(select i) / area_i.  The solid-angle
                pdf at a shading point is dist^2 * pdf_scale / cos_light.
-    tri_pdf_scale: (T,) dense per-scene-triangle pdf_scale (0 for
+    tri_light_idx: (T,) dense scene-triangle -> light-row index (-1 for
                non-emissive triangles) — the MIS counterpart lookup for
-               BSDF-sampled emitter hits, gathered by hit prim id.
+               BSDF-sampled emitter hits, gathered by hit prim id; also
+               supplies the light's GEOMETRIC normal so both sides of the
+               MIS pair use the same cosine (the shading normal is
+               interpolated/flipped and would desynchronize the weights
+               on smooth-shaded emissive meshes).
     """
     v0: jax.Array
     e1: jax.Array
@@ -50,7 +54,7 @@ class AreaLights:
     tri_id: jax.Array
     total_area: jax.Array
     pdf_scale: jax.Array
-    tri_pdf_scale: jax.Array
+    tri_light_idx: jax.Array
 
     @property
     def count(self) -> int:
@@ -90,13 +94,14 @@ def collect_area_lights(scene: Scene, materials: MaterialTable,
     # selection weights: power (area x Rec.709 luminance) when requested
     # and meaningful, else area.  Equal-radiance emitters reduce to area
     # weighting exactly (the luminance factor cancels in the pdf).
-    lum = emission @ np.asarray([0.2126, 0.7152, 0.0722], emission.dtype)
+    from optix_ray_tracer_tpu.utils.color import luminance
+    lum = luminance(emission.astype(np.float32))
     weight = area * lum if power_weighted and float(lum.max()) > 0.0 else area
     total_weight = float(weight.sum())
     cdf = np.cumsum(weight) / max(total_weight, 1e-30)
     pdf_scale = weight / np.maximum(total_weight * area, 1e-30)
-    tri_pdf_scale = np.zeros(scene.triangle_count, np.float32)
-    tri_pdf_scale[ids] = pdf_scale
+    tri_light_idx = np.full(scene.triangle_count, -1, np.int32)
+    tri_light_idx[ids] = np.arange(len(ids), dtype=np.int32)
     return AreaLights(
         v0=jnp.asarray(v0, jnp.float32), e1=jnp.asarray(e1, jnp.float32),
         e2=jnp.asarray(e2, jnp.float32),
@@ -107,7 +112,7 @@ def collect_area_lights(scene: Scene, materials: MaterialTable,
         tri_id=jnp.asarray(ids, jnp.int32),
         total_area=jnp.float32(total),
         pdf_scale=jnp.asarray(pdf_scale, jnp.float32),
-        tri_pdf_scale=jnp.asarray(tri_pdf_scale))
+        tri_light_idx=jnp.asarray(tri_light_idx))
 
 
 def sample_lights(lights: AreaLights, shading_point, pixel_id, sample, bounce,
@@ -154,20 +159,28 @@ def sample_lights(lights: AreaLights, shading_point, pixel_id, sample, bounce,
 
 
 def light_pdf_solid_angle(lights: AreaLights, hit_tri_id, is_triangle,
-                          direction, hit_t, hit_normal):
+                          direction, hit_t):
     """pdf (solid angle) that NEE would have produced this BSDF-sampled hit
     on an emissive triangle — the MIS counterpart of :func:`sample_lights`.
 
     ``is_triangle`` masks hits NEE could actually have sampled: emissive
     primitives outside the light table (e.g. spheres) get pdf 0, so the
-    BSDF MIS weight correctly stays 1 for them.
+    BSDF MIS weight correctly stays 1 for them.  The cosine uses the
+    light's GEOMETRIC normal from the table — the same normal
+    :func:`sample_lights` used — so the balance-heuristic weights of the
+    two strategies sum to exactly 1 even on smooth-shaded emissive
+    meshes (an interpolated shading normal here would desynchronize the
+    pair).
     """
-    n_tris = lights.tri_pdf_scale.shape[0]
+    n_tris = lights.tri_light_idx.shape[0]
     tid = jnp.clip(hit_tri_id, 0, max(n_tris - 1, 0))
-    scale = jnp.where(is_triangle, lights.tri_pdf_scale[tid], 0.0)
-    cos_light = jnp.abs(dot(direction, hit_normal))
+    li = lights.tri_light_idx[tid]
+    is_light = is_triangle & (li >= 0)
+    lc = jnp.maximum(li, 0)
+    scale = jnp.where(is_light, lights.pdf_scale[lc], 0.0)
+    cos_light = jnp.abs(dot(direction, lights.normal[lc]))
     dist2 = hit_t * hit_t
     pdf = dist2 * scale / jnp.maximum(cos_light, 1e-12)
-    # non-light triangles have scale 0; caller additionally masks by
-    # emissive hit
-    return pdf
+    # mirror sample_lights' grazing-angle cutoff (pdf 0 there -> the BSDF
+    # strategy takes full weight on both sides)
+    return jnp.where(cos_light > 1e-6, pdf, 0.0)

@@ -12,6 +12,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
+#: Rec.709 luma weights — the single shared definition (light selection,
+#: env-map importance tables, adaptive-sampling error metric).
+LUMA_709 = np.asarray([0.2126, 0.7152, 0.0722], np.float32)
+
+
+def luminance(rgb):
+    """Rec.709 luminance of (..., 3) linear RGB; works for numpy and jnp."""
+    return rgb @ LUMA_709
+
+
 def linear_to_srgb(c):
     """Per-channel linear->sRGB with reference constants; clips to [0, 1]."""
     c = jnp.clip(c, 0.0, 1.0)

@@ -130,9 +130,8 @@ class TestEnvImportanceSampling:
         env = gradient_sky(**self.SUN)
         rs = np.random.RandomState(0)
         n = 100_000
-        u1 = jnp.asarray(rs.rand(n), jnp.float32)
-        u2 = jnp.asarray(rs.rand(n), jnp.float32)
-        d, pdf = env.sample_direction(u1, u2)
+        us = [jnp.asarray(rs.rand(n), jnp.float32) for _ in range(4)]
+        d, pdf = env.sample_direction(*us)
         d, pdf = np.asarray(d), np.asarray(pdf)
         assert (pdf > 0).all()
         np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0,
@@ -149,13 +148,48 @@ class TestEnvImportanceSampling:
         assert not EnvMap(image=env.image).can_sample
         assert env.can_sample
 
+    def test_constant_map_skips_tables(self):
+        """Near-constant maps don't build sampling tables: env NEE would
+        pay a shadow wave per diffuse vertex for a worse-than-cosine
+        uniform sphere sample."""
+        assert not constant_env((0.5, 0.5, 0.5)).can_sample
+        assert gradient_sky().can_sample  # sky/ground contrast is enough
+
+    def test_large_map_dim_texels_survive_float32(self):
+        """Production-size map with extreme dynamic range: a flat float32
+        CDF would collapse dim texels to zero-width spans (never sampled
+        while the MIS counterpart claims pdf > 0 = energy loss).  The
+        two-level CDF must keep E[1/pdf] = 4*pi and actually reach dim
+        regions."""
+        from optix_ray_tracer_tpu.render.envmap import _with_tables
+
+        rs = np.random.RandomState(3)
+        img = rs.uniform(0.01, 0.05, (512, 1024, 3)).astype(np.float32)
+        img[100:102, 200:202] = 3e4  # tiny sun, 6 orders above the floor
+        env = _with_tables(img)
+        # the dim floor's per-texel CDF spans are ~7e-8 of the total —
+        # at float32 ULP near 1.0, i.e. exactly the flat-CDF collapse
+        # regime — while still carrying a few % of the total weight
+        n = 200_000
+        us = [jnp.asarray(rs.rand(n), jnp.float32) for _ in range(4)]
+        d, pdf = env.sample_direction(*us)
+        d, pdf = np.asarray(d), np.asarray(pdf)
+        est = float((1.0 / pdf).mean())
+        assert abs(est - 4 * np.pi) / (4 * np.pi) < 0.05, est
+        away = d[:, 2] < -0.5  # sun sits at theta~35deg (z~+0.8)
+        # dim weight share ~3.5%, z<-0.5 is ~1/4 of the dim sphere: if
+        # float32 spans dropped the floor this would be ~0
+        assert float(away.mean()) > 0.004, float(away.mean())
+        pdf2 = np.asarray(env.pdf_solid_angle(jnp.asarray(d)))
+        frac_off = float((np.abs(pdf2 - pdf) / pdf > 1e-3).mean())
+        assert frac_off < 0.005, frac_off
+
     def test_sun_concentration(self):
         """Most CDF mass sits on the sun disk texels."""
         env = gradient_sky(**self.SUN)
         rs = np.random.RandomState(1)
-        u1 = jnp.asarray(rs.rand(50_000), jnp.float32)
-        u2 = jnp.asarray(rs.rand(50_000), jnp.float32)
-        d, _ = env.sample_direction(u1, u2)
+        us = [jnp.asarray(rs.rand(50_000), jnp.float32) for _ in range(4)]
+        d, _ = env.sample_direction(*us)
         sd = np.asarray(self.SUN["sun_dir"], np.float64)
         sd /= np.linalg.norm(sd)
         frac = float(((np.asarray(d) @ sd) > 0.99).mean())

@@ -96,14 +96,15 @@ class TestPowerWeightedLights:
                                    rtol=1e-5)
         np.testing.assert_allclose(np.asarray(lights.pdf_scale),
                                    sel / area, rtol=1e-5)
-        # dense triangle map: pdf_scale at the light triangles, 0 elsewhere
-        tps = np.asarray(lights.tri_pdf_scale)
-        assert tps.shape == (scene.triangle_count,)
-        np.testing.assert_allclose(tps[np.asarray(lights.tri_id)],
-                                   np.asarray(lights.pdf_scale), rtol=1e-6)
+        # dense triangle->light map: light row at the light triangles,
+        # -1 elsewhere
+        tli = np.asarray(lights.tri_light_idx)
+        assert tli.shape == (scene.triangle_count,)
+        np.testing.assert_array_equal(tli[np.asarray(lights.tri_id)],
+                                      np.arange(lights.count))
         mask = np.ones(scene.triangle_count, bool)
         mask[np.asarray(lights.tri_id)] = False
-        assert (tps[mask] == 0.0).all()
+        assert (tli[mask] == -1).all()
         # the small bright panel (2/3 of the flux) gets 2/3 selection mass
         np.testing.assert_allclose(sel[:2].sum(), 2.0 / 3.0, rtol=1e-5)
 
