@@ -133,10 +133,11 @@ class MarchIntersector:
                               _any_hit=True).is_hit
 
 
-def make_march_intersector(scene: Scene) -> MarchIntersector:
+def make_march_intersector(scene: Scene,
+                           method: str = "sah") -> MarchIntersector:
     tv = np.asarray(scene.triangles.vertices)
     return MarchIntersector(
-        clusters=build_clusters(tv),
+        clusters=build_clusters(tv, method=method),
         scene_lo=jnp.asarray(tv.min(axis=(0, 1)) if tv.size else np.zeros(3),
                              jnp.float32),
         scene_hi=jnp.asarray(tv.max(axis=(0, 1)) if tv.size else np.ones(3),
@@ -144,18 +145,19 @@ def make_march_intersector(scene: Scene) -> MarchIntersector:
         num_tris=int(tv.shape[0]))
 
 
-def rebuild_march_intersector(prev: MarchIntersector,
-                              scene: Scene) -> MarchIntersector:
-    """Device-side full rebuild (fresh Morton order + refit, jittable) —
+def rebuild_march_intersector(prev: MarchIntersector, scene: Scene,
+                              method: str = "median") -> MarchIntersector:
+    """Device-side full rebuild (fresh partition + refit, jittable) —
     the per-file buildGAS analog; see ops.sweep.rebuild_clusters.  Same
-    triangle-count requirement as refit."""
+    triangle-count requirement as refit.  ``method``: "median" (default,
+    SAH-class quality) or "morton" (single-sort, cheapest)."""
     tv = scene.triangles.vertices
     if tv.shape[0] != prev.num_tris:
         raise ValueError(
             f"rebuild requires the original triangle count ({prev.num_tris});"
             f" got {tv.shape[0]} — use make_march_intersector")
     return MarchIntersector(
-        clusters=rebuild_clusters(prev.clusters, tv),
+        clusters=rebuild_clusters(prev.clusters, tv, method=method),
         scene_lo=jnp.min(tv, axis=(0, 1)),
         scene_hi=jnp.max(tv, axis=(0, 1)),
         num_tris=prev.num_tris,

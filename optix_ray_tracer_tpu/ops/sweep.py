@@ -123,16 +123,158 @@ class ClusterSet:
         return self.cluster_min.shape[0]
 
 
-def build_clusters(tri_vertices) -> ClusterSet:
-    """Morton-sort + chunk (host->device; no hierarchy to build)."""
+def _sah_chunk_order(cents: np.ndarray, leaf: int) -> np.ndarray:
+    """Recursive leaf-ALIGNED sweep-SAH partition of the triangle order.
+
+    Clusters are contiguous `leaf`-triangle runs of the final order, so the
+    partitioner's job is purely to choose WHICH triangles share a run.
+    Each recursion sorts the node's centroids along each axis, evaluates
+    the binned SAH cost (child-bbox surface area x child count) at every
+    leaf-aligned cut, and splits at the best (axis, cut).  Leaf-aligned
+    cuts keep every cluster except the global tail exactly full, which the
+    marcher's shapes require.  Beats plain Morton chunking 2-3x on
+    clusters-entered-per-ray (measured: bench sphere 4.2 -> 1.5 coherent,
+    block unions 100 -> 32 incoherent) because Morton runs straddle cell
+    boundaries and produce long thin boxes.
+
+    Returns the permutation: output slot -> original triangle id."""
+    n = cents.shape[0]
+    out = np.empty(n, np.int64)
+    pos = 0
+    stack = [np.arange(n, dtype=np.int64)]
+    while stack:
+        idx = stack.pop()
+        m = idx.shape[0]
+        if m <= leaf:
+            out[pos:pos + m] = idx
+            pos += m
+            continue
+        c = cents[idx]
+        best = None
+        for axis in range(3):
+            srt = np.argsort(c[:, axis], kind="stable")
+            cs = c[srt]
+            pref_lo = np.minimum.accumulate(cs, 0)
+            pref_hi = np.maximum.accumulate(cs, 0)
+            suf_lo = np.minimum.accumulate(cs[::-1], 0)[::-1]
+            suf_hi = np.maximum.accumulate(cs[::-1], 0)[::-1]
+            cuts = np.arange(leaf, m, leaf)
+            dl = pref_hi[cuts - 1] - pref_lo[cuts - 1]
+            dr = suf_hi[cuts] - suf_lo[cuts]
+            sa_l = dl[:, 0] * dl[:, 1] + dl[:, 1] * dl[:, 2] \
+                + dl[:, 0] * dl[:, 2]
+            sa_r = dr[:, 0] * dr[:, 1] + dr[:, 1] * dr[:, 2] \
+                + dr[:, 0] * dr[:, 2]
+            nl = cuts.astype(np.float64)
+            # nan_to_num: NaN centroids (degenerate tris sort last) poison
+            # the suffix boxes; treat those cuts as merely very bad
+            cost = np.nan_to_num(sa_l * nl + sa_r * (m - nl), nan=np.inf)
+            k = int(np.argmin(cost))
+            if best is None or cost[k] < best[0]:
+                best = (cost[k], cuts[k], srt)
+        _, cut, srt = best
+        stack.append(idx[srt[cut:]])
+        stack.append(idx[srt[:cut]])
+    assert pos == n
+    return out
+
+
+def _median_levels(n: int) -> list[np.ndarray]:
+    """Static per-level segment-id arrays for the JITTABLE median-split
+    partition (:func:`_median_order_device`).
+
+    With leaf-aligned cuts the split positions depend only on segment
+    SIZES, never on the data — so the whole recursion tree is known from
+    ``n`` alone.  Level ``l``'s array maps position -> segment id in the
+    order the array holds after ``l`` in-segment sorts; cuts are
+    CHUNK-aligned above cluster granularity (cluster membership) and
+    SUB_TRIS-aligned inside clusters (sub-box compactness)."""
+    levels: list[np.ndarray] = []
+    segs = [(0, n)]
+    while True:
+        seg_ids = np.zeros(n, np.int32)
+        nxt: list[tuple[int, int]] = []
+        any_split = False
+        for i, (start, m) in enumerate(segs):
+            seg_ids[start:start + m] = i
+            if m <= SUB_TRIS:
+                nxt.append((start, m))
+                continue
+            a = CHUNK if m > CHUNK else SUB_TRIS
+            half = -(-(m // 2) // a) * a
+            if half >= m:
+                half = (m // 2) // a * a
+            if half == 0:
+                nxt.append((start, m))
+                continue
+            any_split = True
+            nxt.append((start, half))
+            nxt.append((start + half, m - half))
+        if not any_split:
+            return levels
+        levels.append(seg_ids)
+        segs = nxt
+
+
+def _median_order_device(cents: jax.Array) -> jax.Array:
+    """Jittable median-split partition: the device-rebuild analog of the
+    host sweep-SAH build (measured within a few % of SAH on
+    clusters-entered/ray and block unions — 2-3x better than Morton,
+    whose cell-straddling runs produce long thin cluster boxes).
+
+    Each level sorts elements within their current segment by the
+    segment's widest centroid axis (one stable two-key ``lax.sort``),
+    then static leaf-aligned cuts define the children.  Everything is
+    shape-static: ~log2(n/SUB_TRIS) unrolled levels of
+    segment-min/max + sort.  Returns slot -> original triangle id."""
+    n = cents.shape[0]
+    perm = jnp.arange(n, dtype=jnp.int32)
+    cur = cents
+    for seg_np in _median_levels(n):
+        num_seg = int(seg_np[-1]) + 1
+        seg = jnp.asarray(seg_np)
+        lo = jax.ops.segment_min(cur, seg, num_segments=num_seg,
+                                 indices_are_sorted=True)
+        hi = jax.ops.segment_max(cur, seg, num_segments=num_seg,
+                                 indices_are_sorted=True)
+        axis = jnp.argmax(hi - lo, axis=1).astype(jnp.int32)
+        key = jnp.take_along_axis(cur, axis[seg][:, None], axis=1)[:, 0]
+        # primary key: the (already position-sorted) static segment id —
+        # the sort therefore only permutes WITHIN segments
+        _, _, perm, c0, c1, c2 = jax.lax.sort(
+            (seg, key, perm, cur[:, 0], cur[:, 1], cur[:, 2]),
+            num_keys=2, is_stable=True)
+        cur = jnp.stack([c0, c1, c2], axis=1)
+    return perm
+
+
+def build_clusters(tri_vertices, method: str = "sah") -> ClusterSet:
+    """Partition + chunk (host->device; no hierarchy to build).
+
+    method: "sah" (default) = leaf-aligned sweep-SAH partition down to
+    SUB_TRIS granularity (clusters AND their 128-tri sub-boxes are
+    spatially compact); "morton" = Morton-sort chunking (matches the
+    device-side `rebuild_clusters` order exactly)."""
     tv = np.asarray(tri_vertices, np.float32)
     n = tv.shape[0]
     cents = tv.mean(axis=1)
     lo = tv.min(axis=(0, 1))
     hi = tv.max(axis=(0, 1))
-    codes = np.asarray(morton_codes(jnp.asarray(cents), jnp.asarray(lo),
-                                    jnp.asarray(hi)))
-    order = np.argsort(codes, kind="stable").astype(np.int64)
+    if method == "sah" and n > CHUNK:
+        c64 = cents.astype(np.float64)
+        order = _sah_chunk_order(c64, CHUNK)
+        # refine WITHIN each full cluster so its 4 contiguous 128-tri
+        # sub-boxes are compact too (sub-cull quality); cluster membership
+        # is already fixed, so this only permutes inside each 512-run
+        for s in range(0, n - CHUNK + 1, CHUNK):
+            seg = order[s:s + CHUNK]
+            order[s:s + CHUNK] = seg[_sah_chunk_order(c64[seg], SUB_TRIS)]
+    elif method in ("sah", "morton"):
+        codes = np.asarray(morton_codes(jnp.asarray(cents), jnp.asarray(lo),
+                                        jnp.asarray(hi)))
+        order = np.argsort(codes, kind="stable").astype(np.int64)
+    else:
+        raise ValueError(f"unknown cluster build method: {method!r}")
 
     # pad triangle rows so the cluster count is a multiple of WINDOW_CHUNKS:
     # window starts are then always window-aligned (Pallas BlockSpec index
@@ -681,24 +823,33 @@ def refit_clusters(clusters: ClusterSet, tri_vertices) -> ClusterSet:
                       sub_min=smin, sub_max=smax)
 
 
-@jax.jit
-def rebuild_clusters(clusters: ClusterSet, tri_vertices) -> ClusterSet:
-    """Device-side REBUILD: fresh Morton order + refit, fully jittable.
+@partial(jax.jit, static_argnames=("method",))
+def rebuild_clusters(clusters: ClusterSet, tri_vertices,
+                     method: str = "median") -> ClusterSet:
+    """Device-side REBUILD: fresh partition + refit, fully jittable.
 
     The per-file buildGAS analog (reference builds new GAS sets per
     animation file, src/Global/RendererMesh.cu:93-167) for animation
     series where geometry changes every file: a host `build_clusters`
     costs a D2H fetch + host sort + H2D per file, which dominates short
-    files; this one keeps everything on device.  Cull quality equals a
-    fresh build (the Morton order IS recomputed — unlike `refit_clusters`
-    which only refits boxes in the stale order)."""
+    files; this one keeps everything on device.
+
+    method: "median" (default) = jittable median-split partition
+    (:func:`_median_order_device` — SAH-class cull quality, ~log2(C)
+    in-jit sorts); "morton" = single Morton sort (cheapest rebuild,
+    2-3x worse cluster boxes)."""
     n = tri_vertices.shape[0]
     n_pad = clusters.woop.shape[0]
     tv = jnp.asarray(tri_vertices, jnp.float32)
     cents = jnp.mean(tv, axis=1)
-    codes = morton_codes(cents, jnp.min(tv, axis=(0, 1)),
-                         jnp.max(tv, axis=(0, 1)))
-    order = jnp.argsort(codes).astype(jnp.int32)
+    if method == "median":
+        order = _median_order_device(cents)
+    elif method == "morton":
+        codes = morton_codes(cents, jnp.min(tv, axis=(0, 1)),
+                             jnp.max(tv, axis=(0, 1)))
+        order = jnp.argsort(codes).astype(jnp.int32)
+    else:
+        raise ValueError(f"unknown cluster rebuild method: {method!r}")
     order_pad = jnp.concatenate(
         [order, jnp.zeros(n_pad - n, jnp.int32)]) if n_pad > n else order
     return refit_clusters(
