@@ -75,6 +75,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from optix_ray_tracer_tpu.utils.jitcache import enable_compilation_cache
+    enable_compilation_cache()
+
     from optix_ray_tracer_tpu.io.meshgen import sphere_with_n_triangles
     from optix_ray_tracer_tpu.ops.march import make_march_intersector
     from optix_ray_tracer_tpu.scene.camera import Camera

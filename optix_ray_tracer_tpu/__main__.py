@@ -60,7 +60,12 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
 
     from optix_ray_tracer_tpu.io.config import ConfigError, load_config
+    from optix_ray_tracer_tpu.utils.jitcache import enable_compilation_cache
     from optix_ray_tracer_tpu.utils.logging import LOG, configure
+
+    # persistent jit cache (the reference's OptiX module/PTX cache analog):
+    # the fused animation chunk costs minutes of compile per cold process
+    enable_compilation_cache()
 
     configure(verbose=args.verbose)
     try:

@@ -8,9 +8,10 @@ Every pointer-chasing traversal (per-ray stacks, bitstacks, packets) is
 therefore architecturally wrong here.  This module restructures nearest-hit
 queries as a handful of big dense operations per pass:
 
-1. Triangles are Morton-sorted and chunked into CLUSTERS of CHUNK
-   consecutive prims (spatially compact by construction); cluster AABBs are
-   the only acceleration data — no tree.
+1. Triangles are partitioned (leaf-aligned sweep-SAH on host; jittable
+   median split on device; Morton chunking as the cheap fallback) into
+   CLUSTERS of CHUNK consecutive prims (spatially compact by
+   construction); cluster AABBs are the only acceleration data — no tree.
 2. Per pass, every ray computes slab entries against ALL cluster boxes on
    the fly (a fused (R, C) reduction — dense VPU work, never materialized),
    picks its nearest unvisited cluster by a strictly-increasing
@@ -94,7 +95,7 @@ def _transpose_woop(woop, reshape_mod):
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ClusterSet:
-    """Morton-sorted scene clusters (device arrays).
+    """Partition-ordered scene clusters (device arrays).
 
     woop:        (n_pad, 12) sorted-triangle Woop transforms
     woop_t:      (C, 16, CHUNK) per-cluster TRANSPOSED Woop rows for the
