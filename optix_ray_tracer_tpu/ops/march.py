@@ -102,7 +102,8 @@ class MarchIntersector:
             tmax_s = jnp.pad(tmax_s, (0, pad), constant_values=0.0)
 
         t, slot, u, v = block_march(self.clusters, o_s, d_s, tmin_s,
-                                    tmax_s, any_hit=_any_hit)
+                                    tmax_s, any_hit=_any_hit,
+                                    coherent=self.sort_mode != "probe")
         inv = jnp.argsort(perm)
         # one (R, 4) unsort gather instead of four (R,) gathers
         out4 = jnp.stack([t, slot.astype(jnp.float32), u, v], axis=1)[:n][inv]

@@ -71,14 +71,24 @@ assert N_SUBS == _SWEEP_SUBS, (N_SUBS, _SWEEP_SUBS)
 # n_subs boxes) since round 3 — no per-cluster VMEM scratch, no scale cap
 
 
-def choose_block_rays(n_clusters: int) -> int:
-    """Block width.  Measured on-chip (100k-tri bench): W=128 wins —
-    5.08/4.46/3.23 Mrays/s coherent at W=128/256/512.  Per-visit cost is
-    dominated by the dense (tris, W) test VPU work, which scales with W,
-    while the union of needed clusters still grows with the block's pixel
-    footprint — wider blocks lose on both.  Kept as a tuning point for
-    parts with different VPU/sync cost ratios."""
-    return BLOCK_RAYS
+def choose_block_rays(n_clusters: int, coherent: bool = True) -> int:
+    """Block width by wave coherence.  Measured on-chip under SAH
+    partitioning (100k-tri bench, primary+shadow / 1M random rays):
+
+    | W | coherent | incoherent |
+    |---|---|---|
+    | 128 | 16.10 | **3.36** |
+    | 256 | 19.31 | 3.06 |
+    | 512 | **20.54** | 2.34 |
+
+    Coherent waves share their cluster set, so wider blocks amortize the
+    per-visit scalar syncs at no extra visits; incoherent unions grow
+    ~linearly with W, so width buys nothing and costs VPU time.  (The
+    round-2 Morton-era sweep read the opposite for coherent waves —
+    Morton's overlapping boxes made even camera-ray unions grow with W.)
+    VMEM: the flat kernel only runs below HIER_MIN_CLUSTERS clusters, so
+    the (c_pad, W) entry scratch stays <= ~3 MB at W=512."""
+    return 512 if coherent else BLOCK_RAYS
 
 
 # slab-cull row chunk: the pass materializes ~5 (rows, W) f32 temporaries
@@ -744,7 +754,8 @@ def _pad_boxes(bmin, bmax, pad):
 def block_march(clusters, o, d, t_min, t_max, any_hit: bool = False,
                 block_rays: int | None = None,
                 max_visits: int | None = None,
-                report_unresolved: bool = False):
+                report_unresolved: bool = False,
+                coherent: bool = True):
     """Nearest-hit (or, with ``any_hit``, occlusion) query via the fused
     kernel.
 
@@ -781,7 +792,7 @@ def block_march(clusters, o, d, t_min, t_max, any_hit: bool = False,
     c_pad = ((C + 7) // 8) * 8
     boxes = _pad_boxes(clusters.cluster_min, clusters.cluster_max, c_pad - C)
 
-    W = block_rays or choose_block_rays(C)
+    W = block_rays or choose_block_rays(C, coherent)
     # the lazy per-visit sub-cull has no per-cluster VMEM scratch, so
     # sub-culling stays on at EVERY scene size (the old upfront
     # (C_pad * N_SUBS, W) entry matrix degraded to whole-cluster tests
