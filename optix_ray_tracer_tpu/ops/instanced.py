@@ -17,7 +17,7 @@ equivalent for the fused block marcher:
   parameter t is identical in both spaces — see
   block_march.block_march_instanced).
 
-Limits: pairs <= block_march.MAX_CLUSTERS (4096); transforms must be
+Limits: pairs <= block_march.MAX_CLUSTERS (8192); transforms must be
 rigid + uniform scale (the Time frontend's pose model,
 RendererTime.cu:436-472).
 """

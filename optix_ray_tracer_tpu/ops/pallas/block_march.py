@@ -48,25 +48,38 @@ from optix_ray_tracer_tpu.ops.sweep import SUBS_PER_CLUSTER as _SWEEP_SUBS
 from optix_ray_tracer_tpu.utils.vecmath import INF
 
 BLOCK_RAYS = 128         # minimum block granularity callers pad to
-CLUSTER_TRIS = 512       # == ops.sweep.CHUNK * WINDOW_CHUNKS
+CLUSTER_TRIS = 256       # == ops.sweep.CHUNK * WINDOW_CHUNKS (post-SAH
+                         # retune — see ops.sweep.CHUNK)
 
 _CID_BITS = 12           # low mantissa bits carrying the cluster id
 _CID_MASK = (1 << _CID_BITS) - 1
-MAX_CLUSTERS = 1 << _CID_BITS
 _INF_BITS = 0x7F800000   # bit pattern of float32 +inf
 
 # debug knobs (bisecting Mosaic device faults): pick implementation and
 # triangle-test granularity
 PICK_MODE = "float"      # "float" (2 syncs) | "packed" (1 sync; HANGS real
                          # TPUs — repro + status: docs/libtpu-packed-pick-bug.md)
+
+# The FLOAT pick (production) never packs cluster ids into mantissa bits,
+# so its cluster cap is a cost/VMEM bound, not an encoding bound; only the
+# quarantined packed pick is limited to 2**_CID_BITS ids.  8192 keeps the
+# 2M-triangle ceiling at 256-tri clusters (scenes past HIER_MIN_CLUSTERS
+# take the hierarchical kernel, whose cull is O(C/GROUP) per visit).
+MAX_CLUSTERS = 8192 if PICK_MODE == "float" else (1 << _CID_BITS)
 N_SUBS = 4               # second-level cull granularity (1 = off); gates
-                         # each 128-tri sub-block on any(sub entry < best_t)
+                         # each 64-tri sub-block on any(sub entry < best_t)
+N_SUBS_INCOHERENT = 2    # incoherent waves pair-merge the sub boxes at
+                         # trace time: their blocks visit many clusters, so
+                         # per-visit gate rows cost more than the finer
+                         # boxes save (measured, PERF.md round-3
+                         # "cluster-constant re-sweep")
 
 # The kernel indexes sub_min/sub_max rows as cur_c * n_subs + part, so the
 # sub-box row layout built by ops.sweep MUST agree with the constants here;
 # retuning either module alone would silently skip sub-blocks with true hits.
 assert CLUSTER_TRIS == _SWEEP_CHUNK, (CLUSTER_TRIS, _SWEEP_CHUNK)
 assert N_SUBS == _SWEEP_SUBS, (N_SUBS, _SWEEP_SUBS)
+assert N_SUBS % N_SUBS_INCOHERENT == 0, (N_SUBS, N_SUBS_INCOHERENT)
 # NOTE: sub-culling is LAZY (per-visit slab of the visited cluster's
 # n_subs boxes) since round 3 — no per-cluster VMEM scratch, no scale cap
 
@@ -86,9 +99,18 @@ def choose_block_rays(n_clusters: int, coherent: bool = True) -> int:
     ~linearly with W, so width buys nothing and costs VPU time.  (The
     round-2 Morton-era sweep read the opposite for coherent waves —
     Morton's overlapping boxes made even camera-ray unions grow with W.)
-    VMEM: the flat kernel only runs below HIER_MIN_CLUSTERS clusters, so
-    the (c_pad, W) entry scratch stays <= ~3 MB at W=512."""
-    return 512 if coherent else BLOCK_RAYS
+    VMEM: the flat kernel's (c_pad, W) entry scratch must stay <= ~3 MB,
+    so coherent waves narrow from W=512 as cluster counts grow (the
+    hierarchical kernel normally takes over at HIER_MIN_CLUSTERS, but
+    explicit block_rays/max_visits callers can reach the flat kernel at
+    any C)."""
+    if not coherent:
+        return BLOCK_RAYS
+    c_pad = ((n_clusters + 7) // 8) * 8
+    for w in (512, 256):
+        if c_pad * w * 4 <= 3 * 1024 * 1024:
+            return w
+    return BLOCK_RAYS
 
 
 # slab-cull row chunk: the pass materializes ~5 (rows, W) f32 temporaries
@@ -605,7 +627,8 @@ def _hier_call(rays_packed_t, sup_boxes, boxes, sub_boxes, woop,
     )(rays_packed_t, sup_boxes, boxes, sub_boxes, woop)
 
 
-def block_march_hier(clusters, o, d, t_min, t_max, any_hit: bool = False):
+def block_march_hier(clusters, o, d, t_min, t_max, any_hit: bool = False,
+                     coherent: bool = True):
     """Hierarchical (supercluster) variant of :func:`block_march` — same
     contract, same exact results; profitable at large cluster counts
     where the flat kernel's O(C) cull/pick dominates (see PERF.md)."""
@@ -620,11 +643,13 @@ def block_march_hier(clusters, o, d, t_min, t_max, any_hit: bool = False):
     gmin = jnp.nanmin(boxes[:, 0:3].reshape(S, GROUP, 3), axis=1)
     gmax = jnp.nanmax(boxes[:, 3:6].reshape(S, GROUP, 3), axis=1)
     sup_boxes = _pad_boxes(gmin, gmax, s_pad - S)
-    sub_boxes = _pad_boxes(clusters.sub_min, clusters.sub_max,
-                           (c_pad - C) * N_SUBS
-                           ).reshape(c_pad, N_SUBS, 8)
+    sub_boxes, n_subs = _wave_sub_boxes(clusters, c_pad, coherent)
+    if sub_boxes is None:
+        sub_boxes = boxes
 
-    W = BLOCK_RAYS
+    # the hier cull/pick scratch is (s_pad, W) — s_pad is C/GROUP, so
+    # coherent waves afford the wide blocks at any production C
+    W = choose_block_rays(s_pad, coherent)
     n = o.shape[0]
     pad = (-n) % W
     if pad:
@@ -638,7 +663,8 @@ def block_march_hier(clusters, o, d, t_min, t_max, any_hit: bool = False):
         [o.T, d.T, t_min[None, :], t_max[None, :]], axis=0)
     out = _hier_call(rays_packed_t, sup_boxes, boxes, sub_boxes,
                      clusters.woop_t, s_pad=s_pad, c_pad=c_pad,
-                     n_clusters=C, max_visits=S + 1, any_hit=any_hit)
+                     n_clusters=C, max_visits=S + 1, any_hit=any_hit,
+                     w=W, n_subs=n_subs)
     out = jnp.swapaxes(out, 1, 2).reshape(-1, 2)[:n]
     t = out[:, 0]
     slotf = out[:, 1]
@@ -751,6 +777,30 @@ def _pad_boxes(bmin, bmax, pad):
         [bmin, bmax, jnp.zeros((bmin.shape[0], 2), jnp.float32)], axis=1)
 
 
+def _wave_sub_boxes(clusters, c_pad: int, coherent: bool):
+    """(sub_boxes, n_subs) for the wave's coherence class.
+
+    Incoherent waves use pair-merged sub boxes (N_SUBS_INCOHERENT rows):
+    their blocks visit many clusters, so the per-visit sub-slab rows cost
+    more than the finer gates save.  The merge is a trace-time nan-union
+    of the build's N_SUBS boxes (all-padding sub-slots are NaN, same
+    convention as the supercluster union in block_march_hier)."""
+    C = clusters.num_clusters
+    n_subs = N_SUBS if coherent else N_SUBS_INCOHERENT
+    if n_subs <= 1:
+        return None, 1
+    sub_min, sub_max = clusters.sub_min, clusters.sub_max
+    if n_subs != N_SUBS:
+        f = N_SUBS // n_subs
+        sub_min = jnp.nanmin(sub_min.reshape(C, n_subs, f, 3),
+                             axis=2).reshape(C * n_subs, 3)
+        sub_max = jnp.nanmax(sub_max.reshape(C, n_subs, f, 3),
+                             axis=2).reshape(C * n_subs, 3)
+    sub_boxes = _pad_boxes(sub_min, sub_max,
+                           (c_pad - C) * n_subs).reshape(c_pad, n_subs, 8)
+    return sub_boxes, n_subs
+
+
 def block_march(clusters, o, d, t_min, t_max, any_hit: bool = False,
                 block_rays: int | None = None,
                 max_visits: int | None = None,
@@ -780,15 +830,16 @@ def block_march(clusters, o, d, t_min, t_max, any_hit: bool = False,
     C = clusters.num_clusters
     if C > MAX_CLUSTERS:
         raise ValueError(
-            f"scene has {C} clusters; the packed pick key carries "
-            f"{_CID_BITS} id bits (max {MAX_CLUSTERS} clusters = "
-            f"{MAX_CLUSTERS * CLUSTER_TRIS} triangles) — raise CHUNK")
+            f"scene has {C} clusters; the marcher caps at {MAX_CLUSTERS} "
+            f"clusters = {MAX_CLUSTERS * CLUSTER_TRIS} triangles "
+            f"(cost/VMEM bound of the cull; the packed pick additionally "
+            f"caps at {1 << _CID_BITS} id bits) — raise CHUNK")
     if (C >= HIER_MIN_CLUSTERS and block_rays is None
             and max_visits is None and not report_unresolved):
         # large scenes: the hierarchical kernel wins once the flat
         # kernel's O(C) cull/pick dominates (crossover measured on-chip)
         return block_march_hier(clusters, o, d, t_min, t_max,
-                                any_hit=any_hit)
+                                any_hit=any_hit, coherent=coherent)
     c_pad = ((C + 7) // 8) * 8
     boxes = _pad_boxes(clusters.cluster_min, clusters.cluster_max, c_pad - C)
 
@@ -797,12 +848,8 @@ def block_march(clusters, o, d, t_min, t_max, any_hit: bool = False,
     # sub-culling stays on at EVERY scene size (the old upfront
     # (C_pad * N_SUBS, W) entry matrix degraded to whole-cluster tests
     # past ~3000 clusters)
-    n_subs = N_SUBS
-    if n_subs > 1:
-        sub_boxes = _pad_boxes(clusters.sub_min, clusters.sub_max,
-                               (c_pad - C) * n_subs
-                               ).reshape(c_pad, n_subs, 8)
-    else:
+    sub_boxes, n_subs = _wave_sub_boxes(clusters, c_pad, coherent)
+    if sub_boxes is None:
         sub_boxes = boxes
     n = o.shape[0]
     pad = (-n) % W

@@ -24,8 +24,7 @@ from jax.experimental.pallas import tpu as pltpu
 from optix_ray_tracer_tpu.utils.vecmath import INF
 
 BLOCK_RAYS = 128
-# must match ops.sweep.WINDOW_TRIS
-WINDOW_TRIS = 512  # == ops.sweep.CHUNK * WINDOW_CHUNKS
+from optix_ray_tracer_tpu.ops.sweep import WINDOW_TRIS  # CHUNK * WINDOW_CHUNKS
 
 
 def _kernel(win_ids_ref, rays_ref, woop_ref, out_ref):

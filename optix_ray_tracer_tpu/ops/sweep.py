@@ -46,7 +46,9 @@ from optix_ray_tracer_tpu.ops.intersect import (
 from optix_ray_tracer_tpu.scene.geometry import Scene
 from optix_ray_tracer_tpu.utils.vecmath import INF
 
-CHUNK = 512          # triangles per cluster
+CHUNK = 256          # triangles per cluster (post-SAH retune: 256-tri
+                     # clusters beat 512 on BOTH wave classes, PERF.md
+                     # round-3 "cluster-constant re-sweep")
 BLOCK_RAYS = 128     # rays per sweep block
 WINDOW_CHUNKS = 1    # clusters swept per block window
 WINDOW_TRIS = CHUNK * WINDOW_CHUNKS

@@ -49,6 +49,21 @@ class TestMarch:
         np.testing.assert_array_equal(np.asarray(h1.prim_type),
                                       np.asarray(h2.prim_type))
 
+    def test_probe_variant_matches_oracle(self):
+        """The .for_incoherent() variant (probe sort + pair-merged sub
+        boxes, block_march._wave_sub_boxes) stays exact."""
+        scene = _scene(5000, ground=True)
+        mi = make_march_intersector(scene).for_incoherent()
+        rng = np.random.default_rng(13)
+        o = jnp.asarray(rng.uniform(-1, 1, (512, 3)).astype(np.float32))
+        dd = rng.normal(size=(512, 3)).astype(np.float32)
+        dd /= np.linalg.norm(dd, axis=-1, keepdims=True)
+        d = jnp.asarray(dd)
+        h1 = mi(scene, o, d)
+        h2 = intersect_scene_bruteforce(scene, o, d)
+        np.testing.assert_array_equal(np.asarray(h1.prim_id),
+                                      np.asarray(h2.prim_id))
+
     def test_shadow_bounds(self):
         scene = _scene(3000)
         mi = make_march_intersector(scene)

@@ -31,7 +31,8 @@ class TestClusters:
     def test_build_padding(self):
         scene = _mesh_scene(1000)
         cs = build_clusters(np.asarray(scene.triangles.vertices))
-        assert cs.woop.shape[0] % 512 == 0
+        from optix_ray_tracer_tpu.ops.sweep import CHUNK
+        assert cs.woop.shape[0] % CHUNK == 0
         # padded woop rows are zero -> never hit
         assert float(jnp.abs(cs.woop[1000:]).sum()) == 0.0
 
