@@ -194,7 +194,7 @@ def _make_kernel(C_pad: int, n_clusters: int, max_visits: int,
         # ---- cull (row-chunked; see _CULL_ROWS) ----
         _cull_into(entry_ref, boxes_ref, rays, inv_d, tmin,
                    C_pad, n_clusters, W)
-        # second-level (128-tri sub-block) culling is LAZY: computed per
+        # second-level (SUB_TRIS-tri sub-block) culling is LAZY: computed per
         # VISIT from the visited cluster's (n_subs, 8) box block — a block
         # visits ~tens of clusters, so visit-time slab rows total far
         # fewer than the old upfront (C_pad * n_subs, W) matrix, whose
@@ -447,12 +447,15 @@ def _march_call(rays_packed_t, boxes, sub_boxes, woop, c_pad: int,
 
 GROUP = 8   # clusters per supercluster in the hierarchical march
 
-# block_march delegates to the hierarchical kernel at large cluster
-# counts.  Measured crossover (PERF.md round 3): flat wins to ~1000
-# clusters (300k tris: 7.86 vs 6.42 Mrays/s coherent; 500k: 6.39 vs
-# 5.90), hier wins at 1950 (4.50 vs 5.08 coherent, 0.26 vs 0.30
-# incoherent).
-HIER_MIN_CLUSTERS = 1536
+# block_march delegates COHERENT waves to the hierarchical kernel at
+# large cluster counts; incoherent waves stay on the flat kernel at every
+# size (it won both measured points: 2.04 vs 0.77 Mrays/s at 1954
+# clusters, 1.35 vs 0.64 at 3907 — hier's lazy cluster/sub slabs repeat
+# per visit, and incoherent blocks visit many sups).  Coherent crossover
+# re-measured post-SAH at CHUNK=256 (PERF.md round-3 "flat/hier
+# crossover"): flat wins at 1954 clusters (10.60 vs 5.9), hier at 3907
+# (5.8 vs 4.77).
+HIER_MIN_CLUSTERS = 3072
 
 
 def _make_hier_kernel(S_pad: int, C_pad: int, n_clusters: int,
@@ -647,9 +650,11 @@ def block_march_hier(clusters, o, d, t_min, t_max, any_hit: bool = False,
     if sub_boxes is None:
         sub_boxes = boxes
 
-    # the hier cull/pick scratch is (s_pad, W) — s_pad is C/GROUP, so
-    # coherent waves afford the wide blocks at any production C
-    W = choose_block_rays(s_pad, coherent)
+    # W=128 always: wide blocks were measured 2x SLOWER here (1M tris
+    # coherent, W=512: 2.89 vs 5.8 Mrays/s at W=128) — at hier scales the
+    # block's sup-level union grows with W just like the incoherent flat
+    # case, so width only buys sync count it then loses in visits
+    W = BLOCK_RAYS
     n = o.shape[0]
     pad = (-n) % W
     if pad:
@@ -834,10 +839,12 @@ def block_march(clusters, o, d, t_min, t_max, any_hit: bool = False,
             f"clusters = {MAX_CLUSTERS * CLUSTER_TRIS} triangles "
             f"(cost/VMEM bound of the cull; the packed pick additionally "
             f"caps at {1 << _CID_BITS} id bits) — raise CHUNK")
-    if (C >= HIER_MIN_CLUSTERS and block_rays is None
+    if (C >= HIER_MIN_CLUSTERS and coherent and block_rays is None
             and max_visits is None and not report_unresolved):
-        # large scenes: the hierarchical kernel wins once the flat
-        # kernel's O(C) cull/pick dominates (crossover measured on-chip)
+        # large scenes, coherent waves only: the hierarchical kernel wins
+        # once the flat kernel's O(C) cull/pick dominates (crossover
+        # measured on-chip; incoherent waves keep the flat kernel at
+        # every size — see HIER_MIN_CLUSTERS)
         return block_march_hier(clusters, o, d, t_min, t_max,
                                 any_hit=any_hit, coherent=coherent)
     c_pad = ((C + 7) // 8) * 8

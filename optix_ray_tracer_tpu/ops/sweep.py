@@ -255,7 +255,7 @@ def build_clusters(tri_vertices, method: str = "sah") -> ClusterSet:
     """Partition + chunk (host->device; no hierarchy to build).
 
     method: "sah" (default) = leaf-aligned sweep-SAH partition down to
-    SUB_TRIS granularity (clusters AND their 128-tri sub-boxes are
+    SUB_TRIS granularity (clusters AND their SUB_TRIS-tri sub-boxes are
     spatially compact); "morton" = Morton-sort chunking (matches the
     device-side `rebuild_clusters` order exactly)."""
     tv = np.asarray(tri_vertices, np.float32)
@@ -266,9 +266,10 @@ def build_clusters(tri_vertices, method: str = "sah") -> ClusterSet:
     if method == "sah" and n > CHUNK:
         c64 = cents.astype(np.float64)
         order = _sah_chunk_order(c64, CHUNK)
-        # refine WITHIN each full cluster so its 4 contiguous 128-tri
-        # sub-boxes are compact too (sub-cull quality); cluster membership
-        # is already fixed, so this only permutes inside each 512-run
+        # refine WITHIN each full cluster so its SUBS_PER_CLUSTER
+        # contiguous SUB_TRIS-tri sub-boxes are compact too (sub-cull
+        # quality); cluster membership is already fixed, so this only
+        # permutes inside each CHUNK-run
         for s in range(0, n - CHUNK + 1, CHUNK):
             seg = order[s:s + CHUNK]
             order[s:s + CHUNK] = seg[_sah_chunk_order(c64[seg], SUB_TRIS)]
