@@ -34,6 +34,20 @@ class TestMarch:
         np.testing.assert_array_equal(np.asarray(h1.prim_id),
                                       np.asarray(h2.prim_id))
 
+    def test_cluster_cap_is_loud(self, monkeypatch):
+        """Past MAX_CLUSTERS the marcher refuses with a clear error (the
+        VERDICT-r2 #7 'loud ceiling'; cap lowered here so the boundary is
+        exercised at CPU-testable scale)."""
+        from optix_ray_tracer_tpu.ops.pallas import block_march as bm
+
+        scene = _scene(20000)   # 79 clusters at CHUNK=256
+        mi = make_march_intersector(scene)
+        o = jnp.zeros((128, 3), jnp.float32)
+        d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (128, 1))
+        monkeypatch.setattr(bm, "MAX_CLUSTERS", 64)
+        with pytest.raises(ValueError, match="caps at 64 clusters"):
+            mi(scene, o, d)
+
     def test_incoherent_with_spheres(self):
         scene = _scene(5000, ground=True)
         mi = make_march_intersector(scene)
