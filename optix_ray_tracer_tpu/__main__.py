@@ -49,6 +49,10 @@ def main(argv=None) -> int:
     ap.add_argument("--shard", action="store_true",
                     help="tile-shard every animation frame over all "
                          "jax.devices() (multi-chip render loop)")
+    ap.add_argument("--aov", action="store_true",
+                    help="also write albedo/normal guide AOV images next "
+                         "to each output frame (<name>_albedo.png / "
+                         "<name>_normal.png)")
     ap.add_argument("--no-denoise", action="store_true",
                     help="bypass the per-frame denoiser (the reference's "
                          "Tab-key analog)")
@@ -110,6 +114,10 @@ def main(argv=None) -> int:
     # the reference's float4->uchar4 conversion, RendererImpl.cu:672-678)
     # — the PNG writer needs nothing more, and the ~35 MB/s tunnel fetch
     # is the dominant per-frame cost (PERF.md)
+    aov = args.aov
+    if args.shard and aov:
+        LOG.warning("--aov is not supported with --shard; ignoring")
+        aov = False
     if args.shard:
         import jax
 
@@ -127,12 +135,19 @@ def main(argv=None) -> int:
             args.spp or config.spp, mesh, max_frames=args.frames,
             loop=args.loop, quantize=True)
     else:
+        # --aov needs the guide channels on host, which the quantized
+        # uint8 fast path does not carry: fall back to float Films with
+        # fetch_guides (slower fetch, documented in PERF.md)
         frames = frontend.render_frames(
             data, width=args.width, height=args.height, spp=args.spp,
-            max_frames=args.frames, loop=args.loop, quantize=True)
+            max_frames=args.frames, loop=args.loop, quantize=not aov,
+            fetch_guides=aov)
     for fi, k, film in frames:
-        path = os.path.join(out_dir, f"frame_{n:06d}.png")
+        stem = f"frame_{n:06d}"
+        path = os.path.join(out_dir, stem + ".png")
         film.save(path)
+        if aov:
+            film.save_aovs(os.path.join(out_dir, stem))
         LOG.info("file %d frame %d -> %s (spp=%d)", fi, k, path, int(film.spp))
         n += 1
     LOG.info("render finished: %d frames in %.1fs", n, time.time() - t0)
@@ -333,7 +348,7 @@ def _run_progressive(frontend, data, config, args, out_dir) -> int:
     if args.adaptive:
         return _run_progressive_adaptive(
             config, scene, data, intersector, lights, width, height,
-            target_spp, ckpt, out_dir)
+            target_spp, ckpt, out_dir, aov=args.aov)
 
     if os.path.exists(ckpt):
         film = Film.restore(ckpt)
@@ -368,13 +383,15 @@ def _run_progressive(frontend, data, config, args, out_dir) -> int:
         write_png(out, np.asarray(color_to_uint8(img)))
     else:
         film.save(out)
+    if args.aov:
+        film.save_aovs(os.path.join(out_dir, "progressive"))
     LOG.info("progressive render done -> %s", out)
     return 0
 
 
 def _run_progressive_adaptive(config, scene, data, intersector, lights,
                               width, height, target_spp, ckpt,
-                              out_dir) -> int:
+                              out_dir, aov: bool = False) -> int:
     """``--progressive N --adaptive``: same total ray budget as the
     uniform loop (N * npix samples), allocated by per-pixel variance
     (render/adaptive.py; measured 1.2-1.4x lower equal-budget RMSE on
@@ -433,6 +450,10 @@ def _run_progressive_adaptive(config, scene, data, intersector, lights,
         write_png(out, np.asarray(color_to_uint8(img)))
     else:
         film.save(out)
+    if aov:
+        from optix_ray_tracer_tpu.render.film import save_aov_images
+        g_alb, g_nrm = film.guide_means()
+        save_aov_images(os.path.join(out_dir, "progressive"), g_alb, g_nrm)
     LOG.info("adaptive progressive render done -> %s", out)
     return 0
 

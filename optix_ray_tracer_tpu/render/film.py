@@ -24,6 +24,25 @@ import numpy as np
 from optix_ray_tracer_tpu.utils.color import color_to_uint8, write_png, write_ppm
 
 
+def save_aov_images(prefix: str, albedo_mean, normal_mean) -> list[str]:
+    """Write the denoiser guide channels as AOV images:
+    ``<prefix>_albedo.png`` (sRGB-encoded mean albedo) and
+    ``<prefix>_normal.png`` (world-space normals mapped ``(n+1)/2``,
+    stored linearly).
+
+    The reference computes exactly these two buffers every frame as its
+    denoiser guides (``shader/Shader.cu:269-272`` writes albedoBuffer /
+    normalBuffer) but never exposes them; here they double as inspectable
+    product output (CLI ``--aov``).
+    """
+    alb_path, nrm_path = prefix + "_albedo.png", prefix + "_normal.png"
+    write_png(alb_path, np.asarray(color_to_uint8(albedo_mean)))
+    n01 = jnp.clip(jnp.asarray(normal_mean) * 0.5 + 0.5, 0.0, 1.0)
+    write_png(nrm_path, np.asarray(
+        jnp.minimum((n01 * 256.0).astype(jnp.uint32), 255).astype(jnp.uint8)))
+    return [alb_path, nrm_path]
+
+
 @dataclasses.dataclass(frozen=True)
 class U8Frame:
     """A frame quantized to sRGB uint8 ON DEVICE before the host fetch —
@@ -92,6 +111,14 @@ class Film:
             write_ppm(path, img)
         else:
             write_png(path, img)
+
+    def save_aovs(self, prefix: str) -> list[str]:
+        """Write this film's guide channels via :func:`save_aov_images`.
+        Guides are zero unless the render path carried them (see the
+        frontends' ``fetch_guides`` contract)."""
+        inv = 1.0 / jnp.maximum(self.spp.astype(jnp.float32), 1.0)
+        return save_aov_images(prefix, self.albedo_accum * inv,
+                               self.normal_accum * inv)
 
     # ---- checkpoint / resume -------------------------------------------
 

@@ -337,3 +337,105 @@ class TestViewerEndpoints:
             assert 1 in chunks[n0:]               # input -> single frame
         finally:
             srv.stop()
+
+
+def _read_png(path):
+    """Minimal decoder for the PNGs this repo writes (8-bit, filter 0,
+    non-interlaced) — keeps the AOV tests dependency-free."""
+    import struct
+    import zlib
+
+    data = open(path, "rb").read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, idat, w, h, c = 8, b"", 0, 0, 0
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, _bits, ctype = struct.unpack(">IIBB", payload[:10])
+            c = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+        elif tag == b"IDAT":
+            idat += payload
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride = w * c
+    rows = [raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)]
+            for y in range(h)]
+    assert all(raw[y * (stride + 1)] == 0 for y in range(h)), "filter 0 only"
+    return np.frombuffer(b"".join(rows), np.uint8).reshape(h, w, c)
+
+
+class TestAOVExport:
+    """CLI --aov: the reference computes albedo/normal denoiser guides every
+    frame (shader/Shader.cu:269-272) but never exposes them; here they are
+    product output."""
+
+    def test_film_save_aovs_roundtrip(self, tmp_path):
+        import jax.numpy as jnp
+
+        from optix_ray_tracer_tpu.render.film import Film
+        from optix_ray_tracer_tpu.utils.color import color_to_uint8
+
+        alb = jnp.broadcast_to(jnp.asarray([0.25, 0.5, 0.75]), (4, 6, 3))
+        nrm = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (4, 6, 3))
+        film = Film.create(6, 4).add(jnp.zeros((4, 6, 3)), alb, nrm, 2)
+        paths = film.save_aovs(str(tmp_path / "f"))
+        a = _read_png(paths[0])
+        n = _read_png(paths[1])
+        # albedo: sRGB-encoded mean (accumulated 2 samples, divided by spp)
+        expect = np.asarray(color_to_uint8(alb))
+        np.testing.assert_array_equal(a, expect)
+        # normal: (n+1)/2 mapped, z=1 -> 255, x=y=0 -> 128
+        assert n[0, 0, 2] == 255 and n[0, 0, 0] == 128 and n[0, 0, 1] == 128
+
+    def test_cli_animation_aov(self, tmp_path):
+        from optix_ray_tracer_tpu.__main__ import main
+
+        data_dir = tmp_path / "data"
+        data_dir.mkdir()
+        for i in range(2):
+            (data_dir / f"m{i}.vtk").write_text(MESH_VTK)
+        (data_dir / "test.vtk.series").write_text(json.dumps(
+            {"file-series-version": "1.0",
+             "files": [{"name": "m0.vtk", "time": 0.0},
+                       {"name": "m1.vtk", "time": 0.5}]}))
+        cfg = {
+            "mesh": True,
+            "series-path": str(data_dir),
+            "series-name": "test.vtk.series",
+            "cache-path": str(tmp_path / "cache"),
+            "stl-path": str(data_dir),
+            "cache": False,
+            "particle-material-preset": "viridis",
+            "roughs": [{"albedo": [0.7, 0.6, 0.5]}],
+            "metals": [],
+            "spheres": [{"center": [0, 0, 0], "radius": 100.0,
+                         "mat-type": "ROUGH", "mat-index": 0,
+                         "shift": [0, 0, -100.5], "rotate": [0, 0, 0],
+                         "scale": [1, 1, 1]}],
+            "loop-data": {"api": "HEADLESS", "window-width": 32,
+                          "window-height": 24, "fps": 4,
+                          "camera-center": [6, 0, 1],
+                          "camera-target": [0.5, 0.5, 0.25],
+                          "up-direction": [0, 0, 1],
+                          "render-speed-ratio": 1,
+                          "particle-shift": [0, 0, 0],
+                          "particle-scale": [1, 1, 1]},
+        }
+        cfgp = tmp_path / "config.json"
+        cfgp.write_text(json.dumps(cfg))
+        out = tmp_path / "out"
+        rc = main(["--config", str(cfgp), "--frames", "1", "--spp", "1",
+                   "--aov", "--output", str(out)])
+        assert rc == 0
+        beauty = _read_png(out / "frame_000000.png")
+        alb = _read_png(out / "frame_000000_albedo.png")
+        nrm = _read_png(out / "frame_000000_normal.png")
+        assert beauty.shape[:2] == alb.shape[:2] == nrm.shape[:2] == (24, 32)
+        # the guides are REAL (fused path fetched them), not the zero
+        # channels of the quantized fast path
+        assert len(np.unique(alb[..., :3])) > 2
+        assert len(np.unique(nrm[..., :3])) > 2
+        # miss pixels map to normal 0 -> 128; hit pixels differ
+        assert np.any(nrm[..., 2] != nrm[0, 0, 2])
