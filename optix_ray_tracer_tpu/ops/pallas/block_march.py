@@ -93,6 +93,7 @@ def choose_block_rays(n_clusters: int, coherent: bool = True) -> int:
     | 128 | 16.10 | **3.36** |
     | 256 | 19.31 | 3.06 |
     | 512 | **20.54** | 2.34 |
+    | 1024 | 21.96-22.13 vs 22.21 at 512 (post-retune re-check) | — |
 
     Coherent waves share their cluster set, so wider blocks amortize the
     per-visit scalar syncs at no extra visits; incoherent unions grow
