@@ -211,7 +211,7 @@ def _run_viewer(frontend, data, config, args, out_dir) -> int:
 
     render_chunk_fn = None
     if data.file_count and not DEBUG_MODE and data.update_fn is None and \
-            schedule:
+            schedule and config.integrator != "restir":
         import jax.numpy as jnp
 
         from optix_ray_tracer_tpu.models import fused
@@ -404,6 +404,12 @@ def _run_progressive_adaptive(config, scene, data, intersector, lights,
     from optix_ray_tracer_tpu.utils.logging import LOG
 
     npix = width * height
+    if config.integrator == "restir":
+        # adaptive traces arbitrary pixel SUBSETS; restir's spatial reuse
+        # needs full image-structured frames — refuse loudly
+        raise SystemExit(
+            "--adaptive supports integrator 'whitted' or 'path'; "
+            "'restir' renders full frames (drop --adaptive)")
     integrator = "path" if config.integrator == "path" else "whitted"
     kw = dict(seed=config.seed, background=config.background,
               max_depth=config.max_depth, intersector=intersector,

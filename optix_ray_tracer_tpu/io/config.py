@@ -104,9 +104,10 @@ class RendererConfig:
     background: tuple = (0.7, 0.8, 0.9)
     seed: int = 0
     output_dir: str = "./out"
-    # integrator: "whitted" (reference parity, background-lit) or "path"
+    # integrator: "whitted" (reference parity, background-lit), "path"
     # (NEE+MIS path tracer with area lights auto-collected from EMISSIVE
-    # materials)
+    # materials), or "restir" (ReSTIR DI — reservoir-resampled DIRECT
+    # lighting, one shadow ray/pixel/sample; needs emissive materials)
     integrator: str = "whitted"
     # denoise every frame like the reference hot loop (RendererImpl.cu:
     # 680-734); the CLI --no-denoise flag is the Tab-bypass analog
@@ -200,9 +201,9 @@ def parse_config_dict(data: dict, base_dir: str = ".") -> RendererConfig:
                 f"'sampler' must be 'pcg' or 'sobol', got '{sampler}'")
 
         integrator = str(data.get("integrator", "whitted"))
-        if integrator not in ("whitted", "path"):
+        if integrator not in ("whitted", "path", "restir"):
             raise ConfigError(
-                f"unknown integrator '{integrator}' (whitted|path)")
+                f"unknown integrator '{integrator}' (whitted|path|restir)")
 
         dielectrics = [float(d_.get("ior", 1.5))
                        for d_ in data.get("dielectrics", [])]

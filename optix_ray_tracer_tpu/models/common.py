@@ -278,6 +278,22 @@ def render_frame(config: RendererConfig, scene, materials, camera,
             env=env, textures=textures,
             sampler=getattr(config, "sampler", "pcg"),
             sample_offset=sample_offset)
+    elif config.integrator == "restir":
+        # ReSTIR DI: direct lighting only, one shadow ray per pixel per
+        # sample, reservoir state carried across the spp samples
+        # (render/restir.py).  sample_offset folds into the seed so
+        # progressive batches draw fresh candidate streams.
+        from optix_ray_tracer_tpu.render import restir
+        if lights is None or lights.count == 0:
+            raise ValueError(
+                "integrator 'restir' needs emissive materials in the "
+                "scene (it resamples area-light candidates)")
+        img, alb, nrm = restir.render_restir_progressive(
+            scene, materials, lights, camera, width=width, height=height,
+            spp=spp, seed=seed ^ (int(sample_offset) * 0x9E3779B9),
+            background=config.background, intersector=intersector,
+            env=env, textures=textures,
+            sampler=getattr(config, "sampler", "pcg"))
     else:
         img, alb, nrm = wavefront.render(
             scene, materials, camera, width, height, spp=spp, seed=seed,
@@ -327,9 +343,10 @@ def resolve_denoiser(config) -> str:
 
 
 def collect_lights(config: RendererConfig, scene, materials):
-    """Area lights for the path integrator, auto-collected from EMISSIVE
-    triangles (static extras; particle ramp materials are never emissive)."""
-    if config.integrator != "path":
+    """Area lights for the path/restir integrators, auto-collected from
+    EMISSIVE triangles (static extras; particle ramp materials are never
+    emissive)."""
+    if config.integrator not in ("path", "restir"):
         return None
     from optix_ray_tracer_tpu.scene.lights import collect_area_lights
     return collect_area_lights(scene, materials)

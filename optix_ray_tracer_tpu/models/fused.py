@@ -131,6 +131,13 @@ def fused_chunk(fd, ks, seeds, base_inter, materials, camera,
     from optix_ray_tracer_tpu.ops.march import refit_march_intersector
     from optix_ray_tracer_tpu.render import pathtracer, wavefront
 
+    if integrator not in ("whitted", "path"):
+        # restir renders per-frame (frontends route it there); anything
+        # else reaching the fused scan is a wiring bug — fail loudly
+        # instead of silently rendering whitted
+        raise ValueError(f"fused_chunk supports whitted|path, "
+                         f"got integrator={integrator!r}")
+
     if mesh is not None:
         n_tile = mesh.shape["tile"]
         n_sample = mesh.shape["sample"]

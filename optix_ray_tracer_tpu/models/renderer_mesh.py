@@ -236,10 +236,13 @@ def render_frames(data: MeshRendererData, width: int | None = None,
     spp = spp or cfg.spp
 
     from optix_ray_tracer_tpu.utils.debug import DEBUG_MODE
-    if data.update_fn is None and not DEBUG_MODE and data.file_count:
+    if (data.update_fn is None and not DEBUG_MODE and data.file_count
+            and cfg.integrator != "restir"):
         # fused path: refit+render+denoise for a whole frame chunk in one
         # dispatch (models/fused.py) — the per-frame host loop below pays
-        # the ~6 ms dispatch floor several times per frame
+        # the ~6 ms dispatch floor several times per frame.  The restir
+        # integrator renders per-frame (reservoir state lives in
+        # common.render_frame's progressive scan, not the fused scan).
         from optix_ray_tracer_tpu.models import fused
         yield from fused.render_frames_fused(
             data, "mesh", fused.mesh_file_data, width, height, spp,

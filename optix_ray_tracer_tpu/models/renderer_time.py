@@ -306,12 +306,14 @@ def render_frames(data: TimeRendererData, width: int | None = None,
 
     from optix_ray_tracer_tpu.utils.debug import DEBUG_MODE
     if (data.update_fn is None and not DEBUG_MODE and data.file_count
-            and data.library.num_shapes > 0):
+            and data.library.num_shapes > 0
+            and cfg.integrator != "restir"):
         # fused path: refit+render+denoise for a whole frame chunk in one
         # dispatch (models/fused.py) — the per-frame host loop below pays
         # the ~6 ms dispatch floor several times per frame.  Empty shape
         # libraries stay on the per-frame path, which has the explicit
-        # Triangles.empty() branch (frame_scene above).
+        # Triangles.empty() branch (frame_scene above); restir renders
+        # per-frame too (its reservoir scan lives in common.render_frame).
         from optix_ray_tracer_tpu.models import fused
         yield from fused.render_frames_fused(
             data, "time", fused.time_file_data, width, height, spp,
