@@ -77,25 +77,53 @@ def empty_reservoir_state(width: int, height: int) -> dict:
     )
 
 
-def _sample_point(lights: AreaLights, li, u2, u3):
-    """Reconstruct the stored light sample: point + emitted + normal.
-    (li, u2, u3) is the portable encoding — re-evaluable at ANY pixel."""
-    v0 = lights.v0[li]
+# below this light count, per-candidate table rows come from a one-hot
+# matmul (MXU) instead of a row gather — measured faster on-chip, and
+# either way the SIX per-field gathers consolidate into ONE row lookup
+# (the gathers, not the math, dominated the measured candidate cost)
+DENSE_LOOKUP_MAX = 128
+
+
+def _pack_lights(lights: AreaLights):
+    """(L, 16) row-packed light table: v0|e1|e2|normal|emission|pdf_scale.
+    One lookup per candidate replaces six per-field gathers."""
+    return jnp.concatenate(
+        [lights.v0, lights.e1, lights.e2, lights.normal, lights.emission,
+         lights.pdf_scale[:, None]], axis=1)
+
+
+def _lookup(packed, li):
+    """Row(s) ``li`` of the packed table — one-hot matmul for small
+    tables (pointer-chasing is the measured bottleneck on this part,
+    PERF.md ~5 GB/s gather ceiling; the MXU is idle here), single gather
+    otherwise."""
+    L = packed.shape[0]
+    if L <= DENSE_LOOKUP_MAX:
+        oh = (li[..., None] == jnp.arange(L, dtype=li.dtype)
+              ).astype(packed.dtype)
+        return oh @ packed
+    return packed[li]
+
+
+def _sample_point_row(row, u2, u3):
+    """Reconstruct the stored light sample from its packed table row:
+    point + emitted + normal.  (li, u2, u3) is the portable encoding —
+    re-evaluable at ANY pixel."""
     su = jnp.sqrt(jnp.maximum(u2, 1e-12))[..., None]
     b1 = 1.0 - su
     b2 = u3[..., None] * su
-    y = v0 + b1 * lights.e1[li] + b2 * lights.e2[li]
-    return y, lights.emission[li], lights.normal[li]
+    y = row[..., 0:3] + b1 * row[..., 3:6] + b2 * row[..., 6:9]
+    return y, row[..., 12:15], row[..., 9:12]
 
 
-def _phat(lights: AreaLights, li, u2, u3, point, n_unit, albedo):
+def _phat_row(row, u2, u3, point, n_unit, albedo):
     """Target function of a stored sample at a shading point, in AREA
     measure: phat = luminance(f * Le * cos_s * |cos_l| / d^2).
 
     Returns (phat, rgb contribution, direction, distance) — rgb is the
     full integrand so ``shade`` only multiplies by W and visibility.
     """
-    y, le, ln = _sample_point(lights, li, u2, u3)
+    y, le, ln = _sample_point_row(row, u2, u3)
     to = y - point
     d2 = length_squared(to)
     dist = jnp.sqrt(jnp.maximum(d2, 1e-20))
@@ -107,26 +135,34 @@ def _phat(lights: AreaLights, li, u2, u3, point, n_unit, albedo):
     return luminance(rgb), rgb, w, dist
 
 
-def _initial_candidates(lights: AreaLights, point, n_unit, albedo, active,
-                        pixel_id, frame, seed, m_candidates: int,
+def _initial_candidates(lights: AreaLights, packed, point, n_unit, albedo,
+                        active, pixel_id, frame, seed, m_candidates: int,
                         sampler: str = "pcg"):
     """Streaming weighted-reservoir sampling over M CDF-drawn candidates.
 
     Returns (li, u2, u3, wsum) of the winning sample; candidate pdfs are
-    in area measure (``lights.pdf_scale`` = P(select)/area), matching
-    ``_phat``'s measure, so w_i = phat_i / p_i needs no solid-angle
-    conversion.
+    in area measure (``lights.pdf_scale`` = P(select)/area, packed col
+    15), matching ``_phat_row``'s measure, so w_i = phat_i / p_i needs no
+    solid-angle conversion.
     """
     nl = lights.count
+    cdf = lights.cdf
 
     def step(carry, ci):
         y_li, y_u2, y_u3, wsum = carry
         u1, u2, u3, u4 = rng.uniform4(pixel_id, frame, ci,
                                       seed ^ _DIM_CAND, sampler)
-        li = jnp.clip(jnp.searchsorted(lights.cdf, u1).astype(jnp.int32),
-                      0, nl - 1)
-        phat, _, _, _ = _phat(lights, li, u2, u3, point, n_unit, albedo)
-        p = lights.pdf_scale[li]
+        if nl <= DENSE_LOOKUP_MAX:
+            # dense searchsorted: a (R, L) compare + row-sum beats the
+            # gather-based binary search at small L (same regime as the
+            # one-hot lookup)
+            li = jnp.sum(u1[..., None] > cdf, axis=-1).astype(jnp.int32)
+        else:
+            li = jnp.searchsorted(cdf, u1).astype(jnp.int32)
+        li = jnp.clip(li, 0, nl - 1)
+        row = _lookup(packed, li)
+        phat, _, _, _ = _phat_row(row, u2, u3, point, n_unit, albedo)
+        p = row[..., 15]
         w = jnp.where(active & (p > 0.0), phat / jnp.maximum(p, 1e-30), 0.0)
         new_wsum = wsum + w
         take = u4 * jnp.maximum(new_wsum, 1e-30) < w
@@ -140,15 +176,16 @@ def _initial_candidates(lights: AreaLights, point, n_unit, albedo, active,
     return li, u2, u3, wsum
 
 
-def _finalize_w(lights, li, u2, u3, wsum, m, point, n_unit, albedo):
+def _finalize_w(packed, li, u2, u3, wsum, m, point, n_unit, albedo):
     """Contribution weight W = wsum / (m * phat(y)) — the RIS estimator's
     1/pdf proxy for the winning sample."""
-    phat, _, _, _ = _phat(lights, li, u2, u3, point, n_unit, albedo)
+    phat, _, _, _ = _phat_row(_lookup(packed, li), u2, u3, point, n_unit,
+                              albedo)
     ok = (phat > 0.0) & (m > 0.0)
     return jnp.where(ok, wsum / jnp.maximum(m * phat, 1e-30), 0.0)
 
 
-def _combine(lights, dst, srcs, point, n_unit, albedo, pixel_id, frame,
+def _combine(packed, dst, srcs, point, n_unit, albedo, pixel_id, frame,
              seed, sampler="pcg"):
     """Merge reservoirs at the DESTINATION pixel (Bitterli Alg. 4).
 
@@ -157,13 +194,14 @@ def _combine(lights, dst, srcs, point, n_unit, albedo, pixel_id, frame,
     makes a neighbor's (or last frame's) winner usable here.
     """
     d_li, d_u2, d_u3, d_W, d_m, d_valid = dst
-    phat_d, _, _, _ = _phat(lights, d_li, d_u2, d_u3, point, n_unit, albedo)
+    phat_d, _, _, _ = _phat_row(_lookup(packed, d_li), d_u2, d_u3, point,
+                                n_unit, albedo)
     wsum = jnp.where(d_valid, phat_d * d_W * d_m, 0.0)
     m_tot = jnp.where(d_valid, d_m, 0.0)
     y_li, y_u2, y_u3 = d_li, d_u2, d_u3
     for tap, (s_li, s_u2, s_u3, s_W, s_m, s_valid) in enumerate(srcs):
-        phat_s, _, _, _ = _phat(lights, s_li, s_u2, s_u3, point, n_unit,
-                                albedo)
+        phat_s, _, _, _ = _phat_row(_lookup(packed, s_li), s_u2, s_u3,
+                                    point, n_unit, albedo)
         w = jnp.where(s_valid, phat_s * s_W * s_m, 0.0)
         wsum = wsum + w
         u = rng.uniform4(pixel_id, frame, jnp.int32(tap),
@@ -173,7 +211,7 @@ def _combine(lights, dst, srcs, point, n_unit, albedo, pixel_id, frame,
         y_u2 = jnp.where(take, s_u2, y_u2)
         y_u3 = jnp.where(take, s_u3, y_u3)
         m_tot = m_tot + jnp.where(s_valid, s_m, 0.0)
-    W = _finalize_w(lights, y_li, y_u2, y_u3, wsum, m_tot, point, n_unit,
+    W = _finalize_w(packed, y_li, y_u2, y_u3, wsum, m_tot, point, n_unit,
                     albedo)
     return y_li, y_u2, y_u3, W, m_tot
 
@@ -247,11 +285,12 @@ def render_restir(scene: Scene, materials: MaterialTable,
     normal_g = jnp.where(hit.is_hit[..., None], n_unit, 0.0)
 
     # ---- initial candidates (RIS) -----------------------------------------
+    packed = _pack_lights(lights)
     li, u2, u3, wsum = _initial_candidates(
-        lights, point, n_unit, albedo, active, pixel_id, frame, seed,
-        m_candidates, sampler)
+        lights, packed, point, n_unit, albedo, active, pixel_id, frame,
+        seed, m_candidates, sampler)
     m = jnp.where(active, jnp.float32(m_candidates), 0.0)
-    W = _finalize_w(lights, li, u2, u3, wsum, m, point, n_unit, albedo)
+    W = _finalize_w(packed, li, u2, u3, wsum, m, point, n_unit, albedo)
 
     # image-shaped views for the reuse passes
     def im(x):
@@ -311,14 +350,14 @@ def render_restir(scene: Scene, materials: MaterialTable,
 
     if srcs:
         li2, u22, u32, W2, m2 = _combine(
-            lights, (li2, u22, u32, W2, m2, act2), srcs, point2, n2, alb2,
+            packed, (li2, u22, u32, W2, m2, act2), srcs, point2, n2, alb2,
             pid2, frame, seed, sampler)
 
     # ---- shade the winner: ONE shadow ray per pixel ------------------------
     lif, u2f, u3f = li2.reshape(-1), u22.reshape(-1), u32.reshape(-1)
     Wf = W2.reshape(-1)
-    phat_y, rgb, wdir, dist = _phat(lights, lif, u2f, u3f, point, n_unit,
-                                    albedo)
+    phat_y, rgb, wdir, dist = _phat_row(_lookup(packed, lif), u2f, u3f,
+                                        point, n_unit, albedo)
     live = active & (Wf > 0.0) & (phat_y > 0.0)
     occluded = incoh.any_hit(
         scene, point + n_unit * 1e-3, wdir,
@@ -327,7 +366,11 @@ def render_restir(scene: Scene, materials: MaterialTable,
                        0.0)
 
     img = (base + direct).reshape(height, width, 3)
-    new_state = dict(li=li2, u2=u22, u3=u32, W=W2,
+    # visibility reuse (free — the winner's shadow ray is already paid):
+    # a winner proven occluded is stored with W=0, so history and
+    # neighbors never adopt a sample this pixel knows is shadowed
+    W_store = jnp.where(occluded, 0.0, Wf).reshape(height, width)
+    new_state = dict(li=li2, u2=u22, u3=u32, W=W_store,
                      m=jnp.where(act2, m2, 0.0),
                      t=jnp.where(act2, t2, INF), normal=n2)
     return (img, albedo_g.reshape(height, width, 3),
