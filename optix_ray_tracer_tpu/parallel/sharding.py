@@ -213,6 +213,95 @@ def render_path_sharded(scene, materials, lights, camera, width: int,
     return img
 
 
+@partial(jax.jit, static_argnames=("width", "height", "mesh",
+                                   "m_candidates", "spatial_taps",
+                                   "spatial_radius", "sampler"))
+def render_restir_sharded(scene, materials, lights, camera, width: int,
+                          height: int, mesh: Mesh, seed=0, frame=0,
+                          state=None, prev_camera=None,
+                          m_candidates: int = 16, spatial_taps: int = 2,
+                          spatial_radius: int = 16, intersector=None,
+                          background=(0.0, 0.0, 0.0), env=None,
+                          textures=None, sampler: str = "pcg"):
+    """ReSTIR DI (render/restir.py) over the ``tile`` axis of the mesh.
+
+    Hybrid sharding, chosen to fit what each stage IS: the two RAY
+    stages (primary intersect, winner shadow ray) run under ``shard_map``
+    in row bands because the Pallas block-march kernel cannot be
+    auto-partitioned; the resample/reuse math between them is pure lane
+    arithmetic plus small image gathers, so it runs as ONE global
+    program and GSPMD partitions it — spatial taps that cross band edges
+    and the anywhere-to-anywhere temporal reprojection gathers become
+    XLA collectives automatically instead of hand-rolled halo exchanges.
+
+    Exact under any tile count: RNG keys off global pixel ids and every
+    arithmetic op is per-pixel, so image AND new reservoir state match
+    :func:`render_restir` bit-for-bit (tests/test_sharding.py).  ReSTIR
+    is one sample/pixel/frame by construction, so there is no sample
+    axis to shard (use temporal frames or
+    ``render_restir_progressive`` for more rays).
+    """
+    from optix_ray_tracer_tpu.render import restir as R
+
+    n_tile = mesh.shape["tile"]
+    if mesh.shape.get("sample", 1) != 1:
+        raise ValueError("restir renders 1 sample/pixel/frame: use a "
+                         "tile-only mesh (sample axis must be 1)")
+    if height % n_tile != 0:
+        raise ValueError(f"height {height} not divisible by tile={n_tile}")
+    if lights is None or lights.count == 0:
+        raise ValueError("render_restir needs a non-empty light table")
+    rows_per = height // n_tile
+    band = rows_per * width
+
+    if intersector is None:
+        from optix_ray_tracer_tpu.ops.traverse import BruteForceIntersector
+        intersector = BruteForceIntersector()
+    incoh = getattr(intersector, "for_incoherent", lambda: intersector)()
+    background = jnp.asarray(background, jnp.float32)
+    frame = jnp.asarray(frame, jnp.int32)
+    from optix_ray_tracer_tpu.utils.vecmath import INF
+
+    def primary(scene, camera, intersector):
+        tile_idx = jax.lax.axis_index("tile")
+        pid = (tile_idx * band
+               + jnp.arange(band, dtype=jnp.int32)).astype(jnp.int32)
+        o, d = camera.generate_rays_for_pixels(pid, width, height)
+        hit = intersector.intersect(scene, o, d,
+                                    t_max=jnp.full((band,), INF))
+        return o, d, hit
+
+    o, d, hit = jax.shard_map(
+        primary, mesh=mesh, in_specs=(P(), P(), P()),
+        out_specs=(P("tile", None), P("tile", None), P("tile")),
+        check_vma=False)(scene, camera, intersector)
+
+    point, n_unit, albedo, active, base, albedo_g, normal_g = R._gbuffer(
+        scene, materials, o, d, hit, textures, env, background)
+
+    packed = R._pack_lights(lights)
+    li2, u22, u32, W2, m2, act2, t2, n2 = R._resample(
+        lights, packed, point, n_unit, albedo, active, hit.t, width,
+        height, frame, seed, state, camera, prev_camera, m_candidates,
+        spatial_taps, spatial_radius, sampler)
+
+    rgb, wdir, dist, live, Wf = R._shade_terms(
+        packed, li2, u22, u32, W2, point, n_unit, albedo, active)
+
+    def shadow(scene, incoh, origin, wdir, t_max):
+        return incoh.any_hit(scene, origin, wdir, t_min=1e-4, t_max=t_max)
+
+    occluded = jax.shard_map(
+        shadow, mesh=mesh,
+        in_specs=(P(), P(), P("tile", None), P("tile", None), P("tile")),
+        out_specs=P("tile"), check_vma=False)(
+        scene, incoh, point + n_unit * 1e-3, wdir,
+        jnp.where(live, dist - 2e-3, 0.0))
+
+    return R._compose(base, rgb, Wf, live, occluded, li2, u22, u32, m2,
+                      act2, t2, n2, albedo_g, normal_g, width, height)
+
+
 def broadcast_scene(scene_host):
     """Multi-host scene distribution: device_put the host scene once per
     process (DCN broadcast analog).  On a single host this is a plain

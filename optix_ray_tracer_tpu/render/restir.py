@@ -260,12 +260,34 @@ def render_restir(scene: Scene, materials: MaterialTable,
     frame = jnp.asarray(frame, jnp.int32)
 
     npix = width * height
-    pixel_id = jnp.arange(npix, dtype=jnp.int32)
     o, d = camera.generate_rays(width, height)
     o = o.reshape(-1, 3)
     d = d.reshape(-1, 3)
     hit = intersector.intersect(scene, o, d, t_max=jnp.full((npix,), INF))
 
+    point, n_unit, albedo, active, base, albedo_g, normal_g = _gbuffer(
+        scene, materials, o, d, hit, textures, env, background)
+
+    packed = _pack_lights(lights)
+    li2, u22, u32, W2, m2, act2, t2, n2 = _resample(
+        lights, packed, point, n_unit, albedo, active, hit.t, width,
+        height, frame, seed, state, camera, prev_camera, m_candidates,
+        spatial_taps, spatial_radius, sampler)
+
+    # ---- shade the winner: ONE shadow ray per pixel ------------------------
+    rgb, wdir, dist, live, Wf = _shade_terms(packed, li2, u22, u32, W2,
+                                             point, n_unit, albedo, active)
+    occluded = incoh.any_hit(
+        scene, point + n_unit * 1e-3, wdir,
+        t_min=1e-4, t_max=jnp.where(live, dist - 2e-3, 0.0))
+    return _compose(base, rgb, Wf, live, occluded, li2, u22, u32, m2,
+                    act2, t2, n2, albedo_g, normal_g, width, height)
+
+
+def _gbuffer(scene, materials, o, d, hit, textures, env, background):
+    """Shading inputs at the primary hits — pure lane math + table
+    gathers, no rays.  Shared by :func:`render_restir` and the sharded
+    path (``parallel.sharding.render_restir_sharded``)."""
     point, normal, _, material_id = isect.shading_frame(scene, o, d, hit)
     n_unit = normalize(normal)
     mtype, albedo, _, emission = materials.gather(material_id)
@@ -283,9 +305,22 @@ def render_restir(scene: Scene, materials: MaterialTable,
                          jnp.where(is_emitter[..., None], emission, albedo),
                          0.0)
     normal_g = jnp.where(hit.is_hit[..., None], n_unit, 0.0)
+    return point, n_unit, albedo, active, base, albedo_g, normal_g
 
+
+def _resample(lights, packed, point, n_unit, albedo, active, t, width,
+              height, frame, seed, state, camera, prev_camera,
+              m_candidates, spatial_taps, spatial_radius, sampler):
+    """Initial candidates + temporal/spatial reuse + combine — everything
+    between the G-buffer and the winner's shadow ray.  Pure lane math and
+    small image gathers (no rays), so the sharded path runs it as ONE
+    global program and lets GSPMD partition it.
+
+    Returns image-shaped winner grids ``(li2, u22, u32, W2, m2)`` plus
+    the validation taps ``(act2, t2, n2)`` the new state needs.
+    """
+    pixel_id = jnp.arange(width * height, dtype=jnp.int32)
     # ---- initial candidates (RIS) -----------------------------------------
-    packed = _pack_lights(lights)
     li, u2, u3, wsum = _initial_candidates(
         lights, packed, point, n_unit, albedo, active, pixel_id, frame,
         seed, m_candidates, sampler)
@@ -298,7 +333,7 @@ def render_restir(scene: Scene, materials: MaterialTable,
 
     li2, u22, u32, W2, m2 = im(li), im(u2), im(u3), im(W), im(m)
     point2, n2, alb2 = im(point), im(n_unit), im(albedo)
-    t2, act2 = im(hit.t), im(active)
+    t2, act2 = im(t), im(active)
     pid2 = im(pixel_id)
 
     srcs = []
@@ -353,18 +388,26 @@ def render_restir(scene: Scene, materials: MaterialTable,
             packed, (li2, u22, u32, W2, m2, act2), srcs, point2, n2, alb2,
             pid2, frame, seed, sampler)
 
-    # ---- shade the winner: ONE shadow ray per pixel ------------------------
+    return li2, u22, u32, W2, m2, act2, t2, n2
+
+
+def _shade_terms(packed, li2, u22, u32, W2, point, n_unit, albedo, active):
+    """Winner evaluation at the shading point: the full RGB integrand,
+    shadow-ray direction/extent, and the live mask — everything the final
+    occlusion query and :func:`_compose` need."""
     lif, u2f, u3f = li2.reshape(-1), u22.reshape(-1), u32.reshape(-1)
     Wf = W2.reshape(-1)
     phat_y, rgb, wdir, dist = _phat_row(_lookup(packed, lif), u2f, u3f,
                                         point, n_unit, albedo)
     live = active & (Wf > 0.0) & (phat_y > 0.0)
-    occluded = incoh.any_hit(
-        scene, point + n_unit * 1e-3, wdir,
-        t_min=1e-4, t_max=jnp.where(live, dist - 2e-3, 0.0))
+    return rgb, wdir, dist, live, Wf
+
+
+def _compose(base, rgb, Wf, live, occluded, li2, u22, u32, m2, act2, t2,
+             n2, albedo_g, normal_g, width, height):
+    """Final image + new reservoir state from the shadow-ray verdict."""
     direct = jnp.where((live & ~occluded)[..., None], rgb * Wf[..., None],
                        0.0)
-
     img = (base + direct).reshape(height, width, 3)
     # visibility reuse (free — the winner's shadow ray is already paid):
     # a winner proven occluded is stored with W=0, so history and

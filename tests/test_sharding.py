@@ -175,6 +175,86 @@ class TestMarchSharding:
                                        err_msg=f"mesh ({tile},{sample})")
 
 
+class TestReSTIRSharded:
+    """render_restir_sharded: the hybrid shard_map(rays) + GSPMD(resample)
+    pipeline matches render_restir exactly — image AND carried reservoir
+    state — under every tile count, including cross-band spatial taps and
+    temporal reprojection."""
+
+    @staticmethod
+    def _light_scene():
+        from optix_ray_tracer_tpu.scene.lights import collect_area_lights
+
+        mb = MaterialBuilder()
+        floor_m = mb.add_rough((0.7, 0.7, 0.7))
+        em = mb.add_emissive((25.0, 22.0, 18.0))
+        em2 = mb.add_emissive((2.0, 6.0, 9.0))
+        quads = []
+
+        def quad(cx, cy, z, half):
+            a = [cx - half, cy - half, z]; b = [cx + half, cy - half, z]
+            c = [cx + half, cy + half, z]; d = [cx - half, cy + half, z]
+            return [[a, b, c], [a, c, d]]
+
+        verts = quad(0.0, 0.0, 0.0, 4.0); mats = [floor_m, floor_m]
+        verts += quad(-1.0, 0.5, 2.0, 0.25); mats += [em, em]
+        verts += quad(1.2, -0.8, 2.0, 0.3); mats += [em2, em2]
+        v = np.asarray(verts, np.float32)
+        n = np.zeros_like(v); n[:, :, 2] = 1.0
+        scene = Scene(spheres=Spheres.empty(),
+                      triangles=Triangles.from_arrays(
+                          v, n, np.asarray(mats, np.int32)))
+        materials = mb.build()
+        lights = collect_area_lights(scene, materials)
+        cam = Camera.look_at((0.0, 0.0, 7.0), (0.0, 0.0, 6.0),
+                             (0.0, 1.0, 0.0))
+        return scene, materials, lights, cam
+
+    def test_matches_single_device(self):
+        from optix_ray_tracer_tpu.parallel.sharding import (
+            render_restir_sharded,
+        )
+        from optix_ray_tracer_tpu.render import restir
+
+        scene, materials, lights, cam = self._light_scene()
+        # two frames: frame 1 exercises temporal reprojection + spatial
+        # taps ACROSS band boundaries (radius 16 on 6-row bands at tile=4)
+        ref_state = restir.empty_reservoir_state(W, H)
+        refs = []
+        for f in range(2):
+            img, alb, nrm, ref_state = restir.render_restir(
+                scene, materials, lights, cam, W, H, seed=3, frame=f,
+                state=ref_state, m_candidates=8, spatial_taps=2,
+                spatial_radius=16)
+            refs.append(np.asarray(img))
+
+        for tile in (4, 8):
+            mesh = make_mesh(tile=tile, sample=1)
+            st = restir.empty_reservoir_state(W, H)
+            for f in range(2):
+                img, alb, nrm, st = render_restir_sharded(
+                    scene, materials, lights, cam, W, H, mesh, seed=3,
+                    frame=f, state=st, m_candidates=8, spatial_taps=2,
+                    spatial_radius=16)
+                np.testing.assert_allclose(
+                    np.asarray(img), refs[f], atol=1e-6,
+                    err_msg=f"tile={tile} frame={f}")
+            for k in ref_state:
+                np.testing.assert_allclose(
+                    np.asarray(st[k]), np.asarray(ref_state[k]), atol=1e-6,
+                    err_msg=f"state[{k}] tile={tile}")
+
+    def test_rejects_sample_axis(self):
+        from optix_ray_tracer_tpu.parallel.sharding import (
+            render_restir_sharded,
+        )
+        scene, materials, lights, cam = self._light_scene()
+        mesh = make_mesh(tile=2, sample=2)
+        with pytest.raises(ValueError, match="sample"):
+            render_restir_sharded(scene, materials, lights, cam, W, H,
+                                  mesh, seed=3)
+
+
 def _reference_time_data():
     import json
     import os
