@@ -183,7 +183,26 @@ def _run_viewer(frontend, data, config, args, out_dir) -> int:
         schedule.extend((fi, k, n_frames) for k in range(n_frames))
 
     state = {"step": 0, "intersector": None, "key": None, "lights": None,
-             "fd": None}
+             "fd": None, "rstate": None, "prev_camera": None, "vframe": 0}
+
+    if config.integrator == "restir":
+        # interactive ReSTIR: reservoirs PERSIST across viewer frames, so
+        # every frame after the first resamples against the full temporal
+        # history — the fly camera is handled by prev-frame reprojection
+        # and animation steps by the depth/normal reuse rejection (no
+        # reset needed).  This is the regime ReSTIR was designed for
+        # (Bitterli 2020 targets interactive many-light rendering).
+        import jax
+
+        from optix_ray_tracer_tpu.render import restir as restir_mod
+
+        restir_step = jax.jit(
+            lambda scene, mats, lights, cam, prev_cam, st, f, inter, env,
+            tex: restir_mod.render_restir(
+                scene, mats, lights, cam, width, height,
+                seed=config.seed, frame=f, state=st, prev_camera=prev_cam,
+                intersector=inter, background=config.background, env=env,
+                textures=tex, sampler=getattr(config, "sampler", "pcg")))
 
     def render_fn(camera, denoise_on=True, animate=False,
                   filter_name=None):
@@ -200,13 +219,29 @@ def _run_viewer(frontend, data, config, args, out_dir) -> int:
         if state["lights"] is None:
             state["lights"] = common.collect_lights(config, scene,
                                                     data.materials)
-        img, _, _ = common.render_frame(
-            config, scene, data.materials, camera, width, height,
-            spp=args.spp or 1, seed=config.seed,
-            intersector=state["intersector"], env=data.env,
-            textures=data.textures, lights=state["lights"],
-            denoise_override=denoise_on and config.denoise,
-            denoiser_override=filter_name)
+        if config.integrator == "restir":
+            if state["rstate"] is None:
+                state["rstate"] = restir_mod.empty_reservoir_state(
+                    width, height)
+            img, alb, nrm, state["rstate"] = restir_step(
+                scene, data.materials, state["lights"], camera,
+                state["prev_camera"] or camera, state["rstate"],
+                state["vframe"], state["intersector"], data.env,
+                data.textures)
+            state["prev_camera"] = camera
+            state["vframe"] += 1
+            img = common.apply_denoiser(
+                img, alb, nrm, config,
+                denoise_override=denoise_on and config.denoise,
+                denoiser_override=filter_name)
+        else:
+            img, _, _ = common.render_frame(
+                config, scene, data.materials, camera, width, height,
+                spp=args.spp or 1, seed=config.seed,
+                intersector=state["intersector"], env=data.env,
+                textures=data.textures, lights=state["lights"],
+                denoise_override=denoise_on and config.denoise,
+                denoiser_override=filter_name)
         return np.asarray(color_to_uint8(img))
 
     render_chunk_fn = None

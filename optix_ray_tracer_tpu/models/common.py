@@ -301,6 +301,15 @@ def render_frame(config: RendererConfig, scene, materials, camera,
             intersector=intersector, env=env,
             sampler=getattr(config, "sampler", "pcg"),
             sample_offset=sample_offset)
+    img = apply_denoiser(img, alb, nrm, config, denoise_override,
+                         denoiser_override)
+    return img, alb, nrm
+
+
+def apply_denoiser(img, alb, nrm, config, denoise_override=None,
+                   denoiser_override=None):
+    """The denoiser tail of :func:`render_frame`, reusable by callers
+    that drive an integrator directly (the viewer's ReSTIR path)."""
     do_denoise = (config.denoise if denoise_override is None
                   else denoise_override)
     if denoiser_override is not None:
@@ -317,7 +326,7 @@ def render_frame(config: RendererConfig, scene, materials, camera,
     elif do_denoise:
         from optix_ray_tracer_tpu.render.denoise import denoise
         img = denoise(img, alb, nrm)
-    return img, alb, nrm
+    return img
 
 
 _warned_no_weights = False

@@ -366,6 +366,85 @@ def _read_png(path):
     return np.frombuffer(b"".join(rows), np.uint8).reshape(h, w, c)
 
 
+class TestViewerReSTIR:
+    """--viewer with integrator "restir": reservoirs persist across viewer
+    frames (temporal reuse follows the fly camera), the interactive regime
+    ReSTIR was designed for."""
+
+    def test_viewer_restir_temporal(self, tmp_path, monkeypatch):
+        from optix_ray_tracer_tpu.__main__ import main
+        from optix_ray_tracer_tpu.render import viewer as viewer_mod
+        from optix_ray_tracer_tpu.scene.camera import Camera
+
+        data_dir = tmp_path / "data"
+        data_dir.mkdir()
+        (data_dir / "m0.vtk").write_text(MESH_VTK)
+        (data_dir / "test.vtk.series").write_text(json.dumps(
+            {"file-series-version": "1.0",
+             "files": [{"name": "m0.vtk", "time": 0.0}]}))
+        (data_dir / "light.obj").write_text(QUAD_OBJ)
+        cfg = {
+            "mesh": True,
+            "series-path": str(data_dir),
+            "series-name": "test.vtk.series",
+            "cache-path": str(tmp_path / "cache"),
+            "stl-path": str(data_dir),
+            "cache": False,
+            "integrator": "restir",
+            "denoise": False,
+            "background": [0.0, 0.0, 0.0],
+            "particle-material-preset": "viridis",
+            "roughs": [{"albedo": [0.7, 0.6, 0.5]}],
+            "metals": [],
+            "emissives": [{"emission": [20.0, 18.0, 15.0]}],
+            "meshes": [{"obj": str(data_dir / "light.obj"),
+                        "mat-type": "EMISSIVE", "mat-index": 0,
+                        "shift": [0.5, 0.5, 2.5], "rotate": [0, 0, 0],
+                        "scale": [1, 1, 1]}],
+            "spheres": [{"center": [0, 0, 0], "radius": 100.0,
+                         "mat-type": "ROUGH", "mat-index": 0,
+                         "shift": [0, 0, -100.5], "rotate": [0, 0, 0],
+                         "scale": [1, 1, 1]}],
+            "loop-data": {"api": "HEADLESS", "window-width": 32,
+                          "window-height": 24, "fps": 4,
+                          "camera-center": [6, 0, 1],
+                          "camera-target": [0.5, 0.5, 0.25],
+                          "up-direction": [0, 0, 1],
+                          "render-speed-ratio": 1,
+                          "particle-shift": [0, 0, 0],
+                          "particle-scale": [1, 1, 1]},
+        }
+        cfgp = tmp_path / "config.json"
+        cfgp.write_text(json.dumps(cfg))
+
+        captured = {}
+
+        class FakeServer:
+            def __init__(self, camera, render_fn=None, **kw):
+                captured["fn"] = render_fn
+                captured["camera"] = camera
+
+            def serve(self, blocking=True):
+                captured["served"] = True
+
+        monkeypatch.setattr(viewer_mod, "ViewerServer", FakeServer)
+        rc = main(["--config", str(cfgp), "--viewer"])
+        assert rc == 0 and captured.get("served")
+
+        cam = captured["camera"]
+        f0 = captured["fn"](cam, denoise_on=False)
+        assert f0.shape == (24, 32, 4) and f0.dtype == np.uint8
+        assert f0[..., :3].max() > 0  # lit by the emissive quad
+        # second frame from a MOVED camera: temporal reuse reprojects the
+        # frame-0 reservoirs; must stay finite and lit
+        cam2 = Camera.look_at((5.8, 0.3, 1.1), (0.5, 0.5, 0.25),
+                              (0.0, 0.0, 1.0))
+        f1 = captured["fn"](cam2, denoise_on=False, animate=True)
+        assert f1.shape == (24, 32, 4) and f1[..., :3].max() > 0
+        # frames differ (new candidate streams + new view)
+        assert not np.array_equal(f0, f1)
+
+
 class TestAOVExport:
     """CLI --aov: the reference computes albedo/normal denoiser guides every
     frame (shader/Shader.cu:269-272) but never exposes them; here they are
