@@ -185,7 +185,7 @@ def _run_viewer(frontend, data, config, args, out_dir) -> int:
     state = {"step": 0, "intersector": None, "key": None, "lights": None,
              "fd": None, "rstate": None, "prev_camera": None, "vframe": 0}
 
-    if config.integrator == "restir":
+    if config.integrator.startswith("restir"):
         # interactive ReSTIR: reservoirs PERSIST across viewer frames, so
         # every frame after the first resamples against the full temporal
         # history — the fly camera is handled by prev-frame reprojection
@@ -196,13 +196,19 @@ def _run_viewer(frontend, data, config, args, out_dir) -> int:
 
         from optix_ray_tracer_tpu.render import restir as restir_mod
 
+        gi_kw = ({"max_depth": config.max_depth}
+                 if config.integrator == "restir-gi" else {})
+        restir_render = (restir_mod.render_restir_gi
+                         if config.integrator == "restir-gi"
+                         else restir_mod.render_restir)
         restir_step = jax.jit(
             lambda scene, mats, lights, cam, prev_cam, st, f, inter, env,
-            tex: restir_mod.render_restir(
+            tex: restir_render(
                 scene, mats, lights, cam, width, height,
                 seed=config.seed, frame=f, state=st, prev_camera=prev_cam,
                 intersector=inter, background=config.background, env=env,
-                textures=tex, sampler=getattr(config, "sampler", "pcg")))
+                textures=tex, sampler=getattr(config, "sampler", "pcg"),
+                **gi_kw))
 
     def render_fn(camera, denoise_on=True, animate=False,
                   filter_name=None):
@@ -219,7 +225,7 @@ def _run_viewer(frontend, data, config, args, out_dir) -> int:
         if state["lights"] is None:
             state["lights"] = common.collect_lights(config, scene,
                                                     data.materials)
-        if config.integrator == "restir":
+        if config.integrator.startswith("restir"):
             if state["rstate"] is None:
                 state["rstate"] = restir_mod.empty_reservoir_state(
                     width, height)
@@ -246,7 +252,7 @@ def _run_viewer(frontend, data, config, args, out_dir) -> int:
 
     render_chunk_fn = None
     if data.file_count and not DEBUG_MODE and data.update_fn is None and \
-            schedule and config.integrator != "restir":
+            schedule and not config.integrator.startswith("restir"):
         import jax.numpy as jnp
 
         from optix_ray_tracer_tpu.models import fused
@@ -439,12 +445,12 @@ def _run_progressive_adaptive(config, scene, data, intersector, lights,
     from optix_ray_tracer_tpu.utils.logging import LOG
 
     npix = width * height
-    if config.integrator == "restir":
+    if config.integrator.startswith("restir"):
         # adaptive traces arbitrary pixel SUBSETS; restir's spatial reuse
         # needs full image-structured frames — refuse loudly
         raise SystemExit(
             "--adaptive supports integrator 'whitted' or 'path'; "
-            "'restir' renders full frames (drop --adaptive)")
+            f"'{config.integrator}' renders full frames (drop --adaptive)")
     integrator = "path" if config.integrator == "path" else "whitted"
     kw = dict(seed=config.seed, background=config.background,
               max_depth=config.max_depth, intersector=intersector,

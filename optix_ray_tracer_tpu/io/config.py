@@ -106,8 +106,10 @@ class RendererConfig:
     output_dir: str = "./out"
     # integrator: "whitted" (reference parity, background-lit), "path"
     # (NEE+MIS path tracer with area lights auto-collected from EMISSIVE
-    # materials), or "restir" (ReSTIR DI — reservoir-resampled DIRECT
-    # lighting, one shadow ray/pixel/sample; needs emissive materials)
+    # materials), "restir" (ReSTIR DI — reservoir-resampled DIRECT
+    # lighting, one shadow ray/pixel/sample; needs emissive materials),
+    # or "restir-gi" (ReSTIR direct + path-traced indirect: full
+    # transport, direct term converges like ReSTIR)
     integrator: str = "whitted"
     # denoise every frame like the reference hot loop (RendererImpl.cu:
     # 680-734); the CLI --no-denoise flag is the Tab-bypass analog
@@ -201,9 +203,9 @@ def parse_config_dict(data: dict, base_dir: str = ".") -> RendererConfig:
                 f"'sampler' must be 'pcg' or 'sobol', got '{sampler}'")
 
         integrator = str(data.get("integrator", "whitted"))
-        if integrator not in ("whitted", "path", "restir"):
-            raise ConfigError(
-                f"unknown integrator '{integrator}' (whitted|path|restir)")
+        if integrator not in ("whitted", "path", "restir", "restir-gi"):
+            raise ConfigError(f"unknown integrator '{integrator}' "
+                              "(whitted|path|restir|restir-gi)")
 
         dielectrics = [float(d_.get("ior", 1.5))
                        for d_ in data.get("dielectrics", [])]

@@ -278,22 +278,31 @@ def render_frame(config: RendererConfig, scene, materials, camera,
             env=env, textures=textures,
             sampler=getattr(config, "sampler", "pcg"),
             sample_offset=sample_offset)
-    elif config.integrator == "restir":
-        # ReSTIR DI: direct lighting only, one shadow ray per pixel per
-        # sample, reservoir state carried across the spp samples
-        # (render/restir.py).  sample_offset folds into the seed so
-        # progressive batches draw fresh candidate streams.
+    elif config.integrator in ("restir", "restir-gi"):
+        # ReSTIR DI: one shadow ray per pixel per sample, reservoir state
+        # carried across the spp samples (render/restir.py); "restir-gi"
+        # adds the path-traced indirect continuation.  sample_offset
+        # folds into the seed so progressive batches draw fresh candidate
+        # streams.
         from optix_ray_tracer_tpu.render import restir
         if lights is None or lights.count == 0:
             raise ValueError(
-                "integrator 'restir' needs emissive materials in the "
-                "scene (it resamples area-light candidates)")
-        img, alb, nrm = restir.render_restir_progressive(
-            scene, materials, lights, camera, width=width, height=height,
+                f"integrator '{config.integrator}' needs emissive "
+                "materials in the scene (it resamples area-light "
+                "candidates)")
+        kw = dict(
             spp=spp, seed=seed ^ (int(sample_offset) * 0x9E3779B9),
             background=config.background, intersector=intersector,
             env=env, textures=textures,
             sampler=getattr(config, "sampler", "pcg"))
+        if config.integrator == "restir-gi":
+            img, alb, nrm = restir.render_restir_gi_progressive(
+                scene, materials, lights, camera, width=width,
+                height=height, max_depth=config.max_depth, **kw)
+        else:
+            img, alb, nrm = restir.render_restir_progressive(
+                scene, materials, lights, camera, width=width,
+                height=height, **kw)
     else:
         img, alb, nrm = wavefront.render(
             scene, materials, camera, width, height, spp=spp, seed=seed,
@@ -355,7 +364,7 @@ def collect_lights(config: RendererConfig, scene, materials):
     """Area lights for the path/restir integrators, auto-collected from
     EMISSIVE triangles (static extras; particle ramp materials are never
     emissive)."""
-    if config.integrator not in ("path", "restir"):
+    if config.integrator not in ("path", "restir", "restir-gi"):
         return None
     from optix_ray_tracer_tpu.scene.lights import collect_area_lights
     return collect_area_lights(scene, materials)

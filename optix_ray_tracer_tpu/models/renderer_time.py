@@ -307,7 +307,7 @@ def render_frames(data: TimeRendererData, width: int | None = None,
     from optix_ray_tracer_tpu.utils.debug import DEBUG_MODE
     if (data.update_fn is None and not DEBUG_MODE and data.file_count
             and data.library.num_shapes > 0
-            and cfg.integrator != "restir"):
+            and not cfg.integrator.startswith("restir")):
         # fused path: refit+render+denoise for a whole frame chunk in one
         # dispatch (models/fused.py) — the per-frame host loop below pays
         # the ~6 ms dispatch floor several times per frame.  Empty shape

@@ -66,12 +66,13 @@ def _cosine_sample(n, pixel_id, sample, bounce, seed, mode="pcg"):
 
 
 @partial(jax.jit, static_argnames=("max_depth", "rr_start", "want_aux",
-                                   "sampler"))
+                                   "sampler", "restir_direct"))
 def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
                origins, directions, pixel_id, sample, seed, background,
                max_depth: int = 8, intersector=None, env=None,
                textures=None, rr_start: int = 3, clamp: float = 0.0,
-               want_aux: bool = False, sampler: str = "pcg"):
+               want_aux: bool = False, sampler: str = "pcg",
+               restir_direct: bool = False, first_hit=None):
     """Trace a wavefront with NEE+MIS.  Returns (radiance, albedo_g, normal_g);
     with ``want_aux`` also (t (R,), prim_id (R,) int32) of the PRIMARY hit
     (INF / -1 on miss or sphere hit) — the depth/id buffers the temporal
@@ -84,6 +85,20 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
     ``clamp``: if > 0, cap each INDIRECT per-bounce radiance contribution
     (bounce >= 1) at this value per channel — the standard biased firefly
     suppressor; direct light and camera-visible emitters are never clamped.
+
+    ``restir_direct``: the primary vertex's AREA-LIGHT direct lighting is
+    estimated by a ReSTIR reservoir pass instead (render/restir.py
+    ``render_restir_gi``), so this trace contributes only what ReSTIR does
+    not: it drops the bounce-0 miss/emitter radiance (ReSTIR's ``base``),
+    the bounce-0 area-light NEE, and — because a BSDF ray from a DIFFUSE
+    primary that lands on an emitter at bounce 1 samples that same direct
+    integral — emitter hits at bounce 1 from diffuse primaries.  Delta
+    primaries (metal/dielectric) keep their bounce-1 emitter hits (ReSTIR
+    resamples only diffuse vertices), and the bounce-0 env NEE stays (the
+    reservoir target excludes the environment).  The partition is exact,
+    so ReSTIR direct + this trace is unbiased.  ``first_hit``: optional
+    precomputed bounce-0 Hit (the ReSTIR pipeline already traced the
+    camera wave; don't pay it twice).
     """
     if intersector is None:
         from optix_ray_tracer_tpu.ops.traverse import BruteForceIntersector
@@ -112,13 +127,21 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
     if want_aux:
         state["t_g"] = jnp.full((nrays,), INF, jnp.float32)
         state["prim_g"] = jnp.full((nrays,), -1, jnp.int32)
+    if restir_direct:
+        # was THIS lane's primary vertex diffuse? (drives the bounce-1
+        # emitter-hit drop — see the docstring's partition argument)
+        state["prim_diff"] = jnp.zeros((nrays,), bool)
 
-    def bounce_step(s, b, ext_isect=None):
+    def bounce_step(s, b, ext_isect=None, ext_hit=None):
         alive = s["alive"]
         # dead lanes trace with t_max=0: free in the block-march kernel
-        hit = (ext_isect or incoh).intersect(
+        hit = ext_hit if ext_hit is not None else (
+            ext_isect or incoh).intersect(
             scene, s["o"], s["d"], t_max=jnp.where(alive, INF, 0.0))
         missed = alive & ~hit.is_hit
+        if restir_direct:
+            # bounce-0 miss radiance lives in ReSTIR's base image
+            missed = missed & (b >= 1)
         hit_alive = alive & hit.is_hit
 
         def _cap(contrib):
@@ -166,8 +189,15 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
                 1.0)
         else:
             w_bsdf = jnp.ones((nrays,), jnp.float32)
+        emit_vis = is_emitter
+        if restir_direct:
+            # bounce-0 emitters are in ReSTIR's base; bounce-1 emitter
+            # hits from a DIFFUSE primary are the direct integral ReSTIR
+            # already estimates
+            emit_vis = is_emitter & (b >= 1) \
+                & ~(s["prim_diff"] & (b == 1))
         radiance = radiance + _cap(jnp.where(
-            is_emitter[..., None],
+            emit_vis[..., None],
             s["throughput"] * emission * w_bsdf[..., None], 0.0))
 
         # guide buffers
@@ -188,6 +218,10 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
 
         is_diffuse = mtype == ROUGH
         shading_alive = hit_alive & ~is_emitter
+        extra = {}
+        if restir_direct:
+            extra["prim_diff"] = jnp.where(b == 0, hit_alive & is_diffuse,
+                                           s["prim_diff"])
 
         # ---- NEE: one light sample at diffuse vertices ------------------
         if have_lights:
@@ -196,6 +230,10 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
                 mode=sampler)
             cos_s = dot(wl, n_unit)
             valid = shading_alive & is_diffuse & (cos_s > 0.0) & (pdf_l > 0.0)
+            if restir_direct:
+                # the reservoir pass owns bounce-0 area-light NEE; the
+                # masked-out shadow ray traces with t_max=0 (free)
+                valid = valid & (b >= 1)
             # shadow ray (offset along the light direction; end before light)
             occluded = incoh.any_hit(
                 scene, point + n_unit * 1e-3, wl,
@@ -296,11 +334,13 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
 
         return dict(o=o, d=d, throughput=throughput, radiance=radiance,
                     alive=shading_alive, prev_pdf=prev_pdf,
-                    albedo_g=albedo_g, normal_g=normal_g, **aux), None
+                    albedo_g=albedo_g, normal_g=normal_g, **aux,
+                    **extra), None
 
     # bounce 0 (coherent camera rays) unrolled with the morton-sorted
     # intersector; bounces >= 1 scanned with the probe-sorted one
-    state, _ = bounce_step(state, jnp.int32(0), ext_isect=intersector)
+    state, _ = bounce_step(state, jnp.int32(0), ext_isect=intersector,
+                           ext_hit=first_hit)
     if max_depth > 1:
         state, _ = jax.lax.scan(bounce_step, state,
                                 jnp.arange(1, max_depth, dtype=jnp.int32))

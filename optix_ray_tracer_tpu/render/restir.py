@@ -55,6 +55,9 @@ from optix_ray_tracer_tpu.utils.vecmath import (
 _DIM_CAND = 0x5851F42D
 _DIM_PICK = 0x14057B7E
 _DIM_REUSE = 0x61C88647
+# seed salt for the GI continuation trace (decorrelates the path
+# tracer's (pixel, frame, bounce) streams from the reservoir streams)
+_DIM_GI = 0x2545F491
 
 # temporal history cap, in multiples of M candidates: bounds how much the
 # (slightly stale) history can outweigh fresh candidates — same role as
@@ -451,6 +454,109 @@ def render_restir_progressive(scene: Scene, materials: MaterialTable,
             intersector=intersector, background=background, env=env,
             textures=textures, sampler=sampler)
         # guides are sample-invariant (pixel-center primaries): keep last
+        return (st, acc + img, alb, nrm), None
+
+    z3 = jnp.zeros((height, width, 3), jnp.float32)
+    (state, acc, alb, nrm), _ = jax.lax.scan(
+        step, (state, z3, z3, z3), jnp.arange(spp, dtype=jnp.int32))
+    return acc / spp, alb, nrm
+
+
+def render_restir_gi(scene: Scene, materials: MaterialTable,
+                     lights: AreaLights, camera, width: int, height: int,
+                     seed, frame=0, state: dict | None = None,
+                     prev_camera=None, m_candidates: int = 16,
+                     spatial_taps: int = 2, spatial_radius: int = 16,
+                     max_depth: int = 8, intersector=None,
+                     background=(0.0, 0.0, 0.0), env=None, textures=None,
+                     clamp: float = 0.0, sampler: str = "pcg"):
+    """Full light transport with ReSTIR direct: the reservoir pass owns
+    the primary vertex's area-light direct lighting (one resampled shadow
+    ray carrying ~M x history x taps effective light samples) and a
+    ``trace_path(restir_direct=True)`` continuation owns everything else
+    — indirect bounces, delta-primary transport, env NEE.  The partition
+    is exact (see trace_path's docstring), so the sum is unbiased like
+    the plain path tracer, but the direct term converges like ReSTIR.
+
+    Same ray budget per sample as the path tracer (the primary wave is
+    traced ONCE and shared; the bounce-0 NEE shadow ray moves from the
+    path loop to the reservoir pass).  Returns
+    ``(img, albedo_g, normal_g, new_state)`` like :func:`render_restir`.
+    """
+    from optix_ray_tracer_tpu.render.pathtracer import trace_path
+
+    if lights is None or lights.count == 0:
+        raise ValueError("render_restir needs a non-empty light table")
+    if intersector is None:
+        from optix_ray_tracer_tpu.ops.traverse import BruteForceIntersector
+        intersector = BruteForceIntersector()
+    incoh = getattr(intersector, "for_incoherent", lambda: intersector)()
+    background = jnp.asarray(background, jnp.float32)
+    frame = jnp.asarray(frame, jnp.int32)
+
+    npix = width * height
+    pixel_id = jnp.arange(npix, dtype=jnp.int32)
+    o, d = camera.generate_rays(width, height)
+    o = o.reshape(-1, 3)
+    d = d.reshape(-1, 3)
+    hit = intersector.intersect(scene, o, d, t_max=jnp.full((npix,), INF))
+
+    point, n_unit, albedo, active, base, albedo_g, normal_g = _gbuffer(
+        scene, materials, o, d, hit, textures, env, background)
+
+    packed = _pack_lights(lights)
+    li2, u22, u32, W2, m2, act2, t2, n2 = _resample(
+        lights, packed, point, n_unit, albedo, active, hit.t, width,
+        height, frame, seed, state, camera, prev_camera, m_candidates,
+        spatial_taps, spatial_radius, sampler)
+
+    rgb, wdir, dist, live, Wf = _shade_terms(packed, li2, u22, u32, W2,
+                                             point, n_unit, albedo, active)
+    occluded = incoh.any_hit(
+        scene, point + n_unit * 1e-3, wdir,
+        t_min=1e-4, t_max=jnp.where(live, dist - 2e-3, 0.0))
+    img, alb_img, nrm_img, new_state = _compose(
+        base, rgb, Wf, live, occluded, li2, u22, u32, m2, act2, t2, n2,
+        albedo_g, normal_g, width, height)
+
+    indirect, _, _ = trace_path(
+        scene, materials, lights, o, d, pixel_id, frame,
+        seed ^ _DIM_GI, background, max_depth=max_depth,
+        intersector=intersector, env=env, textures=textures, clamp=clamp,
+        sampler=sampler, restir_direct=True, first_hit=hit)
+    img = img + indirect.reshape(height, width, 3)
+    return img, alb_img, nrm_img, new_state
+
+
+@partial(jax.jit, static_argnames=("width", "height", "spp",
+                                   "m_candidates", "spatial_taps",
+                                   "spatial_radius", "max_depth",
+                                   "sampler"))
+def render_restir_gi_progressive(scene: Scene, materials: MaterialTable,
+                                 lights: AreaLights, camera, width: int,
+                                 height: int, spp: int = 1, seed=0,
+                                 m_candidates: int = 16,
+                                 spatial_taps: int = 2,
+                                 spatial_radius: int = 16,
+                                 max_depth: int = 8, intersector=None,
+                                 background=(0.0, 0.0, 0.0), env=None,
+                                 textures=None, clamp: float = 0.0,
+                                 sampler: str = "pcg"):
+    """``spp`` samples of :func:`render_restir_gi` with the reservoir
+    carried across samples — the product-facing entry
+    (``integrator: "restir-gi"`` in the config; models/common.py).
+    Returns ``(img, albedo_g, normal_g)`` averaged over spp."""
+    state = empty_reservoir_state(width, height)
+
+    def step(carry, f):
+        st, acc, _, _ = carry
+        img, alb, nrm, st = render_restir_gi(
+            scene, materials, lights, camera, width, height, seed=seed,
+            frame=f, state=st, m_candidates=m_candidates,
+            spatial_taps=spatial_taps, spatial_radius=spatial_radius,
+            max_depth=max_depth, intersector=intersector,
+            background=background, env=env, textures=textures,
+            clamp=clamp, sampler=sampler)
         return (st, acc + img, alb, nrm), None
 
     z3 = jnp.zeros((height, width, 3), jnp.float32)

@@ -259,3 +259,112 @@ def test_restir_guides_and_misses(setup):
         img[~hit_mask],
         np.broadcast_to(np.asarray([0.1, 0.2, 0.3], np.float32),
                         img[~hit_mask].shape), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# restir-gi: ReSTIR direct + path-traced indirect (render_restir_gi)
+# ---------------------------------------------------------------------------
+
+def _gi_scene():
+    """Floor + red bounce wall + mirror sphere + one panel light: real
+    indirect transport AND a delta primary, exercising every branch of
+    the restir/path partition."""
+    from optix_ray_tracer_tpu.scene.geometry import Spheres
+
+    def vquad(cx, z0, y, half):
+        a = [cx - half, y, z0 - half]; b = [cx + half, y, z0 - half]
+        c = [cx + half, y, z0 + half]; d = [cx - half, y, z0 + half]
+        return [[a, b, c], [a, c, d]]
+
+    mb = MaterialBuilder()
+    floor_m = mb.add_rough((0.7, 0.7, 0.7))
+    red_m = mb.add_rough((0.8, 0.1, 0.1))
+    metal_m = mb.add_metal((0.9, 0.9, 0.9), 0.0)
+    em = mb.add_emissive((18.0, 16.0, 13.0))
+    verts = _quad(0.0, 0.0, 0.0, 3.0); mats = [floor_m, floor_m]
+    verts += vquad(0.0, 1.0, -2.0, 2.0); mats += [red_m, red_m]
+    verts += _quad(0.5, 0.5, 2.5, 0.4); mats += [em, em]
+    v = np.asarray(verts, np.float32)
+    n = np.zeros_like(v)
+    n[0:2, :, 2] = 1.0; n[2:4, :, 1] = 1.0; n[4:6, :, 2] = 1.0
+    tris = Triangles.from_arrays(v, n, np.asarray(mats, np.int32))
+    scene = Scene(
+        spheres=Spheres.from_list([((-0.8, 0.6, 0.5), 0.5, metal_m)]),
+        triangles=tris)
+    materials = mb.build()
+    lights = collect_area_lights(scene, materials)
+    cam = Camera.look_at((0.0, 4.5, 2.5), (0.0, 0.0, 0.3), (0.0, 1.0, 0.0))
+    return scene, materials, lights, cam
+
+
+BG_GI = (0.05, 0.06, 0.08)
+
+
+@pytest.fixture(scope="module")
+def gi_setup():
+    from optix_ray_tracer_tpu.render.pathtracer import render_path
+
+    scene, materials, lights, cam = _gi_scene()
+    # pixel-center truth (jitter=False): restir renders pixel centers, so
+    # a jittered truth would differ at silhouettes by antialiasing alone
+    truth, _, _ = render_path(scene, materials, lights, cam, W, H,
+                              spp=800, seed=99, max_depth=5,
+                              background=BG_GI, jitter=False)
+    return scene, materials, lights, cam, np.asarray(truth)
+
+
+def test_restir_gi_unbiased(gi_setup):
+    """ReSTIR-direct + restir_direct path continuation partition exactly:
+    the mean over independent frames matches the full path tracer."""
+    scene, materials, lights, cam, truth = gi_setup
+
+    frame_fn = jax.jit(lambda s: restir.render_restir_gi(
+        scene, materials, lights, cam, W, H, seed=s, m_candidates=8,
+        spatial_taps=0, max_depth=5, background=BG_GI)[0])
+    acc = np.zeros((H, W, 3), np.float32)
+    n = 120
+    for f in range(n):
+        acc += np.asarray(frame_fn(jnp.int32(1000 + f)))
+    mean = acc / n
+    scale = float(truth.mean())
+    assert abs(float(mean.mean()) - scale) / scale < 0.02
+    assert _rmse(mean, truth) / scale < 0.15
+
+
+def test_restir_gi_equal_budget(setup):
+    """Same ray budget per sample as the path tracer, lower error where
+    direct lighting dominates (the 16-light unequal-power module scene;
+    on single-light indirect-heavy scenes the two are comparable — the
+    reservoir only accelerates the direct term)."""
+    from optix_ray_tracer_tpu.render.pathtracer import render_path
+
+    scene, materials, lights, cam, _ = setup
+    truth, _, _ = render_path(scene, materials, lights, cam, W, H,
+                              spp=1200, seed=99, max_depth=4,
+                              jitter=False)
+    p4, _, _ = render_path(scene, materials, lights, cam, W, H, spp=4,
+                           seed=5, max_depth=4, jitter=False)
+    g4, _, _ = restir.render_restir_gi_progressive(
+        scene, materials, lights, cam, W, H, spp=4, seed=5,
+        m_candidates=16, spatial_taps=1, max_depth=4)
+    # measured ~2x on this scene (deterministic seeds)
+    assert _rmse(g4, truth) < _rmse(p4, truth) / 1.3
+
+
+def test_restir_gi_config_reachable(gi_setup):
+    """integrator: "restir-gi" routes through the product frame step and
+    keeps full transport (indirect > 0 where DI-only restir is dark)."""
+    scene, materials, lights, cam, truth = gi_setup
+    from optix_ray_tracer_tpu.io.config import parse_config_dict
+    from optix_ray_tracer_tpu.models import common
+
+    cfg = parse_config_dict({"integrator": "restir-gi", "denoise": False,
+                             "background": list(BG_GI), "max-depth": 5})
+    assert cfg.integrator == "restir-gi"
+    img, _, _ = common.render_frame(
+        cfg, scene, materials, cam, W, H, spp=4, seed=3,
+        intersector=None, lights=lights)
+    scale = float(truth.mean())
+    assert abs(float(np.asarray(img).mean()) - scale) / scale < 0.12
+    # lights auto-collected for restir-gi configs too
+    assert common.collect_lights(cfg, scene, materials).count == 2
