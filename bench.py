@@ -4,15 +4,21 @@ Metric: primary+shadow ray throughput (Mrays/sec/chip) on a 100k-triangle
 mesh scene at 1024x1024 (BASELINE.md target: >= 200 Mrays/sec/chip on
 TPU v5e; vs_baseline = value / 200).
 
-Method: fused Pallas block-march intersection (ops/pallas/block_march.py)
-of 1M coherent primary rays, then 1M shadow (any-hit) rays toward a point
-above the scene from the primary hit points — the two wavefront stages a
-deferred renderer issues per sample.  Timed over repeated dispatches after
-one warmup (compile excluded).
+Method: tile-raster intersection (ops/raster.py + ops/pallas/
+tile_raster.py) of 1M coherent primary rays (camera tile order, mode
+"origin"), then 1M shadow (any-hit) rays toward a point light from the
+primary hit points (mode "target") — the two wavefront stages a deferred
+renderer issues per sample.  Both waves share one common point, so the
+schedule-driven raster engine applies; the sorted block march
+(ops/pallas/block_march.py) remains the exact in-jit fallback on
+schedule overflow and serves the incoherent secondary metric.  Timed
+over repeated dispatches after one warmup (compile excluded).
 
-Guards: before timing, 1k rays are checked for exact prim-id equality
-against the brute-force oracle ON THE BENCH BACKEND — a Mosaic compile
-regression fails the bench loudly instead of silently corrupting numbers.
+Guards: before timing, 1k random rays are checked for exact prim-id
+equality against the brute-force oracle ON THE BENCH BACKEND (march
+path), and 1024 camera-wave rays through the RASTER path likewise — a
+Mosaic compile regression fails the bench loudly instead of silently
+corrupting numbers.
 
 Extras (stderr, not the driver line): incoherent-ray throughput, and
 optional multi-device sharding via --shard (tiles the wavefront over
@@ -86,27 +92,64 @@ def main() -> None:
     v, n = sphere_with_n_triangles(N_TRIS)
     scene = Scene(spheres=Spheres.empty(),
                   triangles=Triangles.from_arrays(v, n))
-    # fused Pallas block-march intersector (see ops/pallas/block_march.py)
-    intersector = make_march_intersector(scene)
+    # block-march intersector + tile-raster tables (ops/raster.py)
+    intersector = make_march_intersector(scene, raster=True)
     cam = Camera.look_at((3.0, 0.0, 0.0), (0.0, 0.0, 0.0), (0.0, 0.0, 1.0))
     o, d = cam.generate_rays(WIDTH, HEIGHT)
+    # camera 32x32 pixel tiles = the raster engine's ray blocks (a pure
+    # reshape/transpose, not a gather; the reference's launch grid is
+    # equally tile-shaped inside OptiX)
+    TH = TW = 32
+    o = o.reshape(HEIGHT // TH, TH, WIDTH // TW, TW, 3).swapaxes(1, 2)
+    d = d.reshape(HEIGHT // TH, TH, WIDTH // TW, TW, 3).swapaxes(1, 2)
     o = o.reshape(-1, 3)
     d = d.reshape(-1, 3)
     light = jnp.asarray([3.0, 3.0, 3.0], jnp.float32)
 
     _exactness_check(scene, intersector)
 
-    @jax.jit
-    def step(o, d):
-        hit = intersector.intersect(scene, o, d)
-        point = o + hit.t[..., None] * d
-        point = jnp.where(hit.is_hit[..., None], point, o)
-        to_light = light - point
-        dist = jnp.linalg.norm(to_light, axis=-1, keepdims=True)
-        wl = to_light / jnp.maximum(dist, 1e-6)
-        shadowed = intersector.any_hit(scene, point + wl * 1e-3, wl,
-                                       t_max=dist[..., 0])
-        return hit.t, shadowed
+    if args.shard:
+        # the sharded route keeps the sorted-march step: each device
+        # traces its tile band through block_march (raster schedules are
+        # per-wave global; sharding them is future work)
+        @jax.jit
+        def step(o, d):
+            hit = intersector.intersect(scene, o, d)
+            point = o + hit.t[..., None] * d
+            point = jnp.where(hit.is_hit[..., None], point, o)
+            to_light = light - point
+            dist = jnp.linalg.norm(to_light, axis=-1, keepdims=True)
+            wl = to_light / jnp.maximum(dist, 1e-6)
+            shadowed = intersector.any_hit(scene, point + wl * 1e-3, wl,
+                                           t_max=dist[..., 0])
+            return hit.t, shadowed
+    else:
+        @jax.jit
+        def step(o, d):
+            hit = intersector.intersect_from(scene, o, d, mode="origin",
+                                             point=o[0])
+            point = o + hit.t[..., None] * d
+            point = jnp.where(hit.is_hit[..., None], point, o)
+            to_light = light - point
+            dist = jnp.linalg.norm(to_light, axis=-1, keepdims=True)
+            wl = to_light / jnp.maximum(dist, 1e-6)
+            shadowed = intersector.any_hit_from(
+                scene, point + wl * 1e-3, wl, mode="target", point=light,
+                t_max=dist[..., 0])
+            return hit.t, shadowed
+
+        # raster-path exactness guard: 1024 camera rays, full pipeline
+        from optix_ray_tracer_tpu.ops.intersect import (
+            intersect_scene_bruteforce,
+        )
+        h_r = intersector.intersect_from(scene, o[:1024], d[:1024],
+                                         mode="origin", point=o[0])
+        h_o = intersect_scene_bruteforce(scene, o[:1024], d[:1024])
+        bad = int(np.sum(np.asarray(h_r.prim_id) != np.asarray(h_o.prim_id)))
+        if bad:
+            raise SystemExit(f"raster exactness check FAILED: {bad}/1024")
+        print("raster exactness: 1024/1024 prim ids match the oracle",
+              file=sys.stderr)
 
     n_dev = 1
     if args.shard:
@@ -170,7 +213,7 @@ def main() -> None:
     # methodology in the label: the number is min over 3 measurements of a
     # 5-dispatch pipelined average (PERF.md "bench step jitted")
     label = ("primary+shadow Mrays/sec/chip, 100k-tri mesh, 1024x1024 "
-             "(best-of-5, 5-rep pipelined avg)")
+             "(tile-raster engine; best-of-5, 5-rep pipelined avg)")
     if args.shard and n_dev > 1:
         label = (f"primary+shadow Mrays/sec ({n_dev} devices), 100k-tri "
                  f"mesh (best-of-5, 5-rep pipelined avg)")

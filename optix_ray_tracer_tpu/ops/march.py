@@ -48,13 +48,16 @@ def ray_probe_keys(clusters, o, d, t_min, t_max):
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=("clusters", "scene_lo", "scene_hi"),
+         data_fields=("clusters", "scene_lo", "scene_hi", "raster"),
          meta_fields=("num_tris", "sort_mode"))
 @dataclasses.dataclass(frozen=True)
 class MarchIntersector:
     clusters: ClusterSet
     scene_lo: jax.Array
     scene_hi: jax.Array
+    # per-scene raster tables (ops/raster.py), None until attach_raster —
+    # enables intersect_from on common-origin waves
+    raster: object | None = None
     # build-time triangle count (static): refit requires an identical count
     num_tris: int = 0
     # coherence-sort key (static; see SORT_MODES). Integrators switch to
@@ -64,6 +67,72 @@ class MarchIntersector:
     def for_incoherent(self) -> "MarchIntersector":
         """Variant tuned for incoherent (bounce >= 1 / shadow) waves."""
         return dataclasses.replace(self, sort_mode="probe")
+
+    def intersect_from(self, scene: Scene, o, d, mode: str = "origin",
+                       point=None, t_min=DEFAULT_T_MIN, t_max=INF,
+                       any_hit: bool = False, block_rays: int = 1024,
+                       pc_max: int | None = None) -> Hit:
+        """Common-origin/-direction wave query via the tile-raster
+        engine (ops/raster.py) — no coherence sort, no in-kernel picks;
+        measured +33% over the sorted march on the bench's camera +
+        point-light shadow waves (PERF.md round-3 "tile raster").
+
+        Rays must arrive in a screen/hit-coherent layout (camera tile
+        order); ``mode``/``point`` describe the shared point or
+        direction.  EXACT at any pair count: on schedule-capacity
+        overflow a lax.cond falls back to the block marcher for the
+        whole wave (paying the marcher's cost for that wave only).
+        """
+        from optix_ray_tracer_tpu.ops.raster import raster_query
+
+        if self.raster is None:
+            raise ValueError("attach_raster(...) first — the raster "
+                             "tables are built per scene")
+        shape = o.shape[:-1]
+        o2 = o.reshape(-1, 3)
+        d2 = d.reshape(-1, 3)
+        n = o2.shape[0]
+        t_min_a = jnp.broadcast_to(
+            jnp.asarray(t_min, jnp.float32).reshape(-1) if jnp.ndim(t_min)
+            else jnp.asarray(t_min, jnp.float32), (n,))
+        t_max_a = jnp.broadcast_to(
+            jnp.asarray(t_max, jnp.float32).reshape(-1) if jnp.ndim(t_max)
+            else jnp.asarray(t_max, jnp.float32), (n,))
+        t, slot, u, v, ok = raster_query(
+            self.raster, self.clusters, o2, d2, t_min_a, t_max_a,
+            mode=mode, point=point, any_hit=any_hit,
+            block_rays=block_rays, pc_max=pc_max)
+        res = jax.lax.cond(
+            ok,
+            lambda _: (t, slot, u, v),
+            lambda _: block_march(self.clusters, o2, d2, t_min_a, t_max_a,
+                                  any_hit=any_hit, coherent=True),
+            None)
+        t, slot, u, v = res
+        missed = slot < 0
+        prim_id = self.clusters.prim_index[jnp.maximum(slot, 0)]
+        hit = Hit(
+            t=jnp.where(missed, INF, t),
+            prim_type=jnp.where(missed, PRIM_NONE,
+                                PRIM_TRIANGLE).astype(jnp.int32),
+            prim_id=jnp.where(missed, 0, prim_id).astype(jnp.int32),
+            u=jnp.where(missed, 0.0, u),
+            v=jnp.where(missed, 0.0, v))
+        if scene.sphere_count > 0:
+            hit = sphere_bruteforce_merge(scene, o2, d2, t_min_a, t_max_a,
+                                          hit)
+        return jax.tree.map(lambda x: x.reshape(shape + x.shape[1:]), hit)
+
+    def any_hit_from(self, scene: Scene, o, d, mode: str = "target",
+                     point=None, t_min=DEFAULT_T_MIN, t_max=INF,
+                     block_rays: int = 1024,
+                     pc_max: int | None = None):
+        """Occlusion variant of :meth:`intersect_from` (shadow waves
+        toward a point light use mode="target", sun shadows "ortho")."""
+        return self.intersect_from(scene, o, d, mode=mode, point=point,
+                                   t_min=t_min, t_max=t_max, any_hit=True,
+                                   block_rays=block_rays,
+                                   pc_max=pc_max).is_hit
 
     def intersect(self, scene: Scene, o, d, t_min=DEFAULT_T_MIN,
                   t_max=INF, _any_hit: bool = False) -> Hit:
@@ -134,16 +203,29 @@ class MarchIntersector:
                               _any_hit=True).is_hit
 
 
-def make_march_intersector(scene: Scene,
-                           method: str = "sah") -> MarchIntersector:
+def make_march_intersector(scene: Scene, method: str = "sah",
+                           raster: bool = False) -> MarchIntersector:
     tv = np.asarray(scene.triangles.vertices)
-    return MarchIntersector(
+    inter = MarchIntersector(
         clusters=build_clusters(tv, method=method),
         scene_lo=jnp.asarray(tv.min(axis=(0, 1)) if tv.size else np.zeros(3),
                              jnp.float32),
         scene_hi=jnp.asarray(tv.max(axis=(0, 1)) if tv.size else np.ones(3),
                              jnp.float32),
         num_tris=int(tv.shape[0]))
+    return attach_raster(inter, scene) if raster else inter
+
+
+def attach_raster(inter: MarchIntersector,
+                  scene: Scene) -> MarchIntersector:
+    """Derive the tile-raster tables (ops/raster.py) for this scene,
+    enabling ``intersect_from`` / ``any_hit_from`` on common-origin
+    waves.  Jittable; rebuild/refit keep the tables in sync."""
+    from optix_ray_tracer_tpu.ops.raster import build_raster_set
+
+    return dataclasses.replace(
+        inter, raster=build_raster_set(inter.clusters,
+                                       scene.triangles.vertices))
 
 
 def rebuild_march_intersector(prev: MarchIntersector, scene: Scene,
@@ -157,12 +239,13 @@ def rebuild_march_intersector(prev: MarchIntersector, scene: Scene,
         raise ValueError(
             f"rebuild requires the original triangle count ({prev.num_tris});"
             f" got {tv.shape[0]} — use make_march_intersector")
-    return MarchIntersector(
+    out = MarchIntersector(
         clusters=rebuild_clusters(prev.clusters, tv, method=method),
         scene_lo=jnp.min(tv, axis=(0, 1)),
         scene_hi=jnp.max(tv, axis=(0, 1)),
         num_tris=prev.num_tris,
         sort_mode=prev.sort_mode)
+    return attach_raster(out, scene) if prev.raster is not None else out
 
 
 def refit_march_intersector(prev: MarchIntersector,
@@ -174,9 +257,10 @@ def refit_march_intersector(prev: MarchIntersector,
         raise ValueError(
             f"refit requires the build-time triangle count ({prev.num_tris});"
             f" got {tv.shape[0]} — rebuild with make_march_intersector")
-    return MarchIntersector(
+    out = MarchIntersector(
         clusters=refit_clusters(prev.clusters, tv),
         scene_lo=jnp.min(tv, axis=(0, 1)),
         scene_hi=jnp.max(tv, axis=(0, 1)),
         num_tris=prev.num_tris,
         sort_mode=prev.sort_mode)
+    return attach_raster(out, scene) if prev.raster is not None else out

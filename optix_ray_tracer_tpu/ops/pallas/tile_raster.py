@@ -1,0 +1,214 @@
+"""Tile-raster kernel — schedule-driven dense Woop tests for
+common-origin waves.
+
+The block marcher (ops/pallas/block_march.py) pays ~2.4 us per cluster
+VISIT: two scalar-reduction picks plus a manual DMA issue, repeated for
+the block-union of clusters, after a ~16 ms coherence sort of the wave.
+For waves whose rays share a single point (camera primary rays,
+point-light shadow rays) or direction (sun shadows), ops/raster.py
+computes the (ray block, cluster) pair schedule OUTSIDE the kernel by
+perspective binning, depth-sorted near-to-far.  This kernel then needs
+NO picks, NO scalar syncs, NO manual DMA and NO ray sort: it is a plain
+grid over pairs, and the Mosaic pipeline (BlockSpec index maps driven by
+scalar-prefetched pair tables) streams each pair's 16 KB cluster block
+straight from the STATIC per-cluster woop_t array while keeping each
+tile's accumulator block VMEM-resident across its consecutive pairs —
+the grouped-matmul pattern.  Per-pair work is the marcher's sub-box
+slab gates + gated 64-tri Woop test parts (identical arithmetic, so
+results are bit-identical), plus winner u/v carried in-kernel (the
+marcher's separate (R, 12) winner gather is free here).
+
+Early-out: pairs arrive near-to-far per tile and rows gate on the
+current best-t, so a tile retires (every remaining pair slab-gated off)
+as soon as its rays' best-t intervals exclude the remaining clusters;
+any_hit waves pin best-t to -INF on first hit and skip everything else.
+
+The reference analog is the OptiX raygen->RT-core dispatch for primary
+rays (/root/reference/shader/Shader.cu:246-273): hardware traversal is
+replaced not by a software tree walk but by rasterization-style binning
+— the classic GPU alternative — which maps to the TPU's strengths
+(dense MXU work, static schedules) instead of its weakness (dynamic
+memory access).
+
+Measured on-chip (100k-tri bench, 1024x1024, PERF.md round-3 "tile
+raster"): primary+shadow 30.6 Mrays/s vs 22.9 for the sorted block
+march, exact vs the oracle on both waves.  An 8-triangle fine-binned
+variant (per-frame gather of chunk tables) measured SLOWER than the
+march despite 2.5x fewer triangle tests — XLA's ~5 GB/s gather ceiling
+ate the kernel win; streaming whole static clusters is the TPU-shaped
+answer.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from optix_ray_tracer_tpu.utils.vecmath import INF
+
+GROUP_TRIS = 8        # binning granularity (one f32 sublane tile)
+
+
+def _make_cluster_kernel(W: int, n_blocks: int, any_hit: bool,
+                         cluster_tris: int, n_subs: int):
+    """One grid step tests one (ray block, cluster) pair; tile id
+    n_blocks is the trash tile dead (padding) pairs point at."""
+    step = cluster_tris // n_subs
+
+    def kernel(tiles_ref, cls_ref, rays_ref, subs_ref, woop_ref, out_ref):
+        b = pl.program_id(0)
+        tile = tiles_ref[b]
+        prev = tiles_ref[jnp.maximum(b - 1, 0)]
+        first = jnp.logical_or(b == 0, tile != prev)
+        rays = rays_ref[...]                         # (8, W)
+        tmin = rays[6:7, :]
+
+        @pl.when(first)
+        def _():
+            # fresh tile: best-t starts at the per-ray t_max (clamped to
+            # the INF sentinel by the caller), no winner, zero u/v
+            out_ref[0, 0:1, :] = rays[7:8, :]
+            out_ref[0, 1:2, :] = jnp.full((1, W), -1.0, jnp.float32)
+            out_ref[0, 2:3, :] = jnp.zeros((1, W), jnp.float32)
+            out_ref[0, 3:4, :] = jnp.zeros((1, W), jnp.float32)
+
+        @pl.when(tile < n_blocks)
+        def _():
+            # sub-box slab gates (the marcher's lazy per-visit cull);
+            # NaN padding rows yield INF entries and never fire
+            inv_d = jnp.where(jnp.abs(rays[3:6, :]) > 1e-12,
+                              1.0 / rays[3:6, :], 1e12)
+            boxes = subs_ref[0]                      # (8, 8) box rows
+            ent = jnp.full((8, W), -INF, jnp.float32)
+            ext = jnp.full((8, W), INF, jnp.float32)
+            for ax in range(3):
+                t0 = ((boxes[:, ax:ax + 1] - rays[ax:ax + 1, :])
+                      * inv_d[ax:ax + 1, :])
+                t1 = ((boxes[:, 3 + ax:4 + ax] - rays[ax:ax + 1, :])
+                      * inv_d[ax:ax + 1, :])
+                ent = jnp.maximum(ent, jnp.minimum(t0, t1))
+                ext = jnp.minimum(ext, jnp.maximum(t0, t1))
+            ent = jnp.maximum(ent, tmin)
+            ent = jnp.where(ent <= ext, ent, INF)
+
+            hp = jax.lax.Precision.HIGHEST
+            dn_t = (((0,), (0,)), ((), ()))          # contract sublanes
+            o4 = jnp.concatenate(
+                [rays[0:3, :], -jnp.ones((1, W), jnp.float32)], axis=0)
+            d_rows = rays[3:6, :]
+            dot = partial(jax.lax.dot_general, dimension_numbers=dn_t,
+                          precision=hp, preferred_element_type=jnp.float32)
+            cl = cls_ref[b]
+
+            def test_part(part):
+                # identical arithmetic to block_march's test_part
+                # (exactness: both paths agree bit-for-bit with each
+                # other and with the oracle's Woop evaluation)
+                ws = woop_ref[0, :, part * step:(part + 1) * step]
+                opx = dot(ws[0:4], o4)
+                opy = dot(ws[4:8], o4)
+                opz = dot(ws[8:12], o4)
+                dpx = dot(ws[0:3], d_rows)
+                dpy = dot(ws[4:7], d_rows)
+                dpz = dot(ws[8:11], d_rows)
+                safe = jnp.where(jnp.abs(dpz) > 1e-12, dpz, 1e-12)
+                t = -opz / safe
+                uu = opx + t * dpx
+                vv = opy + t * dpy
+                bt = out_ref[0, 0:1, :]
+                ok = ((jnp.abs(dpz) > 1e-12) & (uu >= 0.0)
+                      & (vv >= 0.0) & (uu + vv <= 1.0)
+                      & (t > tmin) & (t < bt))
+                t = jnp.where(ok, t, INF)
+                t_best = jnp.min(t, axis=0, keepdims=True)
+                closer = t_best < bt
+                tri_row = jax.lax.broadcasted_iota(jnp.int32, (step, W), 0)
+                # winner = lowest row with t == t_best; pairs are
+                # depth-sorted, so cross-pair ties resolve to the first
+                # scheduled — the marcher's visit-order tie rule
+                li = jnp.min(jnp.where(t <= t_best, tri_row, step),
+                             axis=0, keepdims=True)
+                win = tri_row == li
+                # slot arithmetic as in the marcher (cluster-contiguous)
+                slotf = (cl * cluster_tris + part * step + li
+                         ).astype(jnp.float32)
+                u_new = jnp.sum(jnp.where(win, uu, 0.0), axis=0,
+                                keepdims=True)
+                v_new = jnp.sum(jnp.where(win, vv, 0.0), axis=0,
+                                keepdims=True)
+                slot_new = jnp.where(closer, slotf, out_ref[0, 1:2, :])
+                if any_hit:
+                    # occlusion: any hit pins best-t to -INF so every
+                    # later gate fails fast (marcher's rule)
+                    out_ref[0, 0:1, :] = jnp.where(
+                        slot_new >= 0.0, -INF,
+                        jnp.where(closer, t_best, bt))
+                else:
+                    out_ref[0, 0:1, :] = jnp.where(closer, t_best, bt)
+                out_ref[0, 1:2, :] = slot_new
+                out_ref[0, 2:3, :] = jnp.where(closer, u_new,
+                                               out_ref[0, 2:3, :])
+                out_ref[0, 3:4, :] = jnp.where(closer, v_new,
+                                               out_ref[0, 3:4, :])
+
+            for part in range(n_subs):
+                @pl.when(jnp.any(ent[part:part + 1, :]
+                                 < out_ref[0, 0:1, :]))
+                def _(part=part):
+                    test_part(part)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("n_blocks", "w", "any_hit",
+                                   "cluster_tris", "n_subs"))
+def raster_cluster_call(pair_tiles, pair_clusters, rays_t_ext, sub_boxes,
+                        woop_t, n_blocks: int, w: int = 1024,
+                        any_hit: bool = False, cluster_tris: int = 256,
+                        n_subs: int = 4):
+    """Run the cluster-scheduled raster kernel.
+
+    pair_tiles/pair_clusters: (NP,) int32 — REAL pairs first, grouped by
+        tile ascending (depth-sorted within tile), padding pairs with
+        tile == n_blocks (their cluster index must be valid, e.g. 0);
+    rays_t_ext: (8, (n_blocks + 1) * w) packed rays [o, d, t_min, t_max]
+        with one trailing dead block (the trash tile's fetch target);
+    sub_boxes: (C, 8, 8) per-cluster sub-box rows [min3 | max3 | 0 0]
+        (rows >= n_subs NaN);
+    woop_t: (C, 16, cluster_tris) STATIC transposed Woop rows — the
+        same array the block marcher DMAs from.
+
+    Returns (n_blocks + 1, 8, w) float32; rows 0..3 of blocks
+    0..n_blocks-1 are [best_t, slot, u, v] (slot -1 = miss).  Blocks no
+    pair pointed at hold garbage — the caller masks them via its pair
+    counts.
+    """
+    np_ = pair_tiles.shape[0]
+    kernel = _make_cluster_kernel(w, n_blocks, any_hit, cluster_tris,
+                                  n_subs)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(np_,),
+        in_specs=[
+            pl.BlockSpec((8, w), lambda b, tiles, cls: (0, tiles[b]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 8), lambda b, tiles, cls: (cls[b], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16, cluster_tris),
+                         lambda b, tiles, cls: (cls[b], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, w),
+                               lambda b, tiles, cls: (tiles[b], 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_blocks + 1, 8, w), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=jax.default_backend() == "cpu",
+    )(pair_tiles, pair_clusters, rays_t_ext, sub_boxes, woop_t)

@@ -1,0 +1,350 @@
+"""Perspective/orthographic binning for common-origin waves — the
+scheduler side of the tile-raster engine (kernel:
+ops/pallas/tile_raster.py).
+
+Applicability.  A wave qualifies when every ray passes through one common
+POINT (camera primary rays; shadow rays toward a point light — the point
+may be the origin or the target) or shares one common DIRECTION (sun /
+directional-light shadow rays).  Such rays map to single points on a
+projection plane, so (ray block, cluster) candidate pairs can be
+computed by 2-D rectangle + depth-interval overlap — classic
+rasterization binning — instead of marching per block.  The reference's
+analog workload is its per-pixel primary dispatch
+(/root/reference/shader/Shader.cu:246-273); hardware BVH traversal is
+replaced not by a software tree walk but by binning + dense streaming,
+which maps to the TPU's strengths (static schedules, MXU work) instead
+of its weakness (dynamic memory access).
+
+Why this beats the block marcher on its own waves (measured on-chip,
+100k-tri bench, PERF.md round-3 "tile raster"): the marcher pays two
+scalar-reduction picks and a manual DMA issue per cluster visit
+(~2.4 us) and needs a 16 ms coherence sort; the raster schedule is
+computed once in XLA (no ray sort — the caller's screen-tile layout IS
+the schedule), depth-sorted so near clusters come first, and the kernel
+is a plain Mosaic-pipelined grid with zero picks whose per-pair depth
+early-out retires tiles as soon as every ray's best-t excludes the
+remaining (depth-sorted) clusters.
+
+Exactness.  Binning only decides WHICH pairs the kernel tests; the test
+is the marcher's Woop arithmetic, bit-identical.  Binning is
+conservative:
+
+* cluster rects are fp bounding boxes of the projected vertices,
+  expanded by a relative margin that dominates fp projection error;
+* a vertex on or behind the projection plane (w <= 0) makes its cluster
+  FULL-PLANE — rect-tested against every live block (depth still
+  applies, and keeps behind-plane vertex depths);
+* a ray whose direction points away from the plane (w <= 0) projects
+  nowhere, but can also only hit full-plane clusters, so it is simply
+  excluded from its block's rect;
+* blocks overlap nothing only when all their rays are dead
+  (t_max <= t_min).
+
+Static shapes.  Pair counts are data-dependent, so the pipeline runs
+with a static capacity (``pc_max``, defaulted from scene/wave size) and
+returns an ``ok`` scalar — False means overflow and the results are NOT
+exact.  ops/march.py's ``intersect_from`` wraps the query with a
+lax.cond fallback to the block marcher, so the production path stays
+exact at any pair count.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from optix_ray_tracer_tpu.ops.pallas.tile_raster import GROUP_TRIS
+from optix_ray_tracer_tpu.ops.sweep import CHUNK, ClusterSet
+from optix_ray_tracer_tpu.utils.vecmath import INF
+
+GROUPS_PER_CLUSTER = CHUNK // GROUP_TRIS
+
+#: projection modes: rays share an origin point / a target point / a
+#: direction (orthographic)
+MODES = ("origin", "target", "ortho")
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RasterSet:
+    """Per-scene raster tables, derived from a ClusterSet.
+
+    verts: (n_pad, 3, 3) sorted triangle vertices, NaN where padded —
+    the binning projects these per wave (cheap: one matmul + reductions
+    over 3*n_pad rows).
+    """
+    verts: jax.Array
+
+    @property
+    def num_groups(self) -> int:
+        return self.verts.shape[0] // GROUP_TRIS
+
+
+def build_raster_set(clusters: ClusterSet, tri_vertices) -> RasterSet:
+    """Jittable: derives the raster tables from a (re)built/refit
+    ClusterSet and the ORIGINAL triangle vertex array (n, 3, 3)."""
+    n_pad = clusters.woop.shape[0]
+    tv = jnp.asarray(tri_vertices, jnp.float32).reshape(-1, 3, 3)
+    n = tv.shape[0]
+    if n == 0:
+        sv = jnp.full((n_pad, 3, 3), jnp.nan, jnp.float32)
+    else:
+        sv = tv[jnp.minimum(clusters.prim_index, n - 1)]
+        live = (jnp.arange(n_pad) < n)[:, None, None]
+        sv = jnp.where(live, sv, jnp.nan)
+    return RasterSet(verts=sv)
+
+
+def _basis_from(wvec):
+    """Right-handed orthonormal (u, v, w) with w along ``wvec``."""
+    w = wvec / jnp.maximum(jnp.linalg.norm(wvec), 1e-12)
+    a = jnp.where(jnp.abs(w[0]) < 0.9,
+                  jnp.asarray([1.0, 0.0, 0.0], jnp.float32),
+                  jnp.asarray([0.0, 1.0, 0.0], jnp.float32))
+    u = jnp.cross(w, a)
+    u = u / jnp.maximum(jnp.linalg.norm(u), 1e-12)
+    v = jnp.cross(w, u)
+    return u, v, w
+
+
+def _proj(q, basis, persp: bool):
+    """Project rows of q; returns (x, y, w, good).  NaN rows stay NaN
+    and read good=False; behind-plane rows (w <= 0) read good=False with
+    finite garbage coords (callers mask on good).  w is the depth
+    coordinate (along the basis w axis; raw rows for ortho mode)."""
+    u, v, w = basis
+    qu = q @ u
+    qv = q @ v
+    qw = q @ w
+    if not persp:
+        return qu, qv, qw, jnp.logical_not(jnp.isnan(qu))
+    good = qw > 0.0
+    den = jnp.where(good, qw, 1.0)
+    return qu / den, qv / den, qw, good
+
+
+def default_pc_max(n_blocks: int, n_clusters: int) -> int:
+    """Coarse-pair capacity heuristic — sized for coherent waves (blocks
+    overlap ~a few clusters); overflow falls back to the marcher, so
+    this bounds cost, not correctness."""
+    pc = 12 * n_blocks + 2 * n_clusters + 1024
+    return ((pc + 1023) // 1024) * 1024
+
+
+def _rank_lookup(cum_rows, flat_dim: int, row_idx, rank):
+    """Smallest column c with cum_rows[row, c] >= rank + 1, by bisection
+    over the flattened inclusive row-cumsum matrix."""
+    flat = cum_rows.reshape(-1)
+    lo = jnp.zeros_like(row_idx)
+    hi = jnp.full_like(row_idx, flat_dim - 1)
+    for _ in range(max(1, (flat_dim - 1).bit_length())):
+        mid = (lo + hi) // 2
+        ge = flat[row_idx * flat_dim + mid] >= rank + 1
+        hi = jnp.where(ge, mid, hi)
+        lo = jnp.where(ge, lo, mid + 1)
+    return hi
+
+
+def _coarse_stage(rset: RasterSet, clusters: ClusterSet, o, d, t_min,
+                  t_max, mode: str, point, W: int, pc_max: int) -> dict:
+    """Projections, cluster/block rects with depth ranges, coarse
+    (block, cluster) pair enumeration, per-block depth sort."""
+    if mode not in MODES:
+        raise ValueError(f"mode {mode!r} not in {MODES}")
+    C = clusters.num_clusters
+    n_g = rset.num_groups
+    n = o.shape[0]
+    nb = -(-n // W)
+
+    t_min_a = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    t_max_a = jnp.minimum(
+        jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)), INF)
+    pad = nb * W - n
+    o_p = jnp.pad(o, ((0, pad + W), (0, 0)))
+    d_p = jnp.pad(d, ((0, pad + W), (0, 0)))
+    d_p = d_p.at[n:, 2].set(1.0)
+    tmin_p = jnp.pad(t_min_a, (0, pad + W), constant_values=1.0)
+    tmax_p = jnp.pad(t_max_a, (0, pad + W), constant_values=0.0)
+
+    persp = mode != "ortho"
+    if persp:
+        p = jnp.asarray(point, jnp.float32)
+        q_rays = (d_p if mode == "origin" else o_p - p)[:nb * W]
+        wvec = jnp.mean(q_rays, axis=0)
+        q_verts = rset.verts.reshape(-1, 3) - p
+    else:
+        q_rays = o_p[:nb * W]
+        wvec = d[0]
+        q_verts = rset.verts.reshape(-1, 3)
+    basis = _basis_from(wvec)
+
+    # ---- cluster rects (x/y plane + depth range), via 8-tri groups ----
+    vx, vy, vw, vgood = _proj(q_verts, basis, persp)
+    vnan = jnp.isnan(vx)
+    behind = jnp.logical_and(jnp.logical_not(vgood), jnp.logical_not(vnan))
+    vxm = jnp.where(vgood, vx, jnp.nan).reshape(n_g, 3 * GROUP_TRIS)
+    vym = jnp.where(vgood, vy, jnp.nan).reshape(n_g, 3 * GROUP_TRIS)
+    vzm = vw.reshape(n_g, 3 * GROUP_TRIS)   # depth keeps behind verts
+    gx0 = jnp.nanmin(vxm, axis=1)
+    gx1 = jnp.nanmax(vxm, axis=1)
+    gy0 = jnp.nanmin(vym, axis=1)
+    gy1 = jnp.nanmax(vym, axis=1)
+    gz0 = jnp.nanmin(vzm, axis=1)
+    gz1 = jnp.nanmax(vzm, axis=1)
+    gfull = jnp.any(behind.reshape(n_g, 3 * GROUP_TRIS), axis=1)
+    # conservative margin: dominates fp projection error (rel ~1e-7)
+    mx = 1e-5 * (jnp.abs(gx0) + jnp.abs(gx1)) + 1e-6
+    my = 1e-5 * (jnp.abs(gy0) + jnp.abs(gy1)) + 1e-6
+    mz = 1e-5 * (jnp.abs(gz0) + jnp.abs(gz1)) + 1e-6
+    G = GROUPS_PER_CLUSTER
+    cx0 = jnp.nanmin((gx0 - mx).reshape(C, G), axis=1)
+    cx1 = jnp.nanmax((gx1 + mx).reshape(C, G), axis=1)
+    cy0 = jnp.nanmin((gy0 - my).reshape(C, G), axis=1)
+    cy1 = jnp.nanmax((gy1 + my).reshape(C, G), axis=1)
+    cz0 = jnp.nanmin((gz0 - mz).reshape(C, G), axis=1)
+    cz1 = jnp.nanmax((gz1 + mz).reshape(C, G), axis=1)
+    cfull = jnp.any(gfull.reshape(C, G), axis=1)
+
+    # ---- per-block ray rects + depth ranges ----
+    rx, ry, rqw, rgood = _proj(q_rays, basis, persp)
+    tmin_r = tmin_p[:nb * W]
+    tmax_r = tmax_p[:nb * W]
+    live = tmax_r > tmin_r
+    pv = jnp.logical_and(rgood, live)
+    pxm = jnp.where(pv, rx, jnp.nan).reshape(nb, W)
+    pym = jnp.where(pv, ry, jnp.nan).reshape(nb, W)
+    bx0 = jnp.nanmin(pxm, axis=1)
+    bx1 = jnp.nanmax(pxm, axis=1)
+    by0 = jnp.nanmin(pym, axis=1)
+    by1 = jnp.nanmax(pym, axis=1)
+    live_any = jnp.any(live.reshape(nb, W), axis=1)
+    # depth along the ray is w0 + t * (d . w_basis), valid for EVERY ray
+    # (no division) — segments only need geometry inside their depth
+    # interval, which prunes whole-scene shadow binning to the slab
+    # between origin patch and target (measured 2.9x fewer pairs on the
+    # bench shadow wave; the far side of a closed mesh never pairs)
+    if mode == "origin":
+        wd = rqw                      # q_rays = d
+        w0 = jnp.zeros_like(wd)
+    else:
+        wd = d_p[:nb * W] @ basis[2]
+        w0 = rqw
+    dlo = w0 + jnp.minimum(tmin_r * wd, tmax_r * wd)
+    dhi = w0 + jnp.maximum(tmin_r * wd, tmax_r * wd)
+    bz0 = jnp.min(jnp.where(live, dlo, INF).reshape(nb, W), axis=1)
+    bz1 = jnp.max(jnp.where(live, dhi, -INF).reshape(nb, W), axis=1)
+
+    # ---- coarse (block, cluster) pairs ----
+    ov = ((bx0[:, None] <= cx1[None, :]) & (bx1[:, None] >= cx0[None, :])
+          & (by0[:, None] <= cy1[None, :]) & (by1[:, None] >= cy0[None, :]))
+    ovz = ((bz0[:, None] <= cz1[None, :]) & (bz1[:, None] >= cz0[None, :]))
+    ov = (jnp.logical_or(ov, cfull[None, :]) & ovz & live_any[:, None])
+    ovi = ov.astype(jnp.int32)
+    cnt_b = jnp.sum(ovi, axis=1)
+    cum_b = jnp.cumsum(cnt_b)
+    pc_total = cum_b[-1]
+    i = jnp.arange(pc_max, dtype=jnp.int32)
+    b_i = jnp.minimum(
+        jnp.searchsorted(cum_b, i, side="right"), nb - 1).astype(jnp.int32)
+    validc = i < pc_total
+    j = i - (cum_b[b_i] - cnt_b[b_i])
+    c_i = _rank_lookup(jnp.cumsum(ovi, axis=1), C, b_i, j)
+
+    # depth-sort the coarse pairs within each block (near cluster first):
+    # the kernel's per-pair depth early-out then retires primary tiles
+    # after the nearest clusters and occluded any_hit tiles after the
+    # first occluder.  Quantized depth under the block id keeps the sort
+    # one 32-bit argsort; within-block depth ties keep ascending cluster
+    # order (stable sort, pairs were cluster-ascending).
+    zbits = max(4, min(17, 30 - max(nb - 1, 1).bit_length()))
+    zspan_lo = jnp.nanmin(cz0)
+    zspan_hi = jnp.nanmax(cz1)
+    zq = (cz0[c_i] - zspan_lo) / jnp.maximum(zspan_hi - zspan_lo, 1e-30)
+    zq = jnp.nan_to_num(jnp.clip(zq, 0.0, 1.0))
+    key = b_i * (1 << zbits) + (zq * ((1 << zbits) - 1)).astype(jnp.int32)
+    key = jnp.where(validc, key, jnp.int32(nb) * (1 << zbits))
+    perm = jnp.argsort(key)
+    return dict(n=n, nb=nb, o_p=o_p, d_p=d_p, tmin_p=tmin_p,
+                tmax_p=tmax_p, b_i=b_i[perm], c_i=c_i[perm],
+                validc=validc[perm], pc_total=pc_total, cnt_b=cnt_b)
+
+
+def raster_query(rset: RasterSet, clusters: ClusterSet, o, d,
+                 t_min, t_max, mode: str = "origin", point=None,
+                 any_hit: bool = False, block_rays: int = 1024,
+                 pc_max: int | None = None,
+                 return_stats: bool = False):
+    """Nearest-hit (or occlusion) query for a common-origin/-direction
+    wave.  Rays are taken in CALLER ORDER — blocks are consecutive runs
+    of ``block_rays`` rays, so the caller's layout should be screen- or
+    hit-coherent (camera tile order qualifies; no sort pass is needed or
+    performed; incoherent layouts stay EXACT but pair up with everything
+    and overflow).
+
+    o, d: (R, 3); t bounds scalars or (R,); mode: see MODES; ``point``
+    is the shared point for origin/target modes (ortho uses d[0]).
+
+    Returns (t, slot, u, v, ok): slot indexes the sorted prim arrays
+    (-1 = miss), ok=False signals capacity overflow (results invalid —
+    fall back to the marcher, see ops/march.py intersect_from).
+
+    A NOTE ON GRANULARITY: an 8-triangle fine-binned variant (per-group
+    pair refinement + per-frame Woop gather into chunk tables) was built
+    and measured SLOWER on-chip despite 2.5x fewer triangle tests — the
+    per-frame gather of gathered chunks ran at XLA's ~5 GB/s gather
+    ceiling and ate the kernel win (PERF.md round-3 "tile raster").
+    This cluster-granularity version streams whole 256-triangle clusters
+    straight from the STATIC woop_t with Mosaic's pipeline instead.
+    """
+    from optix_ray_tracer_tpu.ops.pallas.tile_raster import (
+        raster_cluster_call,
+    )
+    from optix_ray_tracer_tpu.ops.sweep import SUBS_PER_CLUSTER
+
+    W = block_rays
+    C = clusters.num_clusters
+    n = o.shape[0]
+    nb = -(-n // W)
+    pc_max = pc_max or default_pc_max(nb, C)
+    S = _coarse_stage(rset, clusters, o, d, t_min, t_max, mode, point,
+                      W, pc_max)
+    b_i, c_i, validc = S["b_i"], S["c_i"], S["validc"]
+    pc_total, cnt_b = S["pc_total"], S["cnt_b"]
+    pair_tiles = jnp.where(validc, b_i, nb).astype(jnp.int32)
+    pair_clusters = jnp.where(validc, c_i, 0).astype(jnp.int32)
+
+    sm = clusters.sub_min.reshape(C, SUBS_PER_CLUSTER, 3)
+    sx = clusters.sub_max.reshape(C, SUBS_PER_CLUSTER, 3)
+    rows = jnp.concatenate(
+        [sm, sx, jnp.zeros((C, SUBS_PER_CLUSTER, 2), jnp.float32)], axis=2)
+    sub8 = jnp.concatenate(
+        [rows, jnp.full((C, 8 - SUBS_PER_CLUSTER, 8), jnp.nan,
+                        jnp.float32)], axis=1)
+
+    rays_t_ext = jnp.concatenate(
+        [S["o_p"].T, S["d_p"].T, S["tmin_p"][None, :],
+         S["tmax_p"][None, :]], axis=0)
+    out = raster_cluster_call(pair_tiles, pair_clusters, rays_t_ext, sub8,
+                              clusters.woop_t, n_blocks=nb, w=W,
+                              any_hit=any_hit,
+                              cluster_tris=clusters.woop_t.shape[2],
+                              n_subs=SUBS_PER_CLUSTER)
+    res = jnp.swapaxes(out[:nb, 0:4, :], 1, 2).reshape(nb * W, 4)[:n]
+    touched = jnp.repeat(cnt_b > 0, W, total_repeat_length=nb * W)[:n]
+    t = res[:, 0]
+    slotf = res[:, 1]
+    miss = jnp.logical_or(slotf < 0.0, jnp.logical_not(touched))
+    slot = jnp.where(miss, -1, jnp.maximum(slotf, 0.0).astype(jnp.int32))
+    t = jnp.where(miss, INF, t)
+    ok = pc_total <= pc_max
+    u = jnp.where(miss, 0.0, res[:, 2])
+    v = jnp.where(miss, 0.0, res[:, 3])
+    if return_stats:
+        return t, slot, u, v, ok, {"pc": pc_total, "pc_max": pc_max}
+    return t, slot, u, v, ok
+
+
+#: back-compat alias (the cluster-granularity query IS the raster query)
+raster_cluster_query = raster_query
