@@ -124,10 +124,16 @@ def main() -> None:
                                            t_max=dist[..., 0])
             return hit.t, shadowed
     else:
+        # pc_max: measured-tight schedule capacity (~6k pairs/wave at
+        # W=1024 on this scene; the default heuristic's 14k costs ~2
+        # Mrays/s of prep-array overhead).  Overflow would fall back to
+        # the exact marcher, so a tight cap risks speed, not correctness.
+        PC = 8192
+
         @jax.jit
         def step(o, d):
             hit = intersector.intersect_from(scene, o, d, mode="origin",
-                                             point=o[0])
+                                             point=o[0], pc_max=PC)
             point = o + hit.t[..., None] * d
             point = jnp.where(hit.is_hit[..., None], point, o)
             to_light = light - point
@@ -135,7 +141,7 @@ def main() -> None:
             wl = to_light / jnp.maximum(dist, 1e-6)
             shadowed = intersector.any_hit_from(
                 scene, point + wl * 1e-3, wl, mode="target", point=light,
-                t_max=dist[..., 0])
+                t_max=dist[..., 0], pc_max=PC)
             return hit.t, shadowed
 
         # raster-path exactness guard: 1024 camera rays, full pipeline

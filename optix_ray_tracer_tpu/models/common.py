@@ -210,7 +210,14 @@ def choose_intersector(scene):
     if scene.triangle_count < threshold:
         return None  # brute force
     from optix_ray_tracer_tpu.ops.march import make_march_intersector
-    intersector = make_march_intersector(scene)
+    from optix_ray_tracer_tpu.utils.debug import DEBUG_MODE
+
+    # raster=True: attach the tile-raster tables so the integrators'
+    # pinhole camera waves take the schedule-driven engine (ops/raster.py;
+    # rebuild/refit keep the tables in sync for the animation loop).
+    # debug-mode keeps the plain marcher: the raster tables use NaN as a
+    # deliberate padding sentinel, which jax_debug_nans would flag.
+    intersector = make_march_intersector(scene, raster=not DEBUG_MODE)
     maybe_validate_accel(intersector, scene)
     return intersector
 

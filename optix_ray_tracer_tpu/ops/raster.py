@@ -348,3 +348,77 @@ def raster_query(rset: RasterSet, clusters: ClusterSet, o, d,
 
 #: back-compat alias (the cluster-granularity query IS the raster query)
 raster_cluster_query = raster_query
+
+
+def pick_camera_tiles(height: int, width: int):
+    """(th, tw) pixel-tile sizes whose th*tw-ray blocks feed the raster
+    engine, or None if the frame doesn't tile cleanly.  Wide blocks win
+    for coherent waves (measured: W=1024 > 512 > 256, PERF.md), so pick
+    the largest power-of-two tile edge dividing each dimension, and
+    require >= 256 rays per block (below that, binning overhead wins)."""
+    def edge(x):
+        for t in (32, 16, 8):
+            if x % t == 0:
+                return t
+        return 0
+    th, tw = edge(height), edge(width)
+    if th * tw < 256:
+        return None
+    return th, tw
+
+
+def make_camera_intersect(intersector, point, S: int, H: int, W: int,
+                          th: int, tw: int):
+    """An ``intersect``-compatible callable that routes a camera wave
+    through the raster engine.
+
+    The integrators flatten rays in (sample, row, col) order; this
+    wrapper re-views them in (sample, tile, in-tile) order via pure
+    reshape/transposes (NOT gathers), queries ``intersect_from`` with
+    th*tw-ray blocks, and transposes the Hit back — callers see the
+    original order.  Hit t/prim are BIT-exact vs the marcher; the
+    winner u/v (carried in-kernel) agree only to fp accumulation order
+    (~3e-6 — MXU dot vs the marcher's post-hoc einsum), so rendered
+    images match to fp noise."""
+    nh, nw = H // th, W // tw
+
+    def to_tiles(a):
+        rest = a.shape[1:]
+        b = a.reshape((S, nh, th, nw, tw) + rest)
+        return jnp.swapaxes(b, 2, 3).reshape((S * H * W,) + rest)
+
+    def from_tiles(a):
+        rest = a.shape[1:]
+        b = a.reshape((S, nh, nw, th, tw) + rest)
+        return jnp.swapaxes(b, 2, 3).reshape((S * H * W,) + rest)
+
+    def isect(scene, o, d, t_min=1e-3, t_max=INF):
+        n = o.shape[0]
+        t_max_t = (to_tiles(jnp.broadcast_to(
+            jnp.asarray(t_max, jnp.float32), (n,)))
+            if jnp.ndim(t_max) else t_max)
+        hit = intersector.intersect_from(
+            scene, to_tiles(o), to_tiles(d), mode="origin", point=point,
+            t_min=t_min, t_max=t_max_t, block_rays=th * tw)
+        return jax.tree.map(from_tiles, hit)
+
+    return isect
+
+
+def camera_tile_layout(intersector, camera, S: int, height: int,
+                       width: int):
+    """The integrators' auto-detect hook: a static (S, H, W, th, tw)
+    layout tuple when the camera wave can take the raster engine — the
+    intersector carries raster tables, the camera is a pinhole (common
+    origin; DOF lens origins are not), and the frame tiles cleanly —
+    else None (callers keep the sorted-march path)."""
+    if getattr(intersector, "raster", None) is None:
+        return None
+    if not hasattr(intersector, "intersect_from"):
+        return None
+    if float(getattr(camera, "aperture", 0.0)) != 0.0:
+        return None
+    tiles = pick_camera_tiles(height, width)
+    if tiles is None:
+        return None
+    return (S, height, width, tiles[0], tiles[1])

@@ -66,13 +66,15 @@ def _cosine_sample(n, pixel_id, sample, bounce, seed, mode="pcg"):
 
 
 @partial(jax.jit, static_argnames=("max_depth", "rr_start", "want_aux",
-                                   "sampler", "restir_direct"))
+                                   "sampler", "restir_direct",
+                                   "cam_tiles"))
 def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
                origins, directions, pixel_id, sample, seed, background,
                max_depth: int = 8, intersector=None, env=None,
                textures=None, rr_start: int = 3, clamp: float = 0.0,
                want_aux: bool = False, sampler: str = "pcg",
-               restir_direct: bool = False, first_hit=None):
+               restir_direct: bool = False, first_hit=None,
+               cam_point=None, cam_tiles=None):
     """Trace a wavefront with NEE+MIS.  Returns (radiance, albedo_g, normal_g);
     with ``want_aux`` also (t (R,), prim_id (R,) int32) of the PRIMARY hit
     (INF / -1 on miss or sphere hit) — the depth/id buffers the temporal
@@ -132,12 +134,17 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
         # emitter-hit drop — see the docstring's partition argument)
         state["prim_diff"] = jnp.zeros((nrays,), bool)
 
-    def bounce_step(s, b, ext_isect=None, ext_hit=None):
+    def bounce_step(s, b, ext_isect=None, ext_hit=None, ext_fn=None):
         alive = s["alive"]
         # dead lanes trace with t_max=0: free in the block-march kernel
-        hit = ext_hit if ext_hit is not None else (
-            ext_isect or incoh).intersect(
-            scene, s["o"], s["d"], t_max=jnp.where(alive, INF, 0.0))
+        if ext_hit is not None:
+            hit = ext_hit
+        elif ext_fn is not None:
+            hit = ext_fn(scene, s["o"], s["d"],
+                         t_max=jnp.where(alive, INF, 0.0))
+        else:
+            hit = (ext_isect or incoh).intersect(
+                scene, s["o"], s["d"], t_max=jnp.where(alive, INF, 0.0))
         missed = alive & ~hit.is_hit
         if restir_direct:
             # bounce-0 miss radiance lives in ReSTIR's base image
@@ -338,9 +345,15 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
                     **extra), None
 
     # bounce 0 (coherent camera rays) unrolled with the morton-sorted
-    # intersector; bounces >= 1 scanned with the probe-sorted one
+    # intersector — or the tile-raster engine when the caller supplies a
+    # camera layout (t/prim bit-exact, u/v to fp order; ops/raster.py);
+    # bounces >= 1 scanned with the probe-sorted one
+    cam_fn = None
+    if cam_point is not None and cam_tiles is not None:
+        from optix_ray_tracer_tpu.ops.raster import make_camera_intersect
+        cam_fn = make_camera_intersect(intersector, cam_point, *cam_tiles)
     state, _ = bounce_step(state, jnp.int32(0), ext_isect=intersector,
-                           ext_hit=first_hit)
+                           ext_hit=first_hit, ext_fn=cam_fn)
     if max_depth > 1:
         state, _ = jax.lax.scan(bounce_step, state,
                                 jnp.arange(1, max_depth, dtype=jnp.int32))
@@ -378,6 +391,10 @@ def render_path(scene: Scene, materials: MaterialTable, lights, camera,
     if spp % S:
         raise ValueError(f"samples_per_wave={S} must divide spp={spp}")
     pix_rep = jnp.tile(pixel_id, S)
+    # raster-engine camera waves when the intersector carries the tables
+    # (ops/raster.py; t/prim bit-exact, no sort/picks)
+    from optix_ray_tracer_tpu.ops.raster import camera_tile_layout
+    cam_tiles = camera_tile_layout(intersector, camera, S, height, width)
 
     def sample_step(acc, s0):
         s_vec = s0 + jnp.arange(S, dtype=jnp.int32)
@@ -398,7 +415,9 @@ def render_path(scene: Scene, materials: MaterialTable, lights, camera,
         out = trace_path(
             scene, materials, lights, o.reshape(-1, 3), d.reshape(-1, 3),
             pix_rep, samp, seed, background, max_depth, intersector, env,
-            textures, rr_start, clamp, want_aux=want_aux, sampler=sampler)
+            textures, rr_start, clamp, want_aux=want_aux, sampler=sampler,
+            cam_point=camera.center if cam_tiles else None,
+            cam_tiles=cam_tiles)
         radiance, alb, nrm = out[:3]
         nxt = (acc[0] + radiance.reshape(S, npix, 3).sum(0),
                acc[1] + alb.reshape(S, npix, 3).sum(0),

@@ -122,17 +122,24 @@ def _default_intersector():
     return BruteForceIntersector()
 
 
-@partial(jax.jit, static_argnames=("max_depth", "want_aux", "sampler"))
+@partial(jax.jit, static_argnames=("max_depth", "want_aux", "sampler",
+                                   "cam_tiles"))
 def trace(scene: Scene, materials: MaterialTable, origins, directions,
           pixel_id, sample, seed, background,
           max_depth: int = DEFAULT_MAX_DEPTH,
           intersector=None, env=None, want_aux: bool = False,
-          sampler: str = "pcg"):
+          sampler: str = "pcg", cam_point=None, cam_tiles=None):
     """Trace a wavefront of rays to completion.
 
     origins/directions: (R, 3); pixel_id: (R,) int32; sample: scalar int;
     seed: scalar int; background: (3,) linear color.  ``intersector`` is a
     pytree (BVHIntersector / BruteForceIntersector); None = brute force.
+
+    ``cam_point``/``cam_tiles`` ((S, H, W, th, tw), static): when set and
+    the intersector carries raster tables, bounce 0 routes through the
+    tile-raster engine (ops/raster.py) instead of the sorted march —
+    t/prim bit-exact, u/v to fp accumulation order, no coherence sort,
+    no in-kernel picks.
 
     Returns (radiance (R,3) linear, albedo_guide (R,3), normal_guide (R,3));
     with ``want_aux`` also (t (R,), prim_id (R,) int32) of the PRIMARY hit
@@ -142,6 +149,10 @@ def trace(scene: Scene, materials: MaterialTable, origins, directions,
     if intersector is None:
         intersector = _default_intersector()
     intersect_fn = intersector.intersect
+    if cam_point is not None and cam_tiles is not None:
+        from optix_ray_tracer_tpu.ops.raster import make_camera_intersect
+        intersect_fn = make_camera_intersect(intersector, cam_point,
+                                             *cam_tiles)
     # bounces >= 1 are incoherent: use the probe-sorted intersector
     # variant (ops/march.py sort_mode) when the intersector offers one
     incoh = getattr(intersector, "for_incoherent", lambda: intersector)()
@@ -273,6 +284,10 @@ def render(scene: Scene, materials: MaterialTable, camera,
     if spp % S:
         raise ValueError(f"samples_per_wave={S} must divide spp={spp}")
     pix_rep = jnp.tile(pixel_id, S)                      # (S*npix,)
+    # raster-engine camera waves when the intersector carries the tables
+    # (ops/raster.py; t/prim bit-exact, no sort/picks)
+    from optix_ray_tracer_tpu.ops.raster import camera_tile_layout
+    cam_tiles = camera_tile_layout(intersector, camera, S, height, width)
 
     def sample_step(acc, s0):
         s_vec = s0 + jnp.arange(S, dtype=jnp.int32)      # (S,)
@@ -293,7 +308,9 @@ def render(scene: Scene, materials: MaterialTable, camera,
         out = trace(
             scene, materials, o.reshape(-1, 3), d.reshape(-1, 3),
             pix_rep, samp, seed, background, max_depth, intersector, env,
-            want_aux=want_aux, sampler=sampler)
+            want_aux=want_aux, sampler=sampler,
+            cam_point=camera.center if cam_tiles else None,
+            cam_tiles=cam_tiles)
         radiance, albedo_g, normal_g = out[:3]
         nxt = (acc[0] + radiance.reshape(S, npix, 3).sum(0),
                acc[1] + albedo_g.reshape(S, npix, 3).sum(0),

@@ -213,3 +213,63 @@ def test_refit_rebuild_keeps_raster(setup):
     assert bool(ok)
     hit = intersect_scene_bruteforce(shifted, o, d, t_min=1e-3)
     assert (_prims(inter2, slot) == _oracle_prims(hit)).all()
+
+
+def test_integrators_match_with_raster_camera_wave():
+    """Attaching raster tables routes the camera wave through the tile
+    raster engine.  Primary t/prim are BIT-exact (asserted in
+    test_intersect_from_matches_intersect); the winner u/v are carried
+    in-kernel and agree with the marcher's post-hoc einsum only to fp
+    accumulation order (~3e-6), so interpolated shading normals — and
+    through them the images — match to fp noise, not bitwise."""
+    from optix_ray_tracer_tpu.render import wavefront
+    from optix_ray_tracer_tpu.scene.materials import MaterialBuilder
+
+    v, nn = sphere_with_n_triangles(600)
+    mb = MaterialBuilder()
+    ground = mb.add_rough((0.7, 0.6, 0.5))
+    red = mb.add_rough((0.65, 0.05, 0.05))
+    scene = Scene(
+        spheres=Spheres.from_list([((0.0, 0.0, -100.55), 100.0, ground)]),
+        triangles=Triangles.from_arrays(v, nn, red))
+    mats = mb.build()
+    cam = Camera.look_at((3.0, 0.0, 0.3), (0.0, 0.0, 0.0), (0.0, 0.0, 1.0))
+    plain = make_march_intersector(scene)
+    withr = attach_raster(plain, scene)
+    img_a, alb_a, _ = wavefront.render(scene, mats, cam, 64, 64, spp=2,
+                                       seed=3, intersector=plain)
+    img_b, alb_b, _ = wavefront.render(scene, mats, cam, 64, 64, spp=2,
+                                       seed=3, intersector=withr)
+
+    def _close(a, b):
+        diff = np.abs(np.asarray(a) - np.asarray(b))
+        assert diff.mean() < 1e-5 and diff.max() < 0.05, \
+            (diff.mean(), diff.max())
+
+    _close(img_a, img_b)
+    _close(alb_a, alb_b)
+
+    from optix_ray_tracer_tpu.render import pathtracer
+    from optix_ray_tracer_tpu.scene.lights import collect_area_lights
+    em = mb.add_emissive((4.0, 4.0, 4.0))
+    quad = np.asarray([[[-0.5, -0.5, 1.2], [0.5, -0.5, 1.2],
+                        [0.5, 0.5, 1.2]],
+                       [[-0.5, -0.5, 1.2], [0.5, 0.5, 1.2],
+                        [-0.5, 0.5, 1.2]]], np.float32)
+    tv = np.concatenate([np.asarray(v), quad], 0)
+    tn = np.concatenate(
+        [np.asarray(nn),
+         np.tile(np.asarray([0, 0, -1], np.float32), (2, 3, 1))], 0)
+    tm = np.concatenate([np.full(len(v), red, np.int32),
+                         np.full(2, em, np.int32)])
+    scene2 = Scene(spheres=Spheres.empty(),
+                   triangles=Triangles.from_arrays(tv, tn, tm))
+    mats2 = mb.build()
+    lights = collect_area_lights(scene2, mats2)
+    p2 = make_march_intersector(scene2)
+    r2 = attach_raster(p2, scene2)
+    ia = pathtracer.render_path(scene2, mats2, lights, cam, 64, 64, spp=2,
+                                seed=5, max_depth=3, intersector=p2)[0]
+    ib = pathtracer.render_path(scene2, mats2, lights, cam, 64, 64, spp=2,
+                                seed=5, max_depth=3, intersector=r2)[0]
+    _close(ia, ib)
