@@ -82,6 +82,16 @@ class MarchIntersector:
         direction.  EXACT at any pair count: on schedule-capacity
         overflow a lax.cond falls back to the block marcher for the
         whole wave (paying the marcher's cost for that wave only).
+
+        Occlusion (``any_hit``) waves in "target" mode are re-traced
+        FROM the common point: the segment [o + t_min*d, o + t_max*d]
+        through p = o + dist*d is identical to [p + (dist-t_max)*(-d),
+        p + (dist-t_min)*(-d)], and a common ORIGIN lets the kernel
+        narrow its three o-projection dots to one lane column (see
+        tile_raster._make_cluster_kernel) — the same win the camera
+        wave gets.  Only ``is_hit`` of the returned Hit is meaningful
+        for the flipped wave (t/u/v/prim describe the reversed
+        parameterization; occluder identity, not the nearest one).
         """
         from optix_ray_tracer_tpu.ops.raster import raster_query
 
@@ -98,6 +108,13 @@ class MarchIntersector:
         t_max_a = jnp.broadcast_to(
             jnp.asarray(t_max, jnp.float32).reshape(-1) if jnp.ndim(t_max)
             else jnp.asarray(t_max, jnp.float32), (n,))
+        if any_hit and mode == "target":
+            p = jnp.asarray(point, jnp.float32)
+            dist = jnp.einsum("rk,rk->r", p[None, :] - o2, d2)
+            o2 = jnp.broadcast_to(p, o2.shape)
+            d2 = -d2
+            t_min_a, t_max_a = dist - t_max_a, dist - t_min_a
+            mode = "origin"
         t, slot, u, v, ok = raster_query(
             self.raster, self.clusters, o2, d2, t_min_a, t_max_a,
             mode=mode, point=point, any_hit=any_hit,

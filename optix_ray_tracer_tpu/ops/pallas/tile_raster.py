@@ -54,9 +54,23 @@ GROUP_TRIS = 8        # binning granularity (one f32 sublane tile)
 
 
 def _make_cluster_kernel(W: int, n_blocks: int, any_hit: bool,
-                         cluster_tris: int, n_subs: int):
+                         cluster_tris: int, n_subs: int,
+                         common: str | None = None):
     """One grid step tests one (ray block, cluster) pair; tile id
-    n_blocks is the trash tile dead (padding) pairs point at."""
+    n_blocks is the trash tile dead (padding) pairs point at.
+
+    ``common`` exploits the wave's shared-point/-direction structure in
+    the Woop dots: "origin" — every lane's origin equals lane 0's (true
+    by the origin-mode contract), so the three o-projection dots run
+    over 128 lanes and broadcast column 0 (1/8 the MXU work; measured
+    23.7 -> 18.7 ms on the bench camera wave); "dir" — same for the
+    three direction dots (ortho/sun waves).  The narrow dot's bits can
+    differ from the full-width dot by 1 ulp (Mosaic's fp32 HIGHEST
+    lowering is shape-dependent), which flips the winner only on exact
+    fp ties — adjacent triangles sharing the hit edge — measured at
+    5 per 1M camera rays vs the full-width kernel; the brute-force
+    oracle (an independent Moller-Trumbore formulation) is equally far
+    from either.  None keeps full-width dots (target-mode waves)."""
     step = cluster_tris // n_subs
 
     def kernel(tiles_ref, cls_ref, rays_ref, subs_ref, woop_ref, out_ref):
@@ -97,24 +111,33 @@ def _make_cluster_kernel(W: int, n_blocks: int, any_hit: bool,
 
             hp = jax.lax.Precision.HIGHEST
             dn_t = (((0,), (0,)), ((), ()))          # contract sublanes
+            ow = 128 if common == "origin" else W
             o4 = jnp.concatenate(
-                [rays[0:3, :], -jnp.ones((1, W), jnp.float32)], axis=0)
-            d_rows = rays[3:6, :]
+                [rays[0:3, 0:ow], -jnp.ones((1, ow), jnp.float32)], axis=0)
+            dw = 128 if common == "dir" else W
+            d_rows = rays[3:6, 0:dw]
             dot = partial(jax.lax.dot_general, dimension_numbers=dn_t,
                           precision=hp, preferred_element_type=jnp.float32)
             cl = cls_ref[b]
 
             def test_part(part):
-                # identical arithmetic to block_march's test_part
-                # (exactness: both paths agree bit-for-bit with each
-                # other and with the oracle's Woop evaluation)
+                # the marcher's Woop arithmetic (common-point waves
+                # narrow the shared-side dots — see factory docstring)
                 ws = woop_ref[0, :, part * step:(part + 1) * step]
                 opx = dot(ws[0:4], o4)
                 opy = dot(ws[4:8], o4)
                 opz = dot(ws[8:12], o4)
+                if common == "origin":
+                    opx = opx[:, 0:1]
+                    opy = opy[:, 0:1]
+                    opz = opz[:, 0:1]
                 dpx = dot(ws[0:3], d_rows)
                 dpy = dot(ws[4:7], d_rows)
                 dpz = dot(ws[8:11], d_rows)
+                if common == "dir":
+                    dpx = dpx[:, 0:1]
+                    dpy = dpy[:, 0:1]
+                    dpz = dpz[:, 0:1]
                 safe = jnp.where(jnp.abs(dpz) > 1e-12, dpz, 1e-12)
                 t = -opz / safe
                 uu = opx + t * dpx
@@ -165,11 +188,11 @@ def _make_cluster_kernel(W: int, n_blocks: int, any_hit: bool,
 
 
 @partial(jax.jit, static_argnames=("n_blocks", "w", "any_hit",
-                                   "cluster_tris", "n_subs"))
+                                   "cluster_tris", "n_subs", "common"))
 def raster_cluster_call(pair_tiles, pair_clusters, rays_t_ext, sub_boxes,
                         woop_t, n_blocks: int, w: int = 1024,
                         any_hit: bool = False, cluster_tris: int = 256,
-                        n_subs: int = 4):
+                        n_subs: int = 4, common: str | None = None):
     """Run the cluster-scheduled raster kernel.
 
     pair_tiles/pair_clusters: (NP,) int32 — REAL pairs first, grouped by
@@ -189,7 +212,7 @@ def raster_cluster_call(pair_tiles, pair_clusters, rays_t_ext, sub_boxes,
     """
     np_ = pair_tiles.shape[0]
     kernel = _make_cluster_kernel(w, n_blocks, any_hit, cluster_tris,
-                                  n_subs)
+                                  n_subs, common)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(np_,),

@@ -326,11 +326,19 @@ def raster_query(rset: RasterSet, clusters: ClusterSet, o, d,
     rays_t_ext = jnp.concatenate(
         [S["o_p"].T, S["d_p"].T, S["tmin_p"][None, :],
          S["tmax_p"][None, :]], axis=0)
+    # shared-point/-direction dots narrow to one lane column in the
+    # kernel ("origin" rays all start at ``point``; "ortho" rays share
+    # d) — 1/8 the MXU work on the shared side, 1-ulp winner ties may
+    # resolve differently than the full-width dot (see
+    # tile_raster._make_cluster_kernel).  "target" keeps full width
+    # (origins vary; occlusion callers flip to "origin" upstream —
+    # ops/march.py intersect_from).
+    common = {"origin": "origin", "ortho": "dir", "target": None}[mode]
     out = raster_cluster_call(pair_tiles, pair_clusters, rays_t_ext, sub8,
                               clusters.woop_t, n_blocks=nb, w=W,
                               any_hit=any_hit,
                               cluster_tris=clusters.woop_t.shape[2],
-                              n_subs=SUBS_PER_CLUSTER)
+                              n_subs=SUBS_PER_CLUSTER, common=common)
     res = jnp.swapaxes(out[:nb, 0:4, :], 1, 2).reshape(nb * W, 4)[:n]
     touched = jnp.repeat(cnt_b > 0, W, total_repeat_length=nb * W)[:n]
     t = res[:, 0]
