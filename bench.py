@@ -124,11 +124,12 @@ def main() -> None:
                                            t_max=dist[..., 0])
             return hit.t, shadowed
     else:
-        # pc_max: measured-tight schedule capacity (~6k pairs/wave at
-        # W=1024 on this scene; the default heuristic's 14k costs ~2
-        # Mrays/s of prep-array overhead).  Overflow would fall back to
-        # the exact marcher, so a tight cap risks speed, not correctness.
-        PC = 8192
+        # pc_max: measured-tight schedule capacity (~5.1k primary pairs
+        # at W=1024 on this scene; 6144 beat 8192 by ~0.8 Mrays/s and the
+        # default heuristic's 14k costs ~2 Mrays/s of prep-array
+        # overhead).  Overflow would fall back to the exact marcher, so a
+        # tight cap risks speed, not correctness.
+        PC = 6144
 
         @jax.jit
         def step(o, d):
