@@ -262,6 +262,7 @@ def fused_chunk(fd, ks, seeds, base_inter, materials, camera,
             """Trace this device's row band, then psum samples +
             all_gather tiles into replicated full frames for the
             postprocess tail."""
+            from optix_ray_tracer_tpu.ops.raster import camera_tile_layout
             from optix_ray_tracer_tpu.parallel.sharding import _tile_rays
             from optix_ray_tracer_tpu.utils.vecmath import INF
 
@@ -269,6 +270,15 @@ def fused_chunk(fd, ks, seeds, base_inter, materials, camera,
             sample_idx = jax.lax.axis_index("sample")
             spp_offset = sample_idx * spp_per
             npix = rows_per * width
+            # route the band's camera wave through the raster engine when
+            # the band itself tiles cleanly — the schedule is globally
+            # depth-ordered (ops/raster.py), so band results are
+            # BIT-identical to the full-frame raster path; bands that
+            # don't tile fall back to the marcher (same hits, fp-tie
+            # winners may differ by 1 ulp — see PARITY.md)
+            band_tiles = camera_tile_layout(base_inter, camera, 1,
+                                            rows_per, width)
+            band_point = camera.center if band_tiles is not None else None
             # GLOBAL pixel ids (bands are contiguous rows) -> the same
             # RNG streams as the single-device render
             pixel_id = (tile_idx * npix
@@ -285,13 +295,15 @@ def fused_chunk(fd, ks, seeds, base_inter, materials, camera,
                         scene, materials, lights, o, d, pixel_id,
                         spp_offset + s_local, seed, background_a,
                         max_depth, inter, env, textures,
-                        want_aux=want_aux, sampler=sampler)
+                        want_aux=want_aux, sampler=sampler,
+                        cam_point=band_point, cam_tiles=band_tiles)
                 else:
                     out = wavefront.trace.__wrapped__(
                         scene, materials, o, d, pixel_id,
                         spp_offset + s_local, seed, background_a,
                         max_depth, inter, env, want_aux=want_aux,
-                        sampler=sampler)
+                        sampler=sampler, cam_point=band_point,
+                        cam_tiles=band_tiles)
                 new = (acc[0] + out[0], acc[1] + out[1], acc[2] + out[2])
                 if want_aux:
                     # depth/prim taps come from GLOBAL sample 0 only

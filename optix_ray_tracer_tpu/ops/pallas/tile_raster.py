@@ -143,9 +143,35 @@ def _make_cluster_kernel(W: int, n_blocks: int, any_hit: bool,
                 uu = opx + t * dpx
                 vv = opy + t * dpy
                 bt = out_ref[0, 0:1, :]
-                ok = ((jnp.abs(dpz) > 1e-12) & (uu >= 0.0)
-                      & (vv >= 0.0) & (uu + vv <= 1.0)
-                      & (t > tmin) & (t < bt))
+                # barycentric acceptance folded into one min-chain:
+                # min(uu, vv, 1-(uu+vv)) >= 0  <=>  uu>=0 & vv>=0 &
+                # uu+vv<=1 (exact in fp: for s=uu+vv in fp32, fl(1-s)>=0
+                # iff s<=1 by Sterbenz; NaN rows propagate to NaN and
+                # read false) — 3 VPU passes fewer than the cmp+and
+                # chain, identical accept set, so t_best bits and
+                # winners are unchanged.
+                #
+                # the per-slot `t < bt` test the marcher needs is
+                # REDUNDANT here for nearest-hit: rows with t >= bt can
+                # win the min only when NO row beats bt, and then
+                # `closer` rejects the update — same outcome, one pass
+                # fewer.  (any_hit uses it; see below.)
+                m = jnp.minimum(jnp.minimum(uu, vv), 1.0 - (uu + vv))
+                ok = ((jnp.abs(dpz) > 1e-12) & (m >= 0.0) & (t > tmin))
+                if any_hit:
+                    # occlusion: no winner identity needed — any
+                    # accepted slot inside (tmin, bt) occludes; bt
+                    # pins to -INF so every later slab gate fails
+                    # fast (marcher's rule), and the slot row only
+                    # ever needs hit(0)/miss(-1)
+                    hit_any = jnp.max(
+                        jnp.where(ok & (t < bt), 1.0, -1.0),
+                        axis=0, keepdims=True)
+                    slot_new = jnp.maximum(out_ref[0, 1:2, :], hit_any)
+                    out_ref[0, 0:1, :] = jnp.where(slot_new >= 0.0,
+                                                   -INF, bt)
+                    out_ref[0, 1:2, :] = slot_new
+                    return
                 t = jnp.where(ok, t, INF)
                 t_best = jnp.min(t, axis=0, keepdims=True)
                 closer = t_best < bt
@@ -164,14 +190,7 @@ def _make_cluster_kernel(W: int, n_blocks: int, any_hit: bool,
                 v_new = jnp.sum(jnp.where(win, vv, 0.0), axis=0,
                                 keepdims=True)
                 slot_new = jnp.where(closer, slotf, out_ref[0, 1:2, :])
-                if any_hit:
-                    # occlusion: any hit pins best-t to -INF so every
-                    # later gate fails fast (marcher's rule)
-                    out_ref[0, 0:1, :] = jnp.where(
-                        slot_new >= 0.0, -INF,
-                        jnp.where(closer, t_best, bt))
-                else:
-                    out_ref[0, 0:1, :] = jnp.where(closer, t_best, bt)
+                out_ref[0, 0:1, :] = jnp.where(closer, t_best, bt)
                 out_ref[0, 1:2, :] = slot_new
                 out_ref[0, 2:3, :] = jnp.where(closer, u_new,
                                                out_ref[0, 2:3, :])

@@ -172,11 +172,25 @@ def _coarse_stage(rset: RasterSet, clusters: ClusterSet, o, d, t_min,
     if persp:
         p = jnp.asarray(point, jnp.float32)
         q_rays = (d_p if mode == "origin" else o_p - p)[:nb * W]
-        wvec = jnp.mean(q_rays, axis=0)
         q_verts = rset.verts.reshape(-1, 3) - p
+        # Projection axis from the REPLICATED cluster geometry (shared
+        # point -> vertex centroid), NOT from the wave's rays: a sharded
+        # row band then bins with the same basis as the full frame, so
+        # schedules — and fp-tie winners — are bit-identical at any
+        # device count.  (The old mean-ray axis differed per shard and
+        # flipped 1-ulp ties between sharded and single-device frames.)
+        # Degenerate case (point at the centroid, e.g. camera inside a
+        # symmetric mesh) falls back to a fixed axis — binning stays
+        # conservative/exact, only pair counts suffer.
+        vmask = jnp.isnan(q_verts[:, 0])
+        vsum = jnp.sum(jnp.where(vmask[:, None], 0.0, q_verts), axis=0)
+        vcnt = jnp.maximum(jnp.sum(~vmask), 1).astype(jnp.float32)
+        wvec = vsum / vcnt
+        wvec = jnp.where(jnp.linalg.norm(wvec) > 1e-12, wvec,
+                         jnp.asarray([0.0, 0.0, 1.0], jnp.float32))
     else:
         q_rays = o_p[:nb * W]
-        wvec = d[0]
+        wvec = d[0]   # ortho contract: every ray shares d, shard-safe
         q_verts = rset.verts.reshape(-1, 3)
     basis = _basis_from(wvec)
 
@@ -255,20 +269,20 @@ def _coarse_stage(rset: RasterSet, clusters: ClusterSet, o, d, t_min,
     # depth-sort the coarse pairs within each block (near cluster first):
     # the kernel's per-pair depth early-out then retires primary tiles
     # after the nearest clusters and occluded any_hit tiles after the
-    # first occluder.  Quantized depth under the block id keeps the sort
-    # one 32-bit argsort; within-block depth ties keep ascending cluster
-    # order (stable sort, pairs were cluster-ascending).
-    zbits = max(4, min(17, 30 - max(nb - 1, 1).bit_length()))
-    zspan_lo = jnp.nanmin(cz0)
-    zspan_hi = jnp.nanmax(cz1)
-    zq = (cz0[c_i] - zspan_lo) / jnp.maximum(zspan_hi - zspan_lo, 1e-30)
-    zq = jnp.nan_to_num(jnp.clip(zq, 0.0, 1.0))
-    key = b_i * (1 << zbits) + (zq * ((1 << zbits) - 1)).astype(jnp.int32)
-    key = jnp.where(validc, key, jnp.int32(nb) * (1 << zbits))
-    perm = jnp.argsort(key)
+    # first occluder.  Stable two-key sort on (tile, EXACT cluster-entry
+    # depth): no quantization and no dependence on the wave's block
+    # count, so the per-tile order is identical whether the tile was
+    # scheduled inside a full frame or a sharded row band (bit-identical
+    # sharded rendering); within-tile depth ties keep ascending cluster
+    # order (pairs were enumerated cluster-ascending).
+    key_tile = jnp.where(validc, b_i, nb).astype(jnp.int32)
+    key_depth = jnp.where(validc, cz0[c_i], INF)
+    _, _, b_s, c_s, v_s = jax.lax.sort(
+        (key_tile, key_depth, b_i, c_i, validc),
+        num_keys=2, is_stable=True)
     return dict(n=n, nb=nb, o_p=o_p, d_p=d_p, tmin_p=tmin_p,
-                tmax_p=tmax_p, b_i=b_i[perm], c_i=c_i[perm],
-                validc=validc[perm], pc_total=pc_total, cnt_b=cnt_b)
+                tmax_p=tmax_p, b_i=b_s, c_i=c_s,
+                validc=v_s, pc_total=pc_total, cnt_b=cnt_b)
 
 
 def raster_query(rset: RasterSet, clusters: ClusterSet, o, d,

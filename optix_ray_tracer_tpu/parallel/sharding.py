@@ -103,6 +103,8 @@ def render_sharded(scene, materials, camera, width: int, height: int,
     replicated = P()
 
     def shard_fn(scene, materials, camera, intersector, env):
+        from optix_ray_tracer_tpu.ops.raster import camera_tile_layout
+
         tile_idx = jax.lax.axis_index("tile")
         sample_idx = jax.lax.axis_index("sample")
         spp_offset = sample_idx * spp_per
@@ -110,6 +112,12 @@ def render_sharded(scene, materials, camera, width: int, height: int,
         # GLOBAL pixel ids -> sharding-invariant RNG
         pixel_id = (tile_idx * npix
                     + jnp.arange(npix, dtype=jnp.int32)).astype(jnp.int32)
+        # raster-route the band's camera wave when the band tiles
+        # cleanly (bit-identical to the full-frame raster schedule —
+        # ops/raster.py orders pairs globally); else marcher fallback
+        band_tiles = camera_tile_layout(intersector, camera, 1,
+                                        rows_per, width)
+        band_point = camera.center if band_tiles is not None else None
 
         def sample_step(acc, s_local):
             o, d = _tile_rays(camera, width, height, rows_per, tile_idx,
@@ -118,7 +126,8 @@ def render_sharded(scene, materials, camera, width: int, height: int,
             radiance, alb, nrm = wavefront.trace(
                 scene, materials, o, d, pixel_id,
                 spp_offset + s_local, seed, background_a, max_depth,
-                intersector, env, sampler=sampler)
+                intersector, env, sampler=sampler,
+                cam_point=band_point, cam_tiles=band_tiles)
             return (acc[0] + radiance, acc[1] + alb, acc[2] + nrm), None
 
         z = jnp.zeros((npix, 3), jnp.float32)
@@ -178,12 +187,17 @@ def render_path_sharded(scene, materials, lights, camera, width: int,
 
     def shard_fn(scene, materials, lights, camera, intersector, env,
                  textures):
+        from optix_ray_tracer_tpu.ops.raster import camera_tile_layout
+
         tile_idx = jax.lax.axis_index("tile")
         sample_idx = jax.lax.axis_index("sample")
         spp_offset = sample_idx * spp_per
         npix = rows_per * width
         pixel_id = (tile_idx * npix
                     + jnp.arange(npix, dtype=jnp.int32)).astype(jnp.int32)
+        band_tiles = camera_tile_layout(intersector, camera, 1,
+                                        rows_per, width)
+        band_point = camera.center if band_tiles is not None else None
 
         def sample_step(acc, s_local):
             o, d = _tile_rays(camera, width, height, rows_per, tile_idx,
@@ -192,7 +206,8 @@ def render_path_sharded(scene, materials, lights, camera, width: int,
             radiance, alb, nrm = trace_path(
                 scene, materials, lights, o, d, pixel_id,
                 spp_offset + s_local, seed, background_a, max_depth,
-                intersector, env, textures, sampler=sampler)
+                intersector, env, textures, sampler=sampler,
+                cam_point=band_point, cam_tiles=band_tiles)
             return (acc[0] + radiance, acc[1] + alb, acc[2] + nrm), None
 
         z = jnp.zeros((npix, 3), jnp.float32)

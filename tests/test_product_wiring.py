@@ -303,8 +303,13 @@ class TestViewerEndpoints:
 
     def test_chunked_dispatch_amortization(self):
         """Idle viewer asks for K look-ahead frames per dispatch; input
-        drops it to 1 so the camera reacts within a frame."""
-        import time
+        drops it to 1 so the camera reacts within a frame.
+
+        Synchronization is by event latches set INSIDE the render
+        callback (no sleep-polling): on a loaded 1-vCPU host the render
+        thread can stall arbitrarily long, and a poll deadline races it
+        — the latch just waits."""
+        import threading
         import urllib.request
 
         from optix_ray_tracer_tpu.render.viewer import ViewerServer
@@ -312,9 +317,15 @@ class TestViewerEndpoints:
 
         cam = Camera.look_at((3, 0, 0), (0, 0, 0), (0, 0, 1))
         chunks = []
+        got_idle = threading.Event()      # >= 3 idle dispatches seen
+        got_single = threading.Event()    # a chunk-1 dispatch seen
 
         def render_chunk_fn(camera, chunk, denoise_on, animate):
             chunks.append(chunk)
+            if len(chunks) >= 3:
+                got_idle.set()
+            if chunk == 1:
+                got_single.set()
             return np.zeros((chunk, 8, 8, 4), np.uint8)
 
         srv = ViewerServer(cam, render_chunk_fn=render_chunk_fn, chunk=4,
@@ -322,19 +333,12 @@ class TestViewerEndpoints:
         srv.serve(blocking=False)
         port = srv._httpd.server_address[1]
         try:
-            deadline = time.time() + 5.0
-            while time.time() < deadline and len(chunks) < 3:
-                time.sleep(0.02)
-            assert chunks and chunks[-1] == 4     # idle -> amortized
+            assert got_idle.wait(timeout=60.0)
+            # before any input, every dispatch is the amortized chunk
+            assert chunks[0] == 4 and chunks[1] == 4 and chunks[2] == 4
             urllib.request.urlopen(
                 f"http://127.0.0.1:{port}/look?dx=10&dy=0")
-            n0 = len(chunks)
-            deadline = time.time() + 5.0
-            while time.time() < deadline:
-                if 1 in chunks[n0:]:
-                    break
-                time.sleep(0.02)
-            assert 1 in chunks[n0:]               # input -> single frame
+            assert got_single.wait(timeout=60.0)  # input -> single frame
         finally:
             srv.stop()
 
