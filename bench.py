@@ -124,12 +124,37 @@ def main() -> None:
                                            t_max=dist[..., 0])
             return hit.t, shadowed
     else:
-        # pc_max: measured-tight schedule capacity (~5.1k primary pairs
-        # at W=1024 on this scene; 6144 beat 8192 by ~0.8 Mrays/s and the
-        # default heuristic's 14k costs ~2 Mrays/s of prep-array
-        # overhead).  Overflow would fall back to the exact marcher, so a
+        # pc_max: schedule capacity AUTO-CALIBRATED from the measured
+        # pair counts of this scene's two waves (no scene-specific
+        # constants; VERDICT r3 #6).  The count pass is exact and
+        # one-time; the margin absorbs frame-to-frame drift, and
+        # overflow would still fall back to the exact marcher, so a
         # tight cap risks speed, not correctness.
-        PC = 6144
+        from optix_ray_tracer_tpu.ops.raster import (
+            measure_pair_count, round_pc_max,
+        )
+        tmin0 = jnp.full((o.shape[0],), 1e-3, jnp.float32)
+        tmaxI = jnp.full((o.shape[0],), 1e16, jnp.float32)
+        pc1 = measure_pair_count(intersector.raster, intersector.clusters,
+                                 o, d, tmin0, tmaxI, "origin", o[0])
+        hit0 = intersector.intersect_from(scene, o, d, mode="origin",
+                                          point=o[0])
+        p0 = o + hit0.t[..., None] * d
+        p0 = jnp.where(hit0.is_hit[..., None], p0, o)
+        tl0 = light - p0
+        dist0 = jnp.linalg.norm(tl0, axis=-1)
+        wl0 = tl0 / jnp.maximum(dist0[..., None], 1e-6)
+        # the flipped occlusion wave intersect_from actually traces
+        so0 = jnp.broadcast_to(light, p0.shape)
+        sd0 = -wl0
+        d0 = jnp.einsum("rk,rk->r", light[None, :] - (p0 + wl0 * 1e-3),
+                        wl0)
+        pc2 = measure_pair_count(intersector.raster, intersector.clusters,
+                                 so0, sd0, d0 - dist0,
+                                 d0 - 1e-3, "origin", light)
+        PC = round_pc_max(max(pc1, pc2))
+        print(f"pc_max auto-calibrated: primary {pc1} + shadow {pc2} "
+              f"pairs -> capacity {PC}", file=sys.stderr)
 
         @jax.jit
         def step(o, d):

@@ -49,7 +49,7 @@ def ray_probe_keys(clusters, o, d, t_min, t_max):
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=("clusters", "scene_lo", "scene_hi", "raster"),
-         meta_fields=("num_tris", "sort_mode"))
+         meta_fields=("num_tris", "sort_mode", "bounce_radius"))
 @dataclasses.dataclass(frozen=True)
 class MarchIntersector:
     clusters: ClusterSet
@@ -63,6 +63,9 @@ class MarchIntersector:
     # coherence-sort key (static; see SORT_MODES). Integrators switch to
     # "probe" for bounce/shadow waves via .for_incoherent()
     sort_mode: str = "morton"
+    # static near-field cap for intersect_short_first (host scene
+    # diagonal fraction at build time; 0 = uncalibrated)
+    bounce_radius: float = 0.0
 
     def for_incoherent(self) -> "MarchIntersector":
         """Variant tuned for incoherent (bounce >= 1 / shadow) waves."""
@@ -138,6 +141,114 @@ class MarchIntersector:
         if scene.sphere_count > 0:
             hit = sphere_bruteforce_merge(scene, o2, d2, t_min_a, t_max_a,
                                           hit)
+        return jax.tree.map(lambda x: x.reshape(shape + x.shape[1:]), hit)
+
+    def intersect_bundled(self, scene: Scene, o, d,
+                          t_min=DEFAULT_T_MIN, t_max=INF,
+                          any_hit: bool = False, block_rays: int = 1024,
+                          pc_max: int | None = None) -> Hit:
+        """Arbitrary-ray wave query via 3-D bundle binning + the
+        zero-pick pair kernel (ops/raster.py bundle_query) — the
+        schedule-driven engine for SECONDARY waves (bounce rays, NEE
+        shadow rays) whose origins are tile-coherent hit points but
+        whose directions share no common point.
+
+        Rays must arrive in a spatially coherent layout (screen-tile
+        order — the bounce wave inherits the camera wave's tiling);
+        dead lanes (t_max <= t_min) drop out of the block bounds, so
+        dying waves shrink their schedules with no compaction pass.
+        EXACT at any pair count: schedule overflow falls back to the
+        sorted block marcher under lax.cond, like intersect_from.
+
+        The reference analog is the RT-core dispatch of the recursive
+        closest-hit rays (/root/reference/shader/Shader.cu:229-241).
+        """
+        from optix_ray_tracer_tpu.ops.raster import bundle_query
+
+        shape = o.shape[:-1]
+        o2 = o.reshape(-1, 3)
+        d2 = d.reshape(-1, 3)
+        n = o2.shape[0]
+        t_min_a = jnp.broadcast_to(
+            jnp.asarray(t_min, jnp.float32).reshape(-1) if jnp.ndim(t_min)
+            else jnp.asarray(t_min, jnp.float32), (n,))
+        t_max_a = jnp.broadcast_to(
+            jnp.asarray(t_max, jnp.float32).reshape(-1) if jnp.ndim(t_max)
+            else jnp.asarray(t_max, jnp.float32), (n,))
+        t, slot, u, v, ok = bundle_query(
+            self.clusters, o2, d2, t_min_a, t_max_a, any_hit=any_hit,
+            block_rays=block_rays, pc_max=pc_max)
+        res = jax.lax.cond(
+            ok,
+            lambda _: (t, slot, u, v),
+            lambda _: block_march(self.clusters, o2, d2, t_min_a, t_max_a,
+                                  any_hit=any_hit, coherent=False),
+            None)
+        t, slot, u, v = res
+        missed = slot < 0
+        prim_id = self.clusters.prim_index[jnp.maximum(slot, 0)]
+        hit = Hit(
+            t=jnp.where(missed, INF, t),
+            prim_type=jnp.where(missed, PRIM_NONE,
+                                PRIM_TRIANGLE).astype(jnp.int32),
+            prim_id=jnp.where(missed, 0, prim_id).astype(jnp.int32),
+            u=jnp.where(missed, 0.0, u),
+            v=jnp.where(missed, 0.0, v))
+        if scene.sphere_count > 0:
+            hit = sphere_bruteforce_merge(scene, o2, d2, t_min_a, t_max_a,
+                                          hit)
+        return jax.tree.map(lambda x: x.reshape(shape + x.shape[1:]), hit)
+
+    def intersect_short_first(self, scene: Scene, o, d,
+                              t_min=DEFAULT_T_MIN, t_max=INF,
+                              radius: float = 0.0,
+                              block_rays: int = 1024,
+                              pc_max: int | None = None) -> Hit:
+        """Two-pass nearest hit for bounce waves: a bundle-engine pass
+        capped at ``radius`` (the finite cap makes the 3-D binning's
+        t-window prune effective — most bounce hits in closed scenes
+        are NEAR), then the sorted marcher re-traces only the rays the
+        capped pass left unresolved, over [radius(1-eps), t_max].
+
+        Exact: pass 1 is exact within its window, so any hit it finds
+        at t < radius is the global nearest; unresolved rays re-trace a
+        window overlapping the cap boundary, so no t can fall in a gap.
+        Resolved rays enter pass 2 with an empty window (t_max=0) —
+        dead lanes compact into near-free marcher blocks.
+
+        ``radius=0`` disables the cap (plain bundle + overflow
+        fallback).  The reference's RT cores absorb this workload
+        (/root/reference/shader/Shader.cu:229-241); the TPU answer is
+        schedule-driven near-field binning + a sparse far-field sweep.
+        """
+        shape = o.shape[:-1]
+        o2 = o.reshape(-1, 3)
+        d2 = d.reshape(-1, 3)
+        n = o2.shape[0]
+        t_min_a = jnp.broadcast_to(
+            jnp.asarray(t_min, jnp.float32).reshape(-1) if jnp.ndim(t_min)
+            else jnp.asarray(t_min, jnp.float32), (n,))
+        t_max_a = jnp.broadcast_to(
+            jnp.asarray(t_max, jnp.float32).reshape(-1) if jnp.ndim(t_max)
+            else jnp.asarray(t_max, jnp.float32), (n,))
+        if radius <= 0.0:
+            return self.intersect_bundled(
+                scene, o, d, t_min=t_min, t_max=t_max,
+                block_rays=block_rays, pc_max=pc_max)
+        near = self.intersect_bundled(
+            scene, o2, d2, t_min=t_min_a,
+            t_max=jnp.minimum(t_max_a, radius), block_rays=block_rays,
+            pc_max=pc_max)
+        # unresolved = live rays the capped window didn't settle
+        open_far = (~near.is_hit) & (t_max_a > radius)
+        far_lo = jnp.maximum(t_min_a, radius * (1.0 - 1e-5))
+        far = self.for_incoherent().intersect(
+            scene, o2, d2, t_min=far_lo,
+            t_max=jnp.where(open_far, t_max_a, 0.0))
+        hit = jax.tree.map(
+            lambda a, b: jnp.where(
+                near.is_hit.reshape((-1,) + (1,) * (a.ndim - 1)), a, b),
+            near, far)
         return jax.tree.map(lambda x: x.reshape(shape + x.shape[1:]), hit)
 
     def any_hit_from(self, scene: Scene, o, d, mode: str = "target",
@@ -223,13 +334,18 @@ class MarchIntersector:
 def make_march_intersector(scene: Scene, method: str = "sah",
                            raster: bool = False) -> MarchIntersector:
     tv = np.asarray(scene.triangles.vertices)
+    lo = tv.min(axis=(0, 1)) if tv.size else np.zeros(3)
+    hi = tv.max(axis=(0, 1)) if tv.size else np.ones(3)
+    # near-field cap for intersect_short_first: a scene-diagonal
+    # fraction, fixed at build time (static — refit/rebuild keep it;
+    # per-frame motion doesn't move the diagonal meaningfully)
+    diag = float(np.linalg.norm(hi - lo))
     inter = MarchIntersector(
         clusters=build_clusters(tv, method=method),
-        scene_lo=jnp.asarray(tv.min(axis=(0, 1)) if tv.size else np.zeros(3),
-                             jnp.float32),
-        scene_hi=jnp.asarray(tv.max(axis=(0, 1)) if tv.size else np.ones(3),
-                             jnp.float32),
-        num_tris=int(tv.shape[0]))
+        scene_lo=jnp.asarray(lo, jnp.float32),
+        scene_hi=jnp.asarray(hi, jnp.float32),
+        num_tris=int(tv.shape[0]),
+        bounce_radius=0.125 * diag)
     return attach_raster(inter, scene) if raster else inter
 
 
@@ -261,7 +377,8 @@ def rebuild_march_intersector(prev: MarchIntersector, scene: Scene,
         scene_lo=jnp.min(tv, axis=(0, 1)),
         scene_hi=jnp.max(tv, axis=(0, 1)),
         num_tris=prev.num_tris,
-        sort_mode=prev.sort_mode)
+        sort_mode=prev.sort_mode,
+        bounce_radius=prev.bounce_radius)
     return attach_raster(out, scene) if prev.raster is not None else out
 
 
@@ -279,5 +396,6 @@ def refit_march_intersector(prev: MarchIntersector,
         scene_lo=jnp.min(tv, axis=(0, 1)),
         scene_hi=jnp.max(tv, axis=(0, 1)),
         num_tris=prev.num_tris,
-        sort_mode=prev.sort_mode)
+        sort_mode=prev.sort_mode,
+        bounce_radius=prev.bounce_radius)
     return attach_raster(out, scene) if prev.raster is not None else out

@@ -147,6 +147,42 @@ def _rank_lookup(cum_rows, flat_dim: int, row_idx, rank):
     return hi
 
 
+def _enumerate_sorted_pairs(ov, entry_depth, nb: int, C: int,
+                            pc_max: int):
+    """Shared pair machinery: enumerate the True cells of the (nb, C)
+    overlap matrix ``ov`` into flat (block, cluster) pair lists capped at
+    ``pc_max``, then stable-sort by (block, entry_depth[pair]) so the
+    kernel sees each tile's clusters near-to-far.
+
+    The sort keys are GLOBAL per cluster (exact float depth, cluster-id
+    tiebreak via enumeration order) — a sharded row band of the wave
+    produces the same per-tile order as the full wave, which is what
+    makes sharded rendering bit-identical (see module docstring).
+
+    Returns (b_i, c_i, validc, pc_total, cnt_b).
+    """
+    ovi = ov.astype(jnp.int32)
+    cnt_b = jnp.sum(ovi, axis=1)
+    cum_b = jnp.cumsum(cnt_b)
+    pc_total = cum_b[-1]
+    i = jnp.arange(pc_max, dtype=jnp.int32)
+    b_i = jnp.minimum(
+        jnp.searchsorted(cum_b, i, side="right"), nb - 1).astype(jnp.int32)
+    validc = i < pc_total
+    j = i - (cum_b[b_i] - cnt_b[b_i])
+    c_i = _rank_lookup(jnp.cumsum(ovi, axis=1), C, b_i, j)
+    key_tile = jnp.where(validc, b_i, nb).astype(jnp.int32)
+    if entry_depth.ndim == 2:      # per-(block, cluster) entries
+        ent = entry_depth.reshape(-1)[b_i * C + c_i]
+    else:                          # per-cluster entries
+        ent = entry_depth[c_i]
+    key_depth = jnp.where(validc, ent, INF)
+    _, _, b_s, c_s, v_s = jax.lax.sort(
+        (key_tile, key_depth, b_i, c_i, validc),
+        num_keys=2, is_stable=True)
+    return b_s, c_s, v_s, pc_total, cnt_b
+
+
 def _coarse_stage(rset: RasterSet, clusters: ClusterSet, o, d, t_min,
                   t_max, mode: str, point, W: int, pc_max: int) -> dict:
     """Projections, cluster/block rects with depth ranges, coarse
@@ -250,36 +286,16 @@ def _coarse_stage(rset: RasterSet, clusters: ClusterSet, o, d, t_min,
     bz0 = jnp.min(jnp.where(live, dlo, INF).reshape(nb, W), axis=1)
     bz1 = jnp.max(jnp.where(live, dhi, -INF).reshape(nb, W), axis=1)
 
-    # ---- coarse (block, cluster) pairs ----
+    # ---- coarse (block, cluster) pairs, depth-sorted near-to-far ----
+    # (the kernel's per-pair depth early-out then retires primary tiles
+    # after the nearest clusters and occluded any_hit tiles after the
+    # first occluder)
     ov = ((bx0[:, None] <= cx1[None, :]) & (bx1[:, None] >= cx0[None, :])
           & (by0[:, None] <= cy1[None, :]) & (by1[:, None] >= cy0[None, :]))
     ovz = ((bz0[:, None] <= cz1[None, :]) & (bz1[:, None] >= cz0[None, :]))
     ov = (jnp.logical_or(ov, cfull[None, :]) & ovz & live_any[:, None])
-    ovi = ov.astype(jnp.int32)
-    cnt_b = jnp.sum(ovi, axis=1)
-    cum_b = jnp.cumsum(cnt_b)
-    pc_total = cum_b[-1]
-    i = jnp.arange(pc_max, dtype=jnp.int32)
-    b_i = jnp.minimum(
-        jnp.searchsorted(cum_b, i, side="right"), nb - 1).astype(jnp.int32)
-    validc = i < pc_total
-    j = i - (cum_b[b_i] - cnt_b[b_i])
-    c_i = _rank_lookup(jnp.cumsum(ovi, axis=1), C, b_i, j)
-
-    # depth-sort the coarse pairs within each block (near cluster first):
-    # the kernel's per-pair depth early-out then retires primary tiles
-    # after the nearest clusters and occluded any_hit tiles after the
-    # first occluder.  Stable two-key sort on (tile, EXACT cluster-entry
-    # depth): no quantization and no dependence on the wave's block
-    # count, so the per-tile order is identical whether the tile was
-    # scheduled inside a full frame or a sharded row band (bit-identical
-    # sharded rendering); within-tile depth ties keep ascending cluster
-    # order (pairs were enumerated cluster-ascending).
-    key_tile = jnp.where(validc, b_i, nb).astype(jnp.int32)
-    key_depth = jnp.where(validc, cz0[c_i], INF)
-    _, _, b_s, c_s, v_s = jax.lax.sort(
-        (key_tile, key_depth, b_i, c_i, validc),
-        num_keys=2, is_stable=True)
+    b_s, c_s, v_s, pc_total, cnt_b = _enumerate_sorted_pairs(
+        ov, cz0, nb, C, pc_max)
     return dict(n=n, nb=nb, o_p=o_p, d_p=d_p, tmin_p=tmin_p,
                 tmax_p=tmax_p, b_i=b_s, c_i=c_s,
                 validc=v_s, pc_total=pc_total, cnt_b=cnt_b)
@@ -312,11 +328,6 @@ def raster_query(rset: RasterSet, clusters: ClusterSet, o, d,
     This cluster-granularity version streams whole 256-triangle clusters
     straight from the STATIC woop_t with Mosaic's pipeline instead.
     """
-    from optix_ray_tracer_tpu.ops.pallas.tile_raster import (
-        raster_cluster_call,
-    )
-    from optix_ray_tracer_tpu.ops.sweep import SUBS_PER_CLUSTER
-
     W = block_rays
     C = clusters.num_clusters
     n = o.shape[0]
@@ -324,6 +335,30 @@ def raster_query(rset: RasterSet, clusters: ClusterSet, o, d,
     pc_max = pc_max or default_pc_max(nb, C)
     S = _coarse_stage(rset, clusters, o, d, t_min, t_max, mode, point,
                       W, pc_max)
+    # shared-point/-direction dots narrow to one lane column in the
+    # kernel ("origin" rays all start at ``point``; "ortho" rays share
+    # d) — 1/8 the MXU work on the shared side, 1-ulp winner ties may
+    # resolve differently than the full-width dot (see
+    # tile_raster._make_cluster_kernel).  "target" keeps full width
+    # (origins vary; occlusion callers flip to "origin" upstream —
+    # ops/march.py intersect_from).
+    common = {"origin": "origin", "ortho": "dir", "target": None}[mode]
+    return _run_pair_schedule(clusters, S, W, n, nb, any_hit, common,
+                              pc_max, return_stats)
+
+
+def _run_pair_schedule(clusters: ClusterSet, S: dict, W: int, n: int,
+                       nb: int, any_hit: bool, common: str | None,
+                       pc_max: int, return_stats: bool = False):
+    """Run the tile-raster kernel over an enumerated pair schedule
+    (``S`` from :func:`_coarse_stage` or :func:`bundle_stage`) and
+    unpack (t, slot, u, v, ok)."""
+    from optix_ray_tracer_tpu.ops.pallas.tile_raster import (
+        raster_cluster_call,
+    )
+    from optix_ray_tracer_tpu.ops.sweep import SUBS_PER_CLUSTER
+
+    C = clusters.num_clusters
     b_i, c_i, validc = S["b_i"], S["c_i"], S["validc"]
     pc_total, cnt_b = S["pc_total"], S["cnt_b"]
     pair_tiles = jnp.where(validc, b_i, nb).astype(jnp.int32)
@@ -340,14 +375,6 @@ def raster_query(rset: RasterSet, clusters: ClusterSet, o, d,
     rays_t_ext = jnp.concatenate(
         [S["o_p"].T, S["d_p"].T, S["tmin_p"][None, :],
          S["tmax_p"][None, :]], axis=0)
-    # shared-point/-direction dots narrow to one lane column in the
-    # kernel ("origin" rays all start at ``point``; "ortho" rays share
-    # d) — 1/8 the MXU work on the shared side, 1-ulp winner ties may
-    # resolve differently than the full-width dot (see
-    # tile_raster._make_cluster_kernel).  "target" keeps full width
-    # (origins vary; occlusion callers flip to "origin" upstream —
-    # ops/march.py intersect_from).
-    common = {"origin": "origin", "ortho": "dir", "target": None}[mode]
     out = raster_cluster_call(pair_tiles, pair_clusters, rays_t_ext, sub8,
                               clusters.woop_t, n_blocks=nb, w=W,
                               any_hit=any_hit,
@@ -370,6 +397,164 @@ def raster_query(rset: RasterSet, clusters: ClusterSet, o, d,
 
 #: back-compat alias (the cluster-granularity query IS the raster query)
 raster_cluster_query = raster_query
+
+
+def measure_pair_count(rset: RasterSet | None, clusters: ClusterSet,
+                       o, d, t_min, t_max, mode: str = "origin",
+                       point=None, block_rays: int = 1024) -> int:
+    """One-shot schedule-capacity calibration: the EXACT pair count the
+    binning would enumerate for this wave (``pc_total`` is computed from
+    the full overlap matrix, independent of any enumeration cap).
+
+    Callers measure a representative wave once, then pass
+    ``pc_max = round_up(margin * count)`` to the query — replacing
+    hand-swept per-scene constants (the capacity knob auto-tunes; an
+    undersized cap still falls back to the exact marcher).
+    ``rset=None`` measures the 3-D bundle binning instead of the
+    projective binning."""
+    n = o.shape[0]
+    nb = -(-n // block_rays)
+    if rset is None:
+        S = bundle_stage(clusters, o, d, t_min, t_max, block_rays, 8)
+    else:
+        S = _coarse_stage(rset, clusters, o, d, t_min, t_max, mode,
+                          point, block_rays, 8)
+    del nb
+    return int(S["pc_total"])
+
+
+def round_pc_max(count: int, margin: float = 1.15) -> int:
+    """Static capacity from a measured pair count: margin + round up to
+    the next 1024 (one compiled shape per capacity bucket)."""
+    pc = int(count * margin) + 256
+    return max(1024, ((pc + 1023) // 1024) * 1024)
+
+
+def default_bundle_pc_max(n_blocks: int, n_clusters: int) -> int:
+    """Bundle-pair capacity heuristic: secondary blocks overlap more
+    clusters than common-origin blocks (hemispherical directions), so
+    budget ~an order more pairs per block.  Overflow falls back to the
+    marcher — a cost bound, not a correctness bound."""
+    pc = 96 * n_blocks + 2 * n_clusters + 1024
+    return ((pc + 1023) // 1024) * 1024
+
+
+def bundle_stage(clusters: ClusterSet, o, d, t_min, t_max, W: int,
+                 pc_max: int) -> dict:
+    """Conservative 3-D binning for ARBITRARY-ray waves (bounce rays,
+    NEE shadow rays) that arrive in a spatially coherent layout (screen
+    tiles: a tile's bounce origins are its primary-hit surface patch).
+
+    Each W-ray block gets componentwise ORIGIN and DIRECTION interval
+    bounds over its live rays (dead lanes, t_max <= t_min, drop out —
+    dying waves shrink their blocks without any compaction pass).  A
+    (block, cluster) pair survives when interval arithmetic admits some
+    t >= 0 with  [olo + t*dlo, ohi + t*dhi]  overlapping the cluster's
+    AABB on every axis, intersected with the block's [t_min, t_max]
+    window.  All bounds are conservative (margined cluster boxes,
+    relative-margined division results, |d| <= eps treated as
+    always-satisfiable), so every (ray, cluster) true intersection is
+    paired — the kernel's Woop test decides exactly, as in the 2-D
+    raster path.  The conservative entry t of each pair depth-sorts the
+    schedule, so the kernel's best-t early-out retires blocks near-first
+    exactly like the common-origin path.
+
+    This generalizes the reference's RT-core dispatch for secondary
+    rays (/root/reference/shader/Shader.cu:229-241) the same way
+    raster_query does for primaries: scheduling moves OUTSIDE the
+    kernel into dense XLA math, the kernel stays a zero-pick pair
+    stream.
+    """
+    C = clusters.num_clusters
+    from optix_ray_tracer_tpu.ops.sweep import SUBS_PER_CLUSTER
+
+    n = o.shape[0]
+    nb = -(-n // W)
+    t_min_a = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    t_max_a = jnp.minimum(
+        jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)), INF)
+    pad = nb * W - n
+    o_p = jnp.pad(o, ((0, pad + W), (0, 0)))
+    d_p = jnp.pad(d, ((0, pad + W), (0, 0)))
+    d_p = d_p.at[n:, 2].set(1.0)
+    tmin_p = jnp.pad(t_min_a, (0, pad + W), constant_values=1.0)
+    tmax_p = jnp.pad(t_max_a, (0, pad + W), constant_values=0.0)
+
+    live = (tmax_p > tmin_p)[:nb * W].reshape(nb, W)
+    ob = o_p[:nb * W].reshape(nb, W, 3)
+    db = d_p[:nb * W].reshape(nb, W, 3)
+    lv = live[..., None]
+    olo = jnp.min(jnp.where(lv, ob, INF), axis=1)      # (nb, 3)
+    ohi = jnp.max(jnp.where(lv, ob, -INF), axis=1)
+    dlo = jnp.min(jnp.where(lv, db, INF), axis=1)
+    dhi = jnp.max(jnp.where(lv, db, -INF), axis=1)
+    t_lo_b = jnp.min(jnp.where(live, tmin_p[:nb * W].reshape(nb, W),
+                               INF), axis=1)
+    t_hi_b = jnp.max(jnp.where(live, tmax_p[:nb * W].reshape(nb, W),
+                               -INF), axis=1)
+    live_any = jnp.any(live, axis=1)
+
+    # margined cluster AABBs from the sub boxes
+    sm = clusters.sub_min.reshape(C, SUBS_PER_CLUSTER, 3)
+    sx = clusters.sub_max.reshape(C, SUBS_PER_CLUSTER, 3)
+    clo = jnp.nanmin(sm, axis=1)
+    chi = jnp.nanmax(sx, axis=1)
+    m = 1e-5 * (jnp.abs(clo) + jnp.abs(chi)) + 1e-6
+    clo = clo - m
+    chi = chi + m
+
+    eps = 1e-12
+    lo_t = jnp.zeros((nb, C), jnp.float32)
+    hi_t = jnp.full((nb, C), INF, jnp.float32)
+    for ax in range(3):
+        u = chi[None, :, ax] - olo[:, None, ax]   # want t*dlo <= u
+        v = clo[None, :, ax] - ohi[:, None, ax]   # want t*dhi >= v
+        dl = dlo[:, None, ax]
+        dh = dhi[:, None, ax]
+        # dl > eps: t <= u/dl; dl < -eps: t >= u/dl; |dl| <= eps:
+        # conservative always-satisfied (|t*dl| stays ~0)
+        hi1 = jnp.where(dl > eps, u / jnp.where(dl > eps, dl, 1.0), INF)
+        lo1 = jnp.where(dl < -eps, u / jnp.where(dl < -eps, dl, 1.0), 0.0)
+        hi2 = jnp.where(dh < -eps, v / jnp.where(dh < -eps, dh, 1.0), INF)
+        lo2 = jnp.where(dh > eps, v / jnp.where(dh > eps, dh, 1.0), 0.0)
+        lo_t = jnp.maximum(lo_t, jnp.maximum(lo1, lo2))
+        hi_t = jnp.minimum(hi_t, jnp.minimum(hi1, hi2))
+    # relative margins swallow division rounding (cluster boxes are
+    # already margined absolutely above)
+    lo_t = lo_t - (jnp.abs(lo_t) * 1e-6 + 1e-8)
+    hi_t = hi_t + (jnp.abs(hi_t) * 1e-6 + 1e-8)
+    lo_eff = jnp.maximum(lo_t, t_lo_b[:, None])
+    hi_eff = jnp.minimum(hi_t, t_hi_b[:, None])
+    # NaN anywhere (padded clusters, dead blocks) compares False
+    ov = (lo_eff <= hi_eff) & live_any[:, None]
+
+    b_s, c_s, v_s, pc_total, cnt_b = _enumerate_sorted_pairs(
+        ov, lo_eff, nb, C, pc_max)
+    return dict(n=n, nb=nb, o_p=o_p, d_p=d_p, tmin_p=tmin_p,
+                tmax_p=tmax_p, b_i=b_s, c_i=c_s,
+                validc=v_s, pc_total=pc_total, cnt_b=cnt_b)
+
+
+def bundle_query(clusters: ClusterSet, o, d, t_min, t_max,
+                 any_hit: bool = False, block_rays: int = 1024,
+                 pc_max: int | None = None,
+                 return_stats: bool = False):
+    """Nearest-hit (or occlusion) query for an arbitrary-ray wave in a
+    spatially coherent caller layout (screen tiles) via 3-D bundle
+    binning + the zero-pick pair kernel (full-width Woop dots — no
+    shared point to narrow on).
+
+    Same contract as :func:`raster_query`: rays in caller order, blocks
+    are consecutive runs of ``block_rays``; returns (t, slot, u, v, ok)
+    with ok=False on schedule overflow (fall back to the marcher)."""
+    W = block_rays
+    C = clusters.num_clusters
+    n = o.shape[0]
+    nb = -(-n // W)
+    pc_max = pc_max or default_bundle_pc_max(nb, C)
+    S = bundle_stage(clusters, o, d, t_min, t_max, W, pc_max)
+    return _run_pair_schedule(clusters, S, W, n, nb, any_hit, None,
+                              pc_max, return_stats)
 
 
 def pick_camera_tiles(height: int, width: int):
@@ -424,6 +609,65 @@ def make_camera_intersect(intersector, point, S: int, H: int, W: int,
             t_min=t_min, t_max=t_max_t, block_rays=th * tw)
         return jax.tree.map(from_tiles, hit)
 
+    return isect
+
+
+def make_tiled_bundle_intersect(intersector, S: int, H: int, W: int,
+                                th: int, tw: int,
+                                block_rays: int | None = None,
+                                pc_max: int | None = None,
+                                radius: float = 0.0):
+    """An ``intersect``-compatible callable routing SECONDARY waves
+    (bounce rays, NEE shadow rays) through the bundle engine
+    (:func:`bundle_query` via ``intersect_bundled``).
+
+    Same layout contract as :func:`make_camera_intersect`: rays arrive
+    flattened in (sample, row, col) order and are re-viewed into
+    (sample, tile, in-tile) order by pure transposes.  Secondary rays
+    keep their pixel's lane, so a tile's bounce origins are its
+    primary-hit surface patch — exactly the spatial coherence the
+    bundle binning exploits.  Dead lanes (t_max <= t_min) drop out of
+    the block bounds; schedule overflow falls back to the marcher
+    (exact, see intersect_bundled)."""
+    nh, nw = H // th, W // tw
+    br = block_rays or (th * tw)
+
+    def to_tiles(a):
+        rest = a.shape[1:]
+        b = a.reshape((S, nh, th, nw, tw) + rest)
+        return jnp.swapaxes(b, 2, 3).reshape((S * H * W,) + rest)
+
+    def from_tiles(a):
+        rest = a.shape[1:]
+        b = a.reshape((S, nh, nw, th, tw) + rest)
+        return jnp.swapaxes(b, 2, 3).reshape((S * H * W,) + rest)
+
+    def tile_bcast(x, n):
+        return (to_tiles(jnp.broadcast_to(
+            jnp.asarray(x, jnp.float32), (n,))) if jnp.ndim(x) else x)
+
+    def isect(scene, o, d, t_min=1e-3, t_max=INF, any_hit=False):
+        n = o.shape[0]
+        if radius > 0.0 and not any_hit:
+            # two-pass short-ray-first (intersect_short_first): capped
+            # bundle pass resolves the near hits cheaply, the marcher
+            # sweeps only the unresolved far/miss tail
+            hit = intersector.intersect_short_first(
+                scene, to_tiles(o), to_tiles(d),
+                t_min=tile_bcast(t_min, n), t_max=tile_bcast(t_max, n),
+                radius=radius, block_rays=br, pc_max=pc_max)
+        else:
+            hit = intersector.intersect_bundled(
+                scene, to_tiles(o), to_tiles(d),
+                t_min=tile_bcast(t_min, n), t_max=tile_bcast(t_max, n),
+                any_hit=any_hit, block_rays=br, pc_max=pc_max)
+        return jax.tree.map(from_tiles, hit)
+
+    def any_hit_fn(scene, o, d, t_min=1e-3, t_max=INF):
+        return isect(scene, o, d, t_min=t_min, t_max=t_max,
+                     any_hit=True).is_hit
+
+    isect.any_hit = any_hit_fn
     return isect
 
 

@@ -106,8 +106,38 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
         from optix_ray_tracer_tpu.ops.traverse import BruteForceIntersector
         intersector = BruteForceIntersector()
     # probe-sorted variant for incoherent waves: bounce >= 1 extension
-    # rays and ALL shadow rays (ops/march.py sort_mode)
+    # rays, env-NEE occlusion, and — without a camera layout — light
+    # shadow rays (ops/march.py sort_mode)
     incoh = getattr(intersector, "for_incoherent", lambda: intersector)()
+    bounce_intersect = incoh.intersect
+    shadow_any_hit = incoh.any_hit
+    if (cam_point is not None and cam_tiles is not None
+            and hasattr(intersector, "intersect_bundled")):
+        # AREA-LIGHT shadow segments route through the bundle engine
+        # (ops/raster.py): finite [hit point -> light point] segments
+        # from a tile's compact origin patch bin to very few pairs
+        # (measured 6.8k pairs / 19.1 Mrays/s vs the marcher's 12.0 on
+        # the bench scene's NEE wave).  Bounce EXTENSION rays and
+        # env-NEE occlusion keep the marcher: their t_max is infinite
+        # and directions hemispherical, so conservative binning pairs
+        # with most of the scene (measured 349k pairs at W=1024 —
+        # 3.5x the marcher's whole cost in schedule floor alone) and
+        # overflows into the fallback anyway.  Both measurements in
+        # PERF.md round-4.
+        import os
+        # cluster-count gate: with few clusters the marcher is already
+        # trivial (Cornell, C=1: measured 1.43 vs 1.40 spp/s — binning
+        # prep is pure overhead); the bundle win appears when the
+        # marcher's per-visit picks dominate (C ~ hundreds)
+        enough_clusters = getattr(
+            getattr(intersector, "clusters", None), "num_clusters", 0) >= 16
+        if (os.environ.get("ORT_BUNDLE_NEE", "1") != "0"
+                and enough_clusters):
+            from optix_ray_tracer_tpu.ops.raster import (
+                make_tiled_bundle_intersect,
+            )
+            shadow_any_hit = make_tiled_bundle_intersect(
+                intersector, *cam_tiles).any_hit
     nrays = origins.shape[0]
     background = jnp.asarray(background, jnp.float32)
     have_lights = lights is not None and lights.count > 0
@@ -137,13 +167,17 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
     def bounce_step(s, b, ext_isect=None, ext_hit=None, ext_fn=None):
         alive = s["alive"]
         # dead lanes trace with t_max=0: free in the block-march kernel
+        # (and absent from the bundle engine's block bounds)
         if ext_hit is not None:
             hit = ext_hit
         elif ext_fn is not None:
             hit = ext_fn(scene, s["o"], s["d"],
                          t_max=jnp.where(alive, INF, 0.0))
+        elif ext_isect is not None:
+            hit = ext_isect.intersect(
+                scene, s["o"], s["d"], t_max=jnp.where(alive, INF, 0.0))
         else:
-            hit = (ext_isect or incoh).intersect(
+            hit = bounce_intersect(
                 scene, s["o"], s["d"], t_max=jnp.where(alive, INF, 0.0))
         missed = alive & ~hit.is_hit
         if restir_direct:
@@ -242,7 +276,7 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
                 # masked-out shadow ray traces with t_max=0 (free)
                 valid = valid & (b >= 1)
             # shadow ray (offset along the light direction; end before light)
-            occluded = incoh.any_hit(
+            occluded = shadow_any_hit(
                 scene, point + n_unit * 1e-3, wl,
                 t_min=1e-4, t_max=jnp.where(valid, dist - 2e-3, 0.0))
             visible = valid & ~occluded
@@ -265,7 +299,9 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
             cos_e = dot(we, n_unit)
             valid_e = shading_alive & is_diffuse & (cos_e > 0.0) \
                 & (pdf_e > 0.0)
-            # occlusion to infinity (the env is behind everything)
+            # occlusion to infinity (the env is behind everything) —
+            # marcher, not bundles: an infinite t_max defeats the
+            # bundle binning's segment prune (see routing note above)
             occ_e = incoh.any_hit(
                 scene, point + n_unit * 1e-3, we,
                 t_min=1e-4, t_max=jnp.where(valid_e, INF, 0.0))

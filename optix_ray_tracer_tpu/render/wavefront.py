@@ -149,14 +149,21 @@ def trace(scene: Scene, materials: MaterialTable, origins, directions,
     if intersector is None:
         intersector = _default_intersector()
     intersect_fn = intersector.intersect
-    if cam_point is not None and cam_tiles is not None:
-        from optix_ray_tracer_tpu.ops.raster import make_camera_intersect
-        intersect_fn = make_camera_intersect(intersector, cam_point,
-                                             *cam_tiles)
     # bounces >= 1 are incoherent: use the probe-sorted intersector
     # variant (ops/march.py sort_mode) when the intersector offers one
     incoh = getattr(intersector, "for_incoherent", lambda: intersector)()
     intersect_incoh_fn = incoh.intersect
+    if cam_point is not None and cam_tiles is not None:
+        from optix_ray_tracer_tpu.ops.raster import make_camera_intersect
+        # bounce EXTENSION rays stay on the marcher: their t_max is
+        # infinite and directions hemispherical, so bundle binning
+        # (ops/raster.py bundle_query) pairs with most of the scene and
+        # overflows — measured 349k pairs at W=1024 vs the marcher's
+        # 9.9 Mrays/s on the bench bounce wave (PERF.md round-4).  The
+        # bundle engine serves finite NEE shadow segments in the path
+        # tracer instead.
+        intersect_fn = make_camera_intersect(intersector, cam_point,
+                                             *cam_tiles)
     nrays = origins.shape[0]
     background = jnp.asarray(background, jnp.float32)
 

@@ -273,3 +273,113 @@ def test_integrators_match_with_raster_camera_wave():
     ib = pathtracer.render_path(scene2, mats2, lights, cam, 64, 64, spp=2,
                                 seed=5, max_depth=3, intersector=r2)[0]
     _close(ia, ib)
+
+
+class TestBundleEngine:
+    """3-D bundle binning for arbitrary-ray (bounce/NEE) waves
+    (ops/raster.py bundle_query + MarchIntersector.intersect_bundled)."""
+
+    def _bounce_wave(self, scene, o, d, seed=5):
+        """Diffuse bounce rays from the primary hits, tile-coherent
+        origins, hemispherical directions; misses become dead lanes."""
+        hit = intersect_scene_bruteforce(scene, o, d, t_min=1e-3)
+        t = np.asarray(hit.t)
+        live = t < 1e15
+        p = np.asarray(o) + t[:, None] * np.asarray(d)
+        rng = np.random.default_rng(seed)
+        nd = rng.normal(size=p.shape).astype(np.float32)
+        nd /= np.linalg.norm(nd, axis=-1, keepdims=True)
+        ob = np.where(live[:, None], p, 0.0).astype(np.float32)
+        t_max = np.where(live, 1e16, 0.0).astype(np.float32)
+        return jnp.asarray(ob), jnp.asarray(nd), jnp.asarray(t_max)
+
+    def test_bundle_exact_vs_oracle(self, setup):
+        from optix_ray_tracer_tpu.ops.raster import bundle_query
+        scene, inter, o, d = setup
+        ob, db, t_max = self._bounce_wave(scene, o, d)
+        t, slot, u, v, ok = bundle_query(inter.clusters, ob, db,
+                                         jnp.full(ob.shape[0], 1e-3),
+                                         t_max, block_rays=128)
+        assert bool(ok)
+        h2 = intersect_scene_bruteforce(scene, ob, db, t_min=1e-3,
+                                        t_max=t_max)
+        assert (_prims(inter, slot) == _oracle_prims(h2)).all()
+        m = _oracle_prims(h2) >= 0
+        # bounce origins sit ON surfaces, so grazing re-hits are
+        # ill-conditioned: Woop vs the oracle's Moller-Trumbore differ
+        # up to ~2e-4 relative on a couple of rays (same prim); the
+        # BIT-level check is vs the marcher (same Woop arithmetic) in
+        # test_intersect_bundled_matches_marcher
+        np.testing.assert_allclose(np.asarray(t)[m], np.asarray(h2.t)[m],
+                                   rtol=5e-4, atol=1e-5)
+
+    def test_bundle_any_hit(self, setup):
+        from optix_ray_tracer_tpu.ops.raster import bundle_query
+        scene, inter, o, d = setup
+        ob, db, t_max = self._bounce_wave(scene, o, d, seed=9)
+        # NEE-style finite segments: half the median hit distance
+        h2 = intersect_scene_bruteforce(scene, ob, db, t_min=1e-3,
+                                        t_max=t_max)
+        t_o = np.asarray(h2.t)
+        seg = np.where(np.asarray(t_max) > 0.0,
+                       float(np.median(t_o[t_o < 1e15])) * 1.5,
+                       0.0).astype(np.float32)
+        _, slot, _, _, ok = bundle_query(inter.clusters, ob, db,
+                                         jnp.full(ob.shape[0], 1e-3),
+                                         jnp.asarray(seg), any_hit=True,
+                                         block_rays=128)
+        assert bool(ok)
+        h3 = intersect_scene_bruteforce(scene, ob, db, t_min=1e-3,
+                                        t_max=jnp.asarray(seg))
+        np.testing.assert_array_equal(np.asarray(slot) >= 0,
+                                      _oracle_prims(h3) >= 0)
+
+    def test_intersect_bundled_matches_marcher(self, setup):
+        scene, inter, o, d = setup
+        ob, db, t_max = self._bounce_wave(scene, o, d, seed=11)
+        h_m = inter.for_incoherent().intersect(scene, ob, db,
+                                               t_max=t_max)
+        h_b = jax.jit(lambda a, b, tm: inter.intersect_bundled(
+            scene, a, b, t_max=tm, block_rays=128))(ob, db, t_max)
+        assert (np.asarray(h_b.prim_id) == np.asarray(h_m.prim_id)).all()
+        np.testing.assert_allclose(np.asarray(h_b.t), np.asarray(h_m.t),
+                                   rtol=1e-6, atol=0)
+        # overflow => exact marcher fallback
+        h_f = inter.intersect_bundled(scene, ob, db, t_max=t_max,
+                                      block_rays=128, pc_max=32)
+        assert (np.asarray(h_f.prim_id) == np.asarray(h_m.prim_id)).all()
+
+    def test_bundle_all_dead_wave(self, setup):
+        from optix_ray_tracer_tpu.ops.raster import bundle_query
+        scene, inter, o, d = setup
+        z = jnp.zeros(o.shape[0], jnp.float32)
+        t, slot, _, _, ok = bundle_query(inter.clusters, o, d,
+                                         jnp.full(o.shape[0], 1e-3), z,
+                                         block_rays=128)
+        assert bool(ok)
+        assert (np.asarray(slot) == -1).all()
+
+    def test_short_first_exact(self, setup):
+        """Two-pass short-ray-first (capped bundle + marcher tail)
+        equals the single-pass marcher, at several cap radii including
+        degenerate ones."""
+        scene, inter, o, d = setup
+        ob, db, t_max = self._bounce_wave(scene, o, d, seed=13)
+        h_m = inter.for_incoherent().intersect(scene, ob, db, t_max=t_max)
+        for r in (0.05, 0.4, 5.0):
+            h_s = inter.intersect_short_first(scene, ob, db, t_max=t_max,
+                                              radius=r, block_rays=128)
+            assert (np.asarray(h_s.prim_id)
+                    == np.asarray(h_m.prim_id)).all(), r
+            np.testing.assert_allclose(np.asarray(h_s.t),
+                                       np.asarray(h_m.t),
+                                       rtol=1e-6, atol=0, err_msg=str(r))
+
+    def test_build_sets_bounce_radius(self, setup):
+        scene, inter, _, _ = setup
+        assert inter.bounce_radius > 0.0
+        from optix_ray_tracer_tpu.ops.march import (
+            refit_march_intersector,
+        )
+        assert refit_march_intersector(inter, scene).bounce_radius \
+            == inter.bounce_radius
