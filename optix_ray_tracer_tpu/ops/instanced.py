@@ -170,35 +170,27 @@ class InstancedMarchIntersector:
     scene_lo: jax.Array
     scene_hi: jax.Array
 
-    def intersect(self, o, d, t_min=DEFAULT_T_MIN, t_max=INF,
-                  _any_hit: bool = False):
+    def _march_raw(self, o2, d2, t_min_a, t_max_a, any_hit: bool):
+        """Sorted instanced march -> (t, slot, u, v) in caller order."""
         from optix_ray_tracer_tpu.ops.raysort import ray_sort_keys
 
-        o2 = o.reshape(-1, 3)
-        d2 = d.reshape(-1, 3)
-        n = o2.shape[0]
-        t_min_a = jnp.broadcast_to(
-            jnp.asarray(t_min, jnp.float32).reshape(-1) if jnp.ndim(t_min)
-            else jnp.asarray(t_min, jnp.float32), (n,))
-        t_max_a = jnp.broadcast_to(
-            jnp.asarray(t_max, jnp.float32).reshape(-1) if jnp.ndim(t_max)
-            else jnp.asarray(t_max, jnp.float32), (n,))
         key = ray_sort_keys(o2, d2, self.scene_lo, self.scene_hi)
         perm = jnp.argsort(key)
         packed = jnp.concatenate(
             [o2, d2, t_min_a[:, None], t_max_a[:, None]], axis=1)[perm]
-
         t, slot, u, v = block_march_instanced(
             self.pair_min, self.pair_max, self.sub_min, self.sub_max,
             self.pair_shape, self.pair_inst, self.inst_rows,
             self.library.woop_t, self.library.woop,
             packed[:, 0:3], packed[:, 3:6], packed[:, 6], packed[:, 7],
-            any_hit=_any_hit)
-
+            any_hit=any_hit)
         inv = jnp.argsort(perm)
         out4 = jnp.stack([t, slot.astype(jnp.float32), u, v], axis=1)[inv]
-        t = out4[:, 0]
-        slot = out4[:, 1].astype(jnp.int32)
+        return (out4[:, 0], out4[:, 1].astype(jnp.int32), out4[:, 2],
+                out4[:, 3])
+
+    def _to_hit(self, t, slot, u, v):
+        """(t, slot, u, v) -> (Hit with LIBRARY prim ids, instance_id)."""
         missed = slot < 0
         pair = jnp.maximum(slot, 0) // CLUSTER_TRIS
         row = jnp.maximum(slot, 0) % CLUSTER_TRIS
@@ -210,9 +202,81 @@ class InstancedMarchIntersector:
             prim_type=jnp.where(missed, PRIM_NONE,
                                 PRIM_TRIANGLE).astype(jnp.int32),
             prim_id=jnp.where(missed, 0, prim_id).astype(jnp.int32),
-            u=jnp.where(missed, 0.0, out4[:, 2]),
-            v=jnp.where(missed, 0.0, out4[:, 3]))
+            u=jnp.where(missed, 0.0, u),
+            v=jnp.where(missed, 0.0, v))
         return hit, inst_id
+
+    def intersect(self, o, d, t_min=DEFAULT_T_MIN, t_max=INF,
+                  _any_hit: bool = False):
+        o2 = o.reshape(-1, 3)
+        d2 = d.reshape(-1, 3)
+        n = o2.shape[0]
+        t_min_a = jnp.broadcast_to(
+            jnp.asarray(t_min, jnp.float32).reshape(-1) if jnp.ndim(t_min)
+            else jnp.asarray(t_min, jnp.float32), (n,))
+        t_max_a = jnp.broadcast_to(
+            jnp.asarray(t_max, jnp.float32).reshape(-1) if jnp.ndim(t_max)
+            else jnp.asarray(t_max, jnp.float32), (n,))
+        t, slot, u, v = self._march_raw(o2, d2, t_min_a, t_max_a,
+                                        _any_hit)
+        return self._to_hit(t, slot, u, v)
+
+    def intersect_from(self, o, d, mode: str = "origin", point=None,
+                       t_min=DEFAULT_T_MIN, t_max=INF,
+                       any_hit: bool = False, block_rays: int = 1024,
+                       pc_max: int | None = None):
+        """Common-origin/-direction TLAS wave via pair-granularity
+        raster binning (ops/raster_instanced.py) — zero picks, no ray
+        sort, depth-sorted early-out at instance granularity; the
+        in-kernel per-pair ray transform replaces the marcher's
+        per-visit one.  Rays must arrive in a screen-tile-coherent
+        layout.  EXACT at any pair count: schedule overflow falls back
+        to the sorted instanced marcher under lax.cond (the cluster
+        path's rule, ops/march.py intersect_from).
+
+        Occlusion waves in "target" mode are re-traced FROM the common
+        point (segment reversal, see ops/march.py) so the kernel can
+        narrow its origin dots; only ``is_hit`` is meaningful then.
+
+        Returns (Hit, instance_id) like :meth:`intersect`."""
+        from optix_ray_tracer_tpu.ops.raster_instanced import (
+            instanced_raster_query,
+        )
+
+        o2 = o.reshape(-1, 3)
+        d2 = d.reshape(-1, 3)
+        n = o2.shape[0]
+        t_min_a = jnp.broadcast_to(
+            jnp.asarray(t_min, jnp.float32).reshape(-1) if jnp.ndim(t_min)
+            else jnp.asarray(t_min, jnp.float32), (n,))
+        t_max_a = jnp.broadcast_to(
+            jnp.asarray(t_max, jnp.float32).reshape(-1) if jnp.ndim(t_max)
+            else jnp.asarray(t_max, jnp.float32), (n,))
+        if any_hit and mode == "target":
+            p = jnp.asarray(point, jnp.float32)
+            dist = jnp.einsum("rk,rk->r", p[None, :] - o2, d2)
+            o2 = jnp.broadcast_to(p, o2.shape)
+            d2 = -d2
+            t_min_a, t_max_a = dist - t_max_a, dist - t_min_a
+            mode = "origin"
+        t, slot, u, v, ok = instanced_raster_query(
+            self, o2, d2, t_min_a, t_max_a, mode=mode, point=point,
+            any_hit=any_hit, block_rays=block_rays, pc_max=pc_max)
+        t, slot, u, v = jax.lax.cond(
+            ok,
+            lambda _: (t, slot, u, v),
+            lambda _: self._march_raw(o2, d2, t_min_a, t_max_a, any_hit),
+            None)
+        return self._to_hit(t, slot, u, v)
+
+    def any_hit_from(self, o, d, mode: str = "target", point=None,
+                     t_min=DEFAULT_T_MIN, t_max=INF,
+                     block_rays: int = 1024, pc_max: int | None = None):
+        """Occlusion variant of :meth:`intersect_from`."""
+        hit, _ = self.intersect_from(
+            o, d, mode=mode, point=point, t_min=t_min, t_max=t_max,
+            any_hit=True, block_rays=block_rays, pc_max=pc_max)
+        return hit.is_hit
 
     def any_hit(self, o, d, t_min=DEFAULT_T_MIN, t_max=INF):
         hit, _ = self.intersect(o, d, t_min, t_max, _any_hit=True)

@@ -52,10 +52,25 @@ from optix_ray_tracer_tpu.utils.vecmath import INF
 
 GROUP_TRIS = 8        # binning granularity (one f32 sublane tile)
 
+#: packed schedule encoding: entry = tile * PACK + cluster.  One int32
+#: prefetch array instead of two halves the schedule's SMEM footprint —
+#: big waves (config-5 native: ~200k pairs) were blowing the ~1 MB SMEM
+#: budget with two 776 KB operands (round-4 fix).  PACK bounds both
+#: fields: cluster/pair ids < PACK (the marcher's MAX_CLUSTERS is 8192),
+#: tiles < 2^31 / PACK = 65536.
+PACK = 32768
+
+#: largest schedule capacity whose packed prefetch array fits SMEM with
+#: headroom (128k entries = 512 KB of the ~1 MB budget).  Callers clamp
+#: pc_max here; a wave needing more overflows into the exact marcher
+#: fallback (a cost bound, not a correctness bound).
+SMEM_PC_CAP = 131072
+
 
 def _make_cluster_kernel(W: int, n_blocks: int, any_hit: bool,
                          cluster_tris: int, n_subs: int,
-                         common: str | None = None):
+                         common: str | None = None,
+                         instanced: bool = False):
     """One grid step tests one (ray block, cluster) pair; tile id
     n_blocks is the trash tile dead (padding) pairs point at.
 
@@ -70,13 +85,31 @@ def _make_cluster_kernel(W: int, n_blocks: int, any_hit: bool,
     fp ties — adjacent triangles sharing the hit edge — measured at
     5 per 1M camera rays vs the full-width kernel; the brute-force
     oracle (an independent Moller-Trumbore formulation) is equally far
-    from either.  None keeps full-width dots (target-mode waves)."""
+    from either.  None keeps full-width dots (target-mode waves).
+
+    ``instanced`` — TLAS mode (ops/raster_instanced.py): a grid step
+    tests one (ray block, TLAS pair) where a pair is an (instance,
+    library cluster).  The sub-box gates stay in WORLD space (per-pair
+    refit boxes), the Woop test transforms the ray block into the
+    pair's instance space (rigid + uniform scale, same arithmetic as
+    ops/pallas/block_march.py's instanced visit — t is the same
+    parameter in both spaces).  A shared world origin/direction stays
+    shared after the affine, so ``common`` narrowing still applies."""
     step = cluster_tris // n_subs
 
-    def kernel(tiles_ref, cls_ref, rays_ref, subs_ref, woop_ref, out_ref):
+    def kernel(*refs):
+        if instanced:
+            # packed prefetch: tl = tile*PACK + library cluster (woop
+            # DMA index), pi = TLAS pair*PACK + instance (sub boxes /
+            # affine / slot id) — see PACK
+            (tl_ref, pi_ref, rays_ref, subs_ref, aff_ref, woop_ref,
+             out_ref) = refs
+        else:
+            # packed prefetch: tile*PACK + cluster
+            (tl_ref, rays_ref, subs_ref, woop_ref, out_ref) = refs
         b = pl.program_id(0)
-        tile = tiles_ref[b]
-        prev = tiles_ref[jnp.maximum(b - 1, 0)]
+        tile = tl_ref[b] // PACK
+        prev = tl_ref[jnp.maximum(b - 1, 0)] // PACK
         first = jnp.logical_or(b == 0, tile != prev)
         rays = rays_ref[...]                         # (8, W)
         tmin = rays[6:7, :]
@@ -112,13 +145,44 @@ def _make_cluster_kernel(W: int, n_blocks: int, any_hit: bool,
             hp = jax.lax.Precision.HIGHEST
             dn_t = (((0,), (0,)), ((), ()))          # contract sublanes
             ow = 128 if common == "origin" else W
-            o4 = jnp.concatenate(
-                [rays[0:3, 0:ow], -jnp.ones((1, ow), jnp.float32)], axis=0)
             dw = 128 if common == "dir" else W
-            d_rows = rays[3:6, 0:dw]
+            if instanced:
+                # per-pair rigid(+uniform scale) ray transform:
+                # o' = A (o - b), d' = A d, A = R^T / s (the marcher's
+                # instanced-visit arithmetic, block_march.py).  The
+                # affine row arrives as a (1, 8, 16) block — Mosaic
+                # requires sublane-divisible blocks, so the (128,) row
+                # is viewed as (8, 16) with the 12 payload floats in
+                # sublane 0.
+                m = aff_ref[...]                     # (1, 8, 16)
+
+                def _mc(k):
+                    return m[0, 0:1, k:k + 1]        # (1, 1) scalar
+
+                wx = rays[0:1, 0:ow] - _mc(9)
+                wy = rays[1:2, 0:ow] - _mc(10)
+                wz = rays[2:3, 0:ow] - _mc(11)
+                o4 = jnp.concatenate(
+                    [_mc(0) * wx + _mc(1) * wy + _mc(2) * wz,
+                     _mc(3) * wx + _mc(4) * wy + _mc(5) * wz,
+                     _mc(6) * wx + _mc(7) * wy + _mc(8) * wz,
+                     -jnp.ones((1, ow), jnp.float32)], axis=0)
+                dx = rays[3:4, 0:dw]
+                dy = rays[4:5, 0:dw]
+                dz = rays[5:6, 0:dw]
+                d_rows = jnp.concatenate(
+                    [_mc(0) * dx + _mc(1) * dy + _mc(2) * dz,
+                     _mc(3) * dx + _mc(4) * dy + _mc(5) * dz,
+                     _mc(6) * dx + _mc(7) * dy + _mc(8) * dz], axis=0)
+                cl = pi_ref[b] // PACK            # TLAS pair id
+            else:
+                o4 = jnp.concatenate(
+                    [rays[0:3, 0:ow], -jnp.ones((1, ow), jnp.float32)],
+                    axis=0)
+                d_rows = rays[3:6, 0:dw]
+                cl = tl_ref[b] % PACK             # cluster id
             dot = partial(jax.lax.dot_general, dimension_numbers=dn_t,
                           precision=hp, preferred_element_type=jnp.float32)
-            cl = cls_ref[b]
 
             def test_part(part):
                 # the marcher's Woop arithmetic (common-point waves
@@ -230,22 +294,26 @@ def raster_cluster_call(pair_tiles, pair_clusters, rays_t_ext, sub_boxes,
     counts.
     """
     np_ = pair_tiles.shape[0]
+    if n_blocks + 1 >= (1 << 31) // PACK:
+        raise ValueError(f"{n_blocks} ray blocks exceed the packed "
+                         f"schedule's tile field — chunk the wave")
+    packed = pair_tiles * PACK + pair_clusters
     kernel = _make_cluster_kernel(w, n_blocks, any_hit, cluster_tris,
                                   n_subs, common)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(np_,),
         in_specs=[
-            pl.BlockSpec((8, w), lambda b, tiles, cls: (0, tiles[b]),
+            pl.BlockSpec((8, w), lambda b, tl: (0, tl[b] // PACK),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 8), lambda b, tiles, cls: (cls[b], 0, 0),
+            pl.BlockSpec((1, 8, 8), lambda b, tl: (tl[b] % PACK, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 16, cluster_tris),
-                         lambda b, tiles, cls: (cls[b], 0, 0),
+                         lambda b, tl: (tl[b] % PACK, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 8, w),
-                               lambda b, tiles, cls: (tiles[b], 0, 0),
+                               lambda b, tl: (tl[b] // PACK, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
@@ -253,4 +321,65 @@ def raster_cluster_call(pair_tiles, pair_clusters, rays_t_ext, sub_boxes,
         out_shape=jax.ShapeDtypeStruct((n_blocks + 1, 8, w), jnp.float32),
         grid_spec=grid_spec,
         interpret=jax.default_backend() == "cpu",
-    )(pair_tiles, pair_clusters, rays_t_ext, sub_boxes, woop_t)
+    )(packed, rays_t_ext, sub_boxes, woop_t)
+
+
+@partial(jax.jit, static_argnames=("n_blocks", "w", "any_hit",
+                                   "cluster_tris", "n_subs", "common"))
+def raster_instanced_call(pair_tiles, pair_libs, pair_ids, pair_insts,
+                          rays_t_ext, sub_boxes, inst_rows, woop_t,
+                          n_blocks: int, w: int = 1024,
+                          any_hit: bool = False, cluster_tris: int = 256,
+                          n_subs: int = 4, common: str | None = None):
+    """Run the TLAS-pair raster kernel (instanced mode).
+
+    pair_tiles: (NP,) int32 schedule tiles (padding pairs -> n_blocks);
+    pair_libs:  (NP,) int32 LIBRARY cluster per schedule entry (the
+        woop_t DMA index — geometry stays O(library));
+    pair_ids:   (NP,) int32 TLAS pair per entry (sub-box index + the
+        slot id base: slot = pair * cluster_tris + row);
+    pair_insts: (NP,) int32 instance per entry (affine row index);
+    rays_t_ext: (8, (n_blocks + 1) * w) packed WORLD rays;
+    sub_boxes:  (Cp, 8, 8) per-PAIR world sub-box rows (refit per
+        frame — ops/instanced.py refit_instanced);
+    inst_rows:  (P, 128) world->object affine rows [A(9), b(3), 0...];
+    woop_t:     (SC, 16, cluster_tris) STATIC object-space library rows.
+
+    Returns (n_blocks + 1, 8, w) float32 as raster_cluster_call, with
+    slot = TLAS pair * cluster_tris + row (-1 = miss)."""
+    np_ = pair_tiles.shape[0]
+    if n_blocks + 1 >= (1 << 31) // PACK:
+        raise ValueError(f"{n_blocks} ray blocks exceed the packed "
+                         f"schedule's tile field — chunk the wave")
+    tl = pair_tiles * PACK + pair_libs
+    pi = pair_ids * PACK + pair_insts
+    inst_rows = inst_rows.reshape(inst_rows.shape[0], 8, 16)
+    kernel = _make_cluster_kernel(w, n_blocks, any_hit, cluster_tris,
+                                  n_subs, common, instanced=True)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(np_,),
+        in_specs=[
+            pl.BlockSpec((8, w),
+                         lambda b, tl, pi: (0, tl[b] // PACK),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 8),
+                         lambda b, tl, pi: (pi[b] // PACK, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 16),
+                         lambda b, tl, pi: (pi[b] % PACK, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16, cluster_tris),
+                         lambda b, tl, pi: (tl[b] % PACK, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, w),
+                               lambda b, tl, pi: (tl[b] // PACK, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_blocks + 1, 8, w), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=jax.default_backend() == "cpu",
+    )(tl, pi, rays_t_ext, sub_boxes, inst_rows, woop_t)

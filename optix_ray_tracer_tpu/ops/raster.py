@@ -129,8 +129,10 @@ def default_pc_max(n_blocks: int, n_clusters: int) -> int:
     """Coarse-pair capacity heuristic — sized for coherent waves (blocks
     overlap ~a few clusters); overflow falls back to the marcher, so
     this bounds cost, not correctness."""
+    from optix_ray_tracer_tpu.ops.pallas.tile_raster import SMEM_PC_CAP
+
     pc = 12 * n_blocks + 2 * n_clusters + 1024
-    return ((pc + 1023) // 1024) * 1024
+    return min(((pc + 1023) // 1024) * 1024, SMEM_PC_CAP)
 
 
 def _rank_lookup(cum_rows, flat_dim: int, row_idx, rank):
@@ -183,6 +185,62 @@ def _enumerate_sorted_pairs(ov, entry_depth, nb: int, C: int,
     return b_s, c_s, v_s, pc_total, cnt_b
 
 
+def _pad_wave(o, d, t_min, t_max, n: int, nb: int, W: int):
+    """Pad a wave to nb*W rays plus one trailing dead block (the trash
+    tile's fetch target); padded lanes are dead (t_max <= t_min)."""
+    t_min_a = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    t_max_a = jnp.minimum(
+        jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)), INF)
+    pad = nb * W - n
+    o_p = jnp.pad(o, ((0, pad + W), (0, 0)))
+    d_p = jnp.pad(d, ((0, pad + W), (0, 0)))
+    d_p = d_p.at[n:, 2].set(1.0)
+    tmin_p = jnp.pad(t_min_a, (0, pad + W), constant_values=1.0)
+    tmax_p = jnp.pad(t_max_a, (0, pad + W), constant_values=0.0)
+    return o_p, d_p, tmin_p, tmax_p
+
+
+def _block_rects(o_p, d_p, tmin_p, tmax_p, nb: int, W: int, basis,
+                 mode: str, point):
+    """Per-block ray rects + depth ranges on the projection plane —
+    shared between the per-cluster and the TLAS-pair coarse stages.
+    Returns (bx0, bx1, by0, by1, bz0, bz1, live_any)."""
+    persp = mode != "ortho"
+    if persp:
+        p = jnp.asarray(point, jnp.float32)
+        q_rays = (d_p if mode == "origin" else o_p - p)[:nb * W]
+    else:
+        q_rays = o_p[:nb * W]
+    rx, ry, rqw, rgood = _proj(q_rays, basis, persp)
+    tmin_r = tmin_p[:nb * W]
+    tmax_r = tmax_p[:nb * W]
+    live = tmax_r > tmin_r
+    pv = jnp.logical_and(rgood, live)
+    pxm = jnp.where(pv, rx, jnp.nan).reshape(nb, W)
+    pym = jnp.where(pv, ry, jnp.nan).reshape(nb, W)
+    bx0 = jnp.nanmin(pxm, axis=1)
+    bx1 = jnp.nanmax(pxm, axis=1)
+    by0 = jnp.nanmin(pym, axis=1)
+    by1 = jnp.nanmax(pym, axis=1)
+    live_any = jnp.any(live.reshape(nb, W), axis=1)
+    # depth along the ray is w0 + t * (d . w_basis), valid for EVERY ray
+    # (no division) — segments only need geometry inside their depth
+    # interval, which prunes whole-scene shadow binning to the slab
+    # between origin patch and target (measured 2.9x fewer pairs on the
+    # bench shadow wave; the far side of a closed mesh never pairs)
+    if mode == "origin":
+        wd = rqw                      # q_rays = d
+        w0 = jnp.zeros_like(wd)
+    else:
+        wd = d_p[:nb * W] @ basis[2]
+        w0 = rqw
+    dlo = w0 + jnp.minimum(tmin_r * wd, tmax_r * wd)
+    dhi = w0 + jnp.maximum(tmin_r * wd, tmax_r * wd)
+    bz0 = jnp.min(jnp.where(live, dlo, INF).reshape(nb, W), axis=1)
+    bz1 = jnp.max(jnp.where(live, dhi, -INF).reshape(nb, W), axis=1)
+    return bx0, bx1, by0, by1, bz0, bz1, live_any
+
+
 def _coarse_stage(rset: RasterSet, clusters: ClusterSet, o, d, t_min,
                   t_max, mode: str, point, W: int, pc_max: int) -> dict:
     """Projections, cluster/block rects with depth ranges, coarse
@@ -194,15 +252,7 @@ def _coarse_stage(rset: RasterSet, clusters: ClusterSet, o, d, t_min,
     n = o.shape[0]
     nb = -(-n // W)
 
-    t_min_a = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
-    t_max_a = jnp.minimum(
-        jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)), INF)
-    pad = nb * W - n
-    o_p = jnp.pad(o, ((0, pad + W), (0, 0)))
-    d_p = jnp.pad(d, ((0, pad + W), (0, 0)))
-    d_p = d_p.at[n:, 2].set(1.0)
-    tmin_p = jnp.pad(t_min_a, (0, pad + W), constant_values=1.0)
-    tmax_p = jnp.pad(t_max_a, (0, pad + W), constant_values=0.0)
+    o_p, d_p, tmin_p, tmax_p = _pad_wave(o, d, t_min, t_max, n, nb, W)
 
     persp = mode != "ortho"
     if persp:
@@ -258,33 +308,8 @@ def _coarse_stage(rset: RasterSet, clusters: ClusterSet, o, d, t_min,
     cfull = jnp.any(gfull.reshape(C, G), axis=1)
 
     # ---- per-block ray rects + depth ranges ----
-    rx, ry, rqw, rgood = _proj(q_rays, basis, persp)
-    tmin_r = tmin_p[:nb * W]
-    tmax_r = tmax_p[:nb * W]
-    live = tmax_r > tmin_r
-    pv = jnp.logical_and(rgood, live)
-    pxm = jnp.where(pv, rx, jnp.nan).reshape(nb, W)
-    pym = jnp.where(pv, ry, jnp.nan).reshape(nb, W)
-    bx0 = jnp.nanmin(pxm, axis=1)
-    bx1 = jnp.nanmax(pxm, axis=1)
-    by0 = jnp.nanmin(pym, axis=1)
-    by1 = jnp.nanmax(pym, axis=1)
-    live_any = jnp.any(live.reshape(nb, W), axis=1)
-    # depth along the ray is w0 + t * (d . w_basis), valid for EVERY ray
-    # (no division) — segments only need geometry inside their depth
-    # interval, which prunes whole-scene shadow binning to the slab
-    # between origin patch and target (measured 2.9x fewer pairs on the
-    # bench shadow wave; the far side of a closed mesh never pairs)
-    if mode == "origin":
-        wd = rqw                      # q_rays = d
-        w0 = jnp.zeros_like(wd)
-    else:
-        wd = d_p[:nb * W] @ basis[2]
-        w0 = rqw
-    dlo = w0 + jnp.minimum(tmin_r * wd, tmax_r * wd)
-    dhi = w0 + jnp.maximum(tmin_r * wd, tmax_r * wd)
-    bz0 = jnp.min(jnp.where(live, dlo, INF).reshape(nb, W), axis=1)
-    bz1 = jnp.max(jnp.where(live, dhi, -INF).reshape(nb, W), axis=1)
+    bx0, bx1, by0, by1, bz0, bz1, live_any = _block_rects(
+        o_p, d_p, tmin_p, tmax_p, nb, W, basis, mode, point)
 
     # ---- coarse (block, cluster) pairs, depth-sorted near-to-far ----
     # (the kernel's per-pair depth early-out then retires primary tiles
@@ -332,7 +357,8 @@ def raster_query(rset: RasterSet, clusters: ClusterSet, o, d,
     C = clusters.num_clusters
     n = o.shape[0]
     nb = -(-n // W)
-    pc_max = pc_max or default_pc_max(nb, C)
+    from optix_ray_tracer_tpu.ops.pallas.tile_raster import SMEM_PC_CAP
+    pc_max = min(pc_max or default_pc_max(nb, C), SMEM_PC_CAP)
     S = _coarse_stage(rset, clusters, o, d, t_min, t_max, mode, point,
                       W, pc_max)
     # shared-point/-direction dots narrow to one lane column in the
@@ -425,9 +451,14 @@ def measure_pair_count(rset: RasterSet | None, clusters: ClusterSet,
 
 def round_pc_max(count: int, margin: float = 1.15) -> int:
     """Static capacity from a measured pair count: margin + round up to
-    the next 1024 (one compiled shape per capacity bucket)."""
+    the next 1024 (one compiled shape per capacity bucket).  Clamped to
+    the SMEM-safe cap — a schedule that can't fit SMEM falls back to
+    the marcher instead of failing to compile (round-4 fix: config-5's
+    ~200k-pair bundle schedules blew the ~1 MB SMEM budget)."""
+    from optix_ray_tracer_tpu.ops.pallas.tile_raster import SMEM_PC_CAP
+
     pc = int(count * margin) + 256
-    return max(1024, ((pc + 1023) // 1024) * 1024)
+    return min(max(1024, ((pc + 1023) // 1024) * 1024), SMEM_PC_CAP)
 
 
 def default_bundle_pc_max(n_blocks: int, n_clusters: int) -> int:
@@ -435,8 +466,10 @@ def default_bundle_pc_max(n_blocks: int, n_clusters: int) -> int:
     clusters than common-origin blocks (hemispherical directions), so
     budget ~an order more pairs per block.  Overflow falls back to the
     marcher — a cost bound, not a correctness bound."""
+    from optix_ray_tracer_tpu.ops.pallas.tile_raster import SMEM_PC_CAP
+
     pc = 96 * n_blocks + 2 * n_clusters + 1024
-    return ((pc + 1023) // 1024) * 1024
+    return min(((pc + 1023) // 1024) * 1024, SMEM_PC_CAP)
 
 
 def bundle_stage(clusters: ClusterSet, o, d, t_min, t_max, W: int,
@@ -551,7 +584,8 @@ def bundle_query(clusters: ClusterSet, o, d, t_min, t_max,
     C = clusters.num_clusters
     n = o.shape[0]
     nb = -(-n // W)
-    pc_max = pc_max or default_bundle_pc_max(nb, C)
+    from optix_ray_tracer_tpu.ops.pallas.tile_raster import SMEM_PC_CAP
+    pc_max = min(pc_max or default_bundle_pc_max(nb, C), SMEM_PC_CAP)
     S = bundle_stage(clusters, o, d, t_min, t_max, W, pc_max)
     return _run_pair_schedule(clusters, S, W, n, nb, any_hit, None,
                               pc_max, return_stats)

@@ -127,6 +127,69 @@ class TestInstancedTLAS:
             intersect_scene_bruteforce(scene, o, d).t <= cap)
         np.testing.assert_array_equal(got, ref)
 
+    @pytest.mark.parametrize("mode", ["camera", "occlusion"])
+    def test_raster_pairs_match_marcher(self, mode):
+        """The TLAS raster path (ops/raster_instanced.py) vs the sorted
+        instanced marcher on a coherent camera wave: identical hit
+        masks, matching t and (instance, prim) identity."""
+        lib, offsets, counts = _library((80, 200))
+        library = build_instanced_library(lib, offsets, counts)
+        P = 10
+        rng = np.random.default_rng(11)
+        shape_ids = rng.integers(0, len(counts), P)
+        rot, shift = _random_poses(P, seed=5, spread=3.0)
+        inter = make_instanced_intersector(library, shape_ids, rot, shift)
+
+        cam = Camera.look_at((9.0, 0.5, 1.0), (0.0, 0.0, 0.0),
+                             (0.0, 0.0, 1.0))
+        o, d = cam.generate_rays(32, 32)
+        o = o.reshape(-1, 3)
+        d = d.reshape(-1, 3)
+        point = jnp.asarray((9.0, 0.5, 1.0), jnp.float32)
+
+        if mode == "occlusion":
+            got = np.asarray(inter.any_hit_from(
+                o, d, mode="origin", point=point, block_rays=256))
+            want = np.asarray(inter.any_hit(o, d))
+            np.testing.assert_array_equal(got, want)
+            return
+        hit_r, inst_r = inter.intersect_from(
+            o, d, mode="origin", point=point, block_rays=256)
+        hit_m, inst_m = inter.intersect(o, d)
+        hr = np.asarray(hit_r.is_hit)
+        assert hr.mean() > 0.1          # scene actually in view
+        np.testing.assert_array_equal(hr, np.asarray(hit_m.is_hit))
+        np.testing.assert_allclose(np.asarray(hit_r.t)[hr],
+                                   np.asarray(hit_m.t)[hr],
+                                   rtol=1e-5, atol=1e-6)
+        # identity can differ only on exact-t ties between engines
+        same = ((np.asarray(inst_r) == np.asarray(inst_m))
+                & (np.asarray(hit_r.prim_id) == np.asarray(hit_m.prim_id)))
+        assert same[hr].mean() > 0.99
+
+    def test_raster_pairs_overflow_falls_back(self):
+        """An undersized pc_max must not silently corrupt results — the
+        lax.cond fallback re-traces the wave with the exact marcher."""
+        lib, offsets, counts = _library((120,))
+        library = build_instanced_library(lib, offsets, counts)
+        rot, shift = _random_poses(8, seed=3, spread=3.0)
+        inter = make_instanced_intersector(library, [0] * 8, rot, shift)
+        cam = Camera.look_at((10.0, 0.0, 0.0), (0.0, 0.0, 0.0),
+                             (0.0, 0.0, 1.0))
+        o, d = cam.generate_rays(32, 16)
+        o = o.reshape(-1, 3)
+        d = d.reshape(-1, 3)
+        hit_r, inst_r = inter.intersect_from(
+            o, d, mode="origin", point=(10.0, 0.0, 0.0), block_rays=256,
+            pc_max=1024)   # deliberately tiny -> overflow on some waves
+        hit_m, inst_m = inter.intersect(o, d)
+        np.testing.assert_array_equal(np.asarray(hit_r.is_hit),
+                                      np.asarray(hit_m.is_hit))
+        m = np.asarray(hit_r.is_hit)
+        np.testing.assert_allclose(np.asarray(hit_r.t)[m],
+                                   np.asarray(hit_m.t)[m],
+                                   rtol=1e-5, atol=1e-6)
+
     def test_memory_scales_with_library_not_instances(self):
         lib, offsets, counts = _library((300,))
         library = build_instanced_library(lib, offsets, counts)
