@@ -48,8 +48,9 @@ from optix_ray_tracer_tpu.ops.sweep import SUBS_PER_CLUSTER as _SWEEP_SUBS
 from optix_ray_tracer_tpu.utils.vecmath import INF
 
 BLOCK_RAYS = 128         # minimum block granularity callers pad to
-CLUSTER_TRIS = 256       # == ops.sweep.CHUNK * WINDOW_CHUNKS (post-SAH
-                         # retune — see ops.sweep.CHUNK)
+CLUSTER_TRIS = _SWEEP_CHUNK   # == ops.sweep.CHUNK * WINDOW_CHUNKS
+                              # (post-SAH retune — see ops.sweep.CHUNK;
+                              # follows the ORT_CHUNK sweep knob)
 
 _CID_BITS = 12           # low mantissa bits carrying the cluster id
 _CID_MASK = (1 << _CID_BITS) - 1
@@ -66,7 +67,7 @@ PICK_MODE = "float"      # "float" (2 syncs) | "packed" (1 sync; HANGS real
 # 2M-triangle ceiling at 256-tri clusters (scenes past HIER_MIN_CLUSTERS
 # take the hierarchical kernel, whose cull is O(C/GROUP) per visit).
 MAX_CLUSTERS = 8192 if PICK_MODE == "float" else (1 << _CID_BITS)
-N_SUBS = 4               # second-level cull granularity (1 = off); gates
+N_SUBS = _SWEEP_SUBS     # second-level cull granularity (1 = off); gates
                          # each 64-tri sub-block on any(sub entry < best_t)
 N_SUBS_INCOHERENT = 2    # incoherent waves pair-merge the sub boxes at
                          # trace time: their blocks visit many clusters, so

@@ -46,15 +46,20 @@ from optix_ray_tracer_tpu.ops.intersect import (
 from optix_ray_tracer_tpu.scene.geometry import Scene
 from optix_ray_tracer_tpu.utils.vecmath import INF
 
-CHUNK = 256          # triangles per cluster (post-SAH retune: 256-tri
-                     # clusters beat 512 on BOTH wave classes, PERF.md
-                     # round-3 "cluster-constant re-sweep")
+import os as _os
+
+# triangles per cluster (post-SAH retune: 256-tri clusters beat 512 on
+# BOTH wave classes for the MARCHER, PERF.md round-3 "cluster-constant
+# re-sweep"; the raster engine's per-pair grid-step overhead favors
+# bigger clusters — ORT_CHUNK/ORT_SUBS are the sweep knobs for
+# re-measuring under the schedule-driven engines, round-4)
+CHUNK = int(_os.environ.get("ORT_CHUNK", "256"))
 BLOCK_RAYS = 128     # rays per sweep block
 WINDOW_CHUNKS = 1    # clusters swept per block window
 WINDOW_TRIS = CHUNK * WINDOW_CHUNKS
 
 
-SUBS_PER_CLUSTER = 4
+SUBS_PER_CLUSTER = int(_os.environ.get("ORT_SUBS", "4"))
 SUB_TRIS = CHUNK // SUBS_PER_CLUSTER
 
 # woop_t row order: each 4-row group is one contiguous matmul operand for

@@ -138,18 +138,13 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
             )
             shadow_any_hit = make_tiled_bundle_intersect(
                 intersector, *cam_tiles).any_hit
-        if (os.environ.get("ORT_SHORT_FIRST", "0") == "1"
-                and enough_clusters
-                and getattr(intersector, "bounce_radius", 0.0) > 0.0):
-            # experimental: bounce extension rays via the two-pass
-            # short-ray-first engine (neutral on open scenes, candidate
-            # win on interiors — see PERF.md round-4)
-            from optix_ray_tracer_tpu.ops.raster import (
-                make_tiled_bundle_intersect,
-            )
-            bounce_intersect = make_tiled_bundle_intersect(
-                intersector, *cam_tiles,
-                radius=float(intersector.bounce_radius))
+        # bounce extension rays stay on the marcher: the two-pass
+        # short-ray-first bundle route (intersect_short_first) was
+        # measured a LOSS on both endpoints — neutral on the open
+        # bench scene (escaping rays pay the full marcher tail) and
+        # 1.47x slower on config-5's interior (0.079 vs 0.115 spp/s;
+        # the t-capped binning still pairs hemispherical blocks with
+        # too much of the scene).  PERF.md round-4.
     nrays = origins.shape[0]
     background = jnp.asarray(background, jnp.float32)
     have_lights = lights is not None and lights.count > 0

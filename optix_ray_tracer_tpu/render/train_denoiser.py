@@ -84,12 +84,128 @@ def _render_pair(cfg, camera, size, seed, clean_spp):
     return tuple(np.asarray(x) for x in (noisy, alb, nrm, clean))
 
 
+#: held-out scene order (build_dataset and main's per-scene table)
+HELDOUT_NAMES = ("config3", "proc_h0", "proc_h1")
+
+
+def _procedural_cfg(seed: int) -> dict:
+    """One randomized training scene — the corpus diversifier (VERDICT
+    r3 #5: the round-3 net, trained on 4 benchmark configs, lost to
+    a-trous on held-out smooth-diffuse geometry).  Varies:
+
+    * geometry: 1-3 tessellated blobs (3k-40k tris, smooth OR faceted
+      normals — the smooth-diffuse regime is the one round 3 missed)
+      plus 0-3 analytic spheres over a ground plane/sphere;
+    * materials: random-albedo rough, tinted metals at random fuzz,
+      dielectric, occasional emissive quad (area light);
+    * lighting: flat background / gradient sky / sun-sky env map;
+    * integrator: whitted or path (with NEE when emitters exist).
+    """
+    from optix_ray_tracer_tpu.io.meshgen import (
+        quad, sphere_with_n_triangles,
+    )
+    from optix_ray_tracer_tpu.render.envmap import gradient_sky
+    from optix_ray_tracer_tpu.scene.camera import Camera
+    from optix_ray_tracer_tpu.scene.geometry import (
+        Scene, Spheres, Triangles,
+    )
+    from optix_ray_tracer_tpu.scene.lights import collect_area_lights
+    from optix_ray_tracer_tpu.scene.materials import MaterialBuilder
+
+    rng = np.random.default_rng(seed)
+    mb = MaterialBuilder()
+
+    def rand_mat():
+        r = rng.random()
+        if r < 0.55:
+            return mb.add_rough(tuple(rng.uniform(0.15, 0.85, 3)))
+        if r < 0.85:
+            return mb.add_metal(tuple(rng.uniform(0.6, 0.95, 3)),
+                                fuzz=float(rng.uniform(0.0, 0.35)))
+        return mb.add_dielectric(float(rng.uniform(1.3, 1.8)))
+
+    ground = mb.add_rough(tuple(rng.uniform(0.3, 0.8, 3)))
+    spheres = [((0.0, 0.0, -1000.5), 1000.0, ground)]
+    vs, ns, ms = [], [], []
+
+    for _ in range(rng.integers(1, 4)):          # tessellated blobs
+        c = (float(rng.uniform(-1.5, 1.5)), float(rng.uniform(-1.5, 1.5)),
+             float(rng.uniform(-0.2, 0.8)))
+        rad = float(rng.uniform(0.3, 0.8))
+        v, n = sphere_with_n_triangles(int(rng.integers(3_000, 40_000)),
+                                       c, rad)
+        m = rand_mat()
+        vs.append(v)
+        # half the blobs keep smooth sphere normals, half go faceted
+        # (face normals) — both shading regimes in the corpus
+        ns.append(n if rng.random() < 0.5 else None)
+        ms.append(np.full(len(v), m, np.int32))
+    for _ in range(rng.integers(0, 4)):          # analytic spheres
+        spheres.append(((float(rng.uniform(-2, 2)),
+                         float(rng.uniform(-2, 2)),
+                         float(rng.uniform(-0.1, 1.0))),
+                        float(rng.uniform(0.2, 0.6)), rand_mat()))
+
+    integrator = "path" if rng.random() < 0.5 else "whitted"
+    if integrator == "path" and rng.random() < 0.6:
+        # emissive panel overhead (area light for the NEE path)
+        e = mb.add_emissive(tuple(rng.uniform(4.0, 16.0, 3)))
+        cx, cy = rng.uniform(-1, 1, 2)
+        s = float(rng.uniform(0.4, 1.2))
+        v, n = quad([cx - s, cy - s, 2.5], [cx + s, cy - s, 2.5],
+                    [cx + s, cy + s, 2.5], [cx - s, cy + s, 2.5])
+        vs.append(v)
+        ns.append(n)
+        ms.append(np.full(len(v), e, np.int32))
+
+    from optix_ray_tracer_tpu.scene.geometry import (
+        face_normals_as_vertex_normals,
+    )
+    import jax.numpy as jnp
+    nrm = [np.asarray(face_normals_as_vertex_normals(
+               jnp.asarray(v, jnp.float32))) if n is None else n
+           for v, n in zip(vs, ns)]
+    tris = Triangles.from_arrays(
+        np.concatenate(vs), np.concatenate(nrm), np.concatenate(ms))
+    scene = Scene(spheres=Spheres.from_list(spheres), triangles=tris)
+    materials = mb.build()
+
+    env = None
+    bg = tuple(rng.uniform(0.0, 1.0, 3))
+    r = rng.random()
+    if r < 0.4:
+        sun = None
+        if rng.random() < 0.6:
+            sd = rng.normal(size=3)
+            sd[2] = abs(sd[2]) + 0.5
+            sun = tuple(sd / np.linalg.norm(sd))
+        env = gradient_sky(
+            zenith=tuple(rng.uniform(0.2, 0.7, 3)),
+            horizon=tuple(rng.uniform(0.6, 1.0, 3)),
+            sun_dir=sun)
+        bg = (0.0, 0.0, 0.0)
+
+    az = rng.uniform(0, 2 * np.pi)
+    dist = rng.uniform(3.5, 6.0)
+    cam = Camera.look_at(
+        (dist * np.cos(az), dist * np.sin(az),
+         float(rng.uniform(0.3, 1.5))), (0.0, 0.0, 0.2), (0.0, 0.0, 1.0))
+    lights = (collect_area_lights(scene, materials)
+              if integrator == "path" else None)
+    return dict(scene=scene, materials=materials, camera=cam,
+                lights=lights, integrator=integrator, background=bg,
+                max_depth=5, env=env)
+
+
 def build_dataset(size: int = 192, views: int = 4, clean_spp: int = 256,
-                  include_reference: bool = True, verbose: bool = True):
+                  include_reference: bool = True, verbose: bool = True,
+                  procedural: int = 10):
     """Render (noisy, albedo, normal, clean) image tuples.
 
-    Returns (train_imgs, heldout_imgs); config3 (70k-tri mesh) is held
-    out entirely.
+    Returns (train_imgs, heldout_imgs).  Held out entirely: config3
+    (the 20k-tri smooth-diffuse mesh) AND two procedural scenes from a
+    disjoint seed range — generalization is scored on scenes the net
+    never saw (VERDICT r3 #5).
     """
     from optix_ray_tracer_tpu.models import benchmarks as B
 
@@ -97,7 +213,11 @@ def build_dataset(size: int = 192, views: int = 4, clean_spp: int = 256,
               ("config2", B.config2_whitted_spheres()),
               ("config4", B.config4_cornell()),
               ("config5", B.config5_sponza_class(n_cols=4))]
-    heldout_scenes = [("config3", B.config3_mesh_diffuse(20_000))]
+    for k in range(procedural):
+        scenes.append((f"proc{k}", _procedural_cfg(1000 + k)))
+    heldout_scenes = [(n, c) for n, c in zip(
+        HELDOUT_NAMES, (B.config3_mesh_diffuse(20_000),
+                        _procedural_cfg(9000), _procedural_cfg(9001)))]
 
     REF = "/root/reference/files"
     if include_reference and os.path.isdir(REF):
@@ -297,6 +417,15 @@ def main(argv=None):
     params = train(train_imgs, steps=args.steps)
     evaluate(params, train_imgs[:4], label="train[0:4]")
     evaluate(params, heldout)
+    # per-scene held-out table (VERDICT r3 #5: neural must win — or a
+    # selection rule must be measured — on EVERY held-out scene, not
+    # just on average); held-out images are `views` consecutive per
+    # scene in HELDOUT_NAMES order
+    if len(heldout) % len(HELDOUT_NAMES) == 0:
+        v = len(heldout) // len(HELDOUT_NAMES)
+        for i, nm in enumerate(HELDOUT_NAMES):
+            evaluate(params, heldout[i * v:(i + 1) * v],
+                     label=f"held-out {nm}")
     out_dir = os.path.dirname(out)
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
