@@ -34,6 +34,16 @@ from optix_ray_tracer_tpu.utils.vecmath import INF
 #:            1.02 vs 0.62 Mrays/s on the 100k-tri incoherent bench).
 SORT_MODES = ("morton", "probe")
 
+#: scenes at or below this cluster count skip the coherence sort entirely:
+#: a block's cluster union is bounded by C, so no ray ORDER can reduce
+#: visits below what the per-ray best_t mask already prunes — the probe
+#: pass + argsort + (R,8)/(R,4) pack/unsort gathers (~30 ms per 1M-ray
+#: wave) are pure overhead.  Tiny scenes (Cornell: 36 tris = 1 cluster)
+#: pay this on EVERY bounce + shadow wave.  Sort-free waves also take
+#: wide coherent blocks (union <= C keeps the visit count flat while the
+#: per-visit scalar syncs amortize over 4x the lanes).
+SORT_FREE_CLUSTERS = 8
+
 
 def ray_probe_keys(clusters, o, d, t_min, t_max):
     """(first-cluster id << 18) | direction-Morton — see SORT_MODES."""
@@ -275,20 +285,26 @@ class MarchIntersector:
             jnp.asarray(t_max, jnp.float32).reshape(-1) if jnp.ndim(t_max)
             else jnp.asarray(t_max, jnp.float32), (n,))
 
-        if self.sort_mode == "probe":
-            key = ray_probe_keys(self.clusters, o2, d2, t_min_a, t_max_a)
+        sort_free = self.clusters.num_clusters <= SORT_FREE_CLUSTERS
+        if sort_free:
+            # tiny scene: no sort, no gathers (see SORT_FREE_CLUSTERS)
+            o_s, d_s, tmin_s, tmax_s = o2, d2, t_min_a, t_max_a
         else:
-            key = ray_sort_keys(o2, d2, self.scene_lo, self.scene_hi)
-        perm = jnp.argsort(key)
-        # ONE (R, 8) gather for the whole sorted ray state (separate
-        # per-field gathers measurably dent incoherent throughput — the
-        # XLA gather path runs ~5 GB/s, PERF.md)
-        packed = jnp.concatenate(
-            [o2, d2, t_min_a[:, None], t_max_a[:, None]], axis=1)[perm]
-        o_s = packed[:, 0:3]
-        d_s = packed[:, 3:6]
-        tmin_s = packed[:, 6]
-        tmax_s = packed[:, 7]
+            if self.sort_mode == "probe":
+                key = ray_probe_keys(self.clusters, o2, d2, t_min_a,
+                                     t_max_a)
+            else:
+                key = ray_sort_keys(o2, d2, self.scene_lo, self.scene_hi)
+            perm = jnp.argsort(key)
+            # ONE (R, 8) gather for the whole sorted ray state (separate
+            # per-field gathers measurably dent incoherent throughput —
+            # the XLA gather path runs ~5 GB/s, PERF.md)
+            packed = jnp.concatenate(
+                [o2, d2, t_min_a[:, None], t_max_a[:, None]], axis=1)[perm]
+            o_s = packed[:, 0:3]
+            d_s = packed[:, 3:6]
+            tmin_s = packed[:, 6]
+            tmax_s = packed[:, 7]
 
         pad = (-n) % BLOCK_RAYS
         if pad:
@@ -298,16 +314,20 @@ class MarchIntersector:
             tmin_s = jnp.pad(tmin_s, (0, pad), constant_values=1.0)
             tmax_s = jnp.pad(tmax_s, (0, pad), constant_values=0.0)
 
-        t, slot, u, v = block_march(self.clusters, o_s, d_s, tmin_s,
-                                    tmax_s, any_hit=_any_hit,
-                                    coherent=self.sort_mode != "probe")
-        inv = jnp.argsort(perm)
-        # one (R, 4) unsort gather instead of four (R,) gathers
-        out4 = jnp.stack([t, slot.astype(jnp.float32), u, v], axis=1)[:n][inv]
-        t = out4[:, 0]
-        slot = out4[:, 1].astype(jnp.int32)
-        u = out4[:, 2]
-        v = out4[:, 3]
+        t, slot, u, v = block_march(
+            self.clusters, o_s, d_s, tmin_s, tmax_s, any_hit=_any_hit,
+            coherent=sort_free or self.sort_mode != "probe")
+        if sort_free:
+            t, slot, u, v = t[:n], slot[:n], u[:n], v[:n]
+        else:
+            inv = jnp.argsort(perm)
+            # one (R, 4) unsort gather instead of four (R,) gathers
+            out4 = jnp.stack([t, slot.astype(jnp.float32), u, v],
+                             axis=1)[:n][inv]
+            t = out4[:, 0]
+            slot = out4[:, 1].astype(jnp.int32)
+            u = out4[:, 2]
+            v = out4[:, 3]
 
         missed = slot < 0
         prim_id = self.clusters.prim_index[jnp.maximum(slot, 0)]
