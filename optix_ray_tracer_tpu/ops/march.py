@@ -34,15 +34,18 @@ from optix_ray_tracer_tpu.utils.vecmath import INF
 #:            1.02 vs 0.62 Mrays/s on the 100k-tri incoherent bench).
 SORT_MODES = ("morton", "probe")
 
-#: scenes at or below this cluster count skip the coherence sort entirely:
-#: a block's cluster union is bounded by C, so no ray ORDER can reduce
-#: visits below what the per-ray best_t mask already prunes — the probe
-#: pass + argsort + (R,8)/(R,4) pack/unsort gathers (~30 ms per 1M-ray
-#: wave) are pure overhead.  Tiny scenes (Cornell: 36 tris = 1 cluster)
+#: scenes at or below this TRIANGLE count skip the coherence sort
+#: entirely: at C <= ~8 real clusters the sort's fixed cost — the probe
+#: pass + argsort + (R,8)/(R,4) pack/unsort gathers, measured ~30 ms per
+#: 1M-ray wave — exceeds any possible visit savings (sorting can still
+#: shrink a small block's cluster union, but never by enough to pay for
+#: itself at this scale).  Tiny scenes (Cornell: 36 tris = 1 cluster)
 #: pay this on EVERY bounce + shadow wave.  Sort-free waves also take
 #: wide coherent blocks (union <= C keeps the visit count flat while the
-#: per-visit scalar syncs amortize over 4x the lanes).
-SORT_FREE_CLUSTERS = 8
+#: per-visit scalar syncs amortize over 4x the lanes).  The gate is a
+#: triangle count (8 default-CHUNK clusters), NOT a padded cluster
+#: count, so it is stable under ORT_CHUNK sweeps.
+SORT_FREE_TRIS = 2048
 
 
 def ray_probe_keys(clusters, o, d, t_min, t_max):
@@ -84,7 +87,8 @@ class MarchIntersector:
     def intersect_from(self, scene: Scene, o, d, mode: str = "origin",
                        point=None, t_min=DEFAULT_T_MIN, t_max=INF,
                        any_hit: bool = False, block_rays: int = 1024,
-                       pc_max: int | None = None) -> Hit:
+                       pc_max: int | None = None,
+                       granularity: int = 1) -> Hit:
         """Common-origin/-direction wave query via the tile-raster
         engine (ops/raster.py) — no coherence sort, no in-kernel picks;
         measured +33% over the sorted march on the bench's camera +
@@ -131,7 +135,8 @@ class MarchIntersector:
         t, slot, u, v, ok = raster_query(
             self.raster, self.clusters, o2, d2, t_min_a, t_max_a,
             mode=mode, point=point, any_hit=any_hit,
-            block_rays=block_rays, pc_max=pc_max)
+            block_rays=block_rays, pc_max=pc_max,
+            granularity=granularity)
         res = jax.lax.cond(
             ok,
             lambda _: (t, slot, u, v),
@@ -264,13 +269,15 @@ class MarchIntersector:
     def any_hit_from(self, scene: Scene, o, d, mode: str = "target",
                      point=None, t_min=DEFAULT_T_MIN, t_max=INF,
                      block_rays: int = 1024,
-                     pc_max: int | None = None):
+                     pc_max: int | None = None,
+                     granularity: int = 1):
         """Occlusion variant of :meth:`intersect_from` (shadow waves
         toward a point light use mode="target", sun shadows "ortho")."""
         return self.intersect_from(scene, o, d, mode=mode, point=point,
                                    t_min=t_min, t_max=t_max, any_hit=True,
                                    block_rays=block_rays,
-                                   pc_max=pc_max).is_hit
+                                   pc_max=pc_max,
+                                   granularity=granularity).is_hit
 
     def intersect(self, scene: Scene, o, d, t_min=DEFAULT_T_MIN,
                   t_max=INF, _any_hit: bool = False) -> Hit:
@@ -285,9 +292,9 @@ class MarchIntersector:
             jnp.asarray(t_max, jnp.float32).reshape(-1) if jnp.ndim(t_max)
             else jnp.asarray(t_max, jnp.float32), (n,))
 
-        sort_free = self.clusters.num_clusters <= SORT_FREE_CLUSTERS
+        sort_free = self.num_tris <= SORT_FREE_TRIS
         if sort_free:
-            # tiny scene: no sort, no gathers (see SORT_FREE_CLUSTERS)
+            # tiny scene: no sort, no gathers (see SORT_FREE_TRIS)
             o_s, d_s, tmin_s, tmax_s = o2, d2, t_min_a, t_max_a
         else:
             if self.sort_mode == "probe":

@@ -70,7 +70,8 @@ SMEM_PC_CAP = 131072
 def _make_cluster_kernel(W: int, n_blocks: int, any_hit: bool,
                          cluster_tris: int, n_subs: int,
                          common: str | None = None,
-                         instanced: bool = False):
+                         instanced: bool = False,
+                         bf16_test: bool = False):
     """One grid step tests one (ray block, cluster) pair; tile id
     n_blocks is the trash tile dead (padding) pairs point at.
 
@@ -188,21 +189,47 @@ def _make_cluster_kernel(W: int, n_blocks: int, any_hit: bool,
                 # the marcher's Woop arithmetic (common-point waves
                 # narrow the shared-side dots — see factory docstring)
                 ws = woop_ref[0, :, part * step:(part + 1) * step]
-                opx = dot(ws[0:4], o4)
-                opy = dot(ws[4:8], o4)
-                opz = dot(ws[8:12], o4)
+                if bf16_test:
+                    # MEASUREMENT-ONLY variant (tools/bf16_exp.py,
+                    # VERDICT r4 #2): Woop dots at DEFAULT precision —
+                    # the MXU truncates f32 operands to one bf16 pass
+                    # instead of HIGHEST's ~6 passes (bf16 operands are
+                    # rejected by Mosaic's matmul verifier here, so the
+                    # operands stay f32; a bf16 woop_t array still
+                    # halves the DMA bytes and upcasts for free).  NOT
+                    # exact; never routed by production queries.
+                    dot_u = partial(jax.lax.dot_general,
+                                    dimension_numbers=dn_t,
+                                    precision=jax.lax.Precision.DEFAULT,
+                                    preferred_element_type=jnp.float32)
+                    ws_u = ws.astype(jnp.float32)
+                    o4_u, d_u = o4, d_rows
+                else:
+                    dot_u, ws_u, o4_u, d_u = dot, ws, o4, d_rows
+                elem = jnp.bfloat16 if bf16_test == "elem" else jnp.float32
+                opx = dot_u(ws_u[0:4], o4_u)
+                opy = dot_u(ws_u[4:8], o4_u)
+                opz = dot_u(ws_u[8:12], o4_u)
                 if common == "origin":
                     opx = opx[:, 0:1]
                     opy = opy[:, 0:1]
                     opz = opz[:, 0:1]
-                dpx = dot(ws[0:3], d_rows)
-                dpy = dot(ws[4:7], d_rows)
-                dpz = dot(ws[8:11], d_rows)
+                dpx = dot_u(ws_u[0:3], d_u)
+                dpy = dot_u(ws_u[4:7], d_u)
+                dpz = dot_u(ws_u[8:11], d_u)
                 if common == "dir":
                     dpx = dpx[:, 0:1]
                     dpy = dpy[:, 0:1]
                     dpz = dpz[:, 0:1]
-                safe = jnp.where(jnp.abs(dpz) > 1e-12, dpz, 1e-12)
+                if elem is not jnp.float32:
+                    # bf16 element-math measurement arm (the roofline's
+                    # binding term); mixed compares below promote
+                    opx, opy, opz = (x.astype(elem) for x in
+                                     (opx, opy, opz))
+                    dpx, dpy, dpz = (x.astype(elem) for x in
+                                     (dpx, dpy, dpz))
+                safe = jnp.where(jnp.abs(dpz) > 1e-12, dpz,
+                                 elem(1e-12))
                 t = -opz / safe
                 uu = opx + t * dpx
                 vv = opy + t * dpy
@@ -271,11 +298,13 @@ def _make_cluster_kernel(W: int, n_blocks: int, any_hit: bool,
 
 
 @partial(jax.jit, static_argnames=("n_blocks", "w", "any_hit",
-                                   "cluster_tris", "n_subs", "common"))
+                                   "cluster_tris", "n_subs", "common",
+                                   "granularity", "bf16_test"))
 def raster_cluster_call(pair_tiles, pair_clusters, rays_t_ext, sub_boxes,
                         woop_t, n_blocks: int, w: int = 1024,
                         any_hit: bool = False, cluster_tris: int = 256,
-                        n_subs: int = 4, common: str | None = None):
+                        n_subs: int = 4, common: str | None = None,
+                        granularity: int = 1, bf16_test: bool = False):
     """Run the cluster-scheduled raster kernel.
 
     pair_tiles/pair_clusters: (NP,) int32 — REAL pairs first, grouped by
@@ -283,10 +312,21 @@ def raster_cluster_call(pair_tiles, pair_clusters, rays_t_ext, sub_boxes,
         tile == n_blocks (their cluster index must be valid, e.g. 0);
     rays_t_ext: (8, (n_blocks + 1) * w) packed rays [o, d, t_min, t_max]
         with one trailing dead block (the trash tile's fetch target);
-    sub_boxes: (C, 8, 8) per-cluster sub-box rows [min3 | max3 | 0 0]
-        (rows >= n_subs NaN);
-    woop_t: (C, 16, cluster_tris) STATIC transposed Woop rows — the
-        same array the block marcher DMAs from.
+    sub_boxes: (C * granularity, 8, 8) per-PAIR sub-box rows
+        [min3 | max3 | 0 0] (rows >= n_subs NaN);
+    woop_t: (C, 16, cluster_tris * granularity) STATIC transposed Woop
+        rows — the same array the block marcher DMAs from.
+
+    granularity: sub-cluster schedule granularity (VERDICT r4 #1).  At
+        g > 1 a pair id is ``cluster * g + sub`` and woop_t must arrive
+        in PAIR-MAJOR layout (C*g, 16, cluster_tris) — a one-time static
+        transpose of the marcher's (C, 16, cluster_tris*g), NO per-wave
+        gather (the rejected 8-tri variant died on its per-frame gather,
+        not on fineness; Mosaic also requires the fetched block to equal
+        the array's trailing dims when cluster_tris < 128).  The kernel
+        body is unchanged: slot arithmetic ``pair_id * cluster_tris +
+        row`` automatically yields the correct global slot because fine
+        ids are contiguous in the sorted prim order.
 
     Returns (n_blocks + 1, 8, w) float32; rows 0..3 of blocks
     0..n_blocks-1 are [best_t, slot, u, v] (slot -1 = miss).  Blocks no
@@ -297,9 +337,16 @@ def raster_cluster_call(pair_tiles, pair_clusters, rays_t_ext, sub_boxes,
     if n_blocks + 1 >= (1 << 31) // PACK:
         raise ValueError(f"{n_blocks} ray blocks exceed the packed "
                          f"schedule's tile field — chunk the wave")
+    if woop_t.shape[0] >= PACK:
+        raise ValueError(f"{woop_t.shape[0]} schedule ids (granularity "
+                         f"{granularity}) exceed the packed id field")
+    if woop_t.shape[2] != cluster_tris:
+        raise ValueError(f"woop_t trailing dim {woop_t.shape[2]} != "
+                         f"cluster_tris {cluster_tris} — pass pair-major "
+                         f"layout for granularity > 1")
     packed = pair_tiles * PACK + pair_clusters
     kernel = _make_cluster_kernel(w, n_blocks, any_hit, cluster_tris,
-                                  n_subs, common)
+                                  n_subs, common, bf16_test=bf16_test)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(np_,),

@@ -125,13 +125,17 @@ def _proj(q, basis, persp: bool):
     return qu / den, qv / den, qw, good
 
 
-def default_pc_max(n_blocks: int, n_clusters: int) -> int:
+def default_pc_max(n_blocks: int, n_clusters: int,
+                   granularity: int = 1) -> int:
     """Coarse-pair capacity heuristic — sized for coherent waves (blocks
     overlap ~a few clusters); overflow falls back to the marcher, so
-    this bounds cost, not correctness."""
+    this bounds cost, not correctness.  Finer schedule granularity
+    multiplies pair counts sub-linearly (finer boxes pair with fewer
+    tiles); budget ~(1 + g)/2 of the cluster-granularity count."""
     from optix_ray_tracer_tpu.ops.pallas.tile_raster import SMEM_PC_CAP
 
     pc = 12 * n_blocks + 2 * n_clusters + 1024
+    pc = pc * (1 + granularity) // 2
     return min(((pc + 1023) // 1024) * 1024, SMEM_PC_CAP)
 
 
@@ -242,12 +246,19 @@ def _block_rects(o_p, d_p, tmin_p, tmax_p, nb: int, W: int, basis,
 
 
 def _coarse_stage(rset: RasterSet, clusters: ClusterSet, o, d, t_min,
-                  t_max, mode: str, point, W: int, pc_max: int) -> dict:
+                  t_max, mode: str, point, W: int, pc_max: int,
+                  granularity: int = 1) -> dict:
     """Projections, cluster/block rects with depth ranges, coarse
-    (block, cluster) pair enumeration, per-block depth sort."""
+    (block, cluster) pair enumeration, per-block depth sort.
+
+    ``granularity`` g > 1 bins at sub-cluster granularity: the schedule
+    id becomes ``cluster * g + sub`` over CHUNK//g-triangle contiguous
+    windows (finer projected rects + finer depth sort, the only
+    identified path to cutting the kernel's tests/ray — VERDICT r4 #1).
+    """
     if mode not in MODES:
         raise ValueError(f"mode {mode!r} not in {MODES}")
-    C = clusters.num_clusters
+    C = clusters.num_clusters * granularity
     n_g = rset.num_groups
     n = o.shape[0]
     nb = -(-n // W)
@@ -298,7 +309,7 @@ def _coarse_stage(rset: RasterSet, clusters: ClusterSet, o, d, t_min,
     mx = 1e-5 * (jnp.abs(gx0) + jnp.abs(gx1)) + 1e-6
     my = 1e-5 * (jnp.abs(gy0) + jnp.abs(gy1)) + 1e-6
     mz = 1e-5 * (jnp.abs(gz0) + jnp.abs(gz1)) + 1e-6
-    G = GROUPS_PER_CLUSTER
+    G = GROUPS_PER_CLUSTER // granularity
     cx0 = jnp.nanmin((gx0 - mx).reshape(C, G), axis=1)
     cx1 = jnp.nanmax((gx1 + mx).reshape(C, G), axis=1)
     cy0 = jnp.nanmin((gy0 - my).reshape(C, G), axis=1)
@@ -330,7 +341,8 @@ def raster_query(rset: RasterSet, clusters: ClusterSet, o, d,
                  t_min, t_max, mode: str = "origin", point=None,
                  any_hit: bool = False, block_rays: int = 1024,
                  pc_max: int | None = None,
-                 return_stats: bool = False):
+                 return_stats: bool = False,
+                 granularity: int = 1):
     """Nearest-hit (or occlusion) query for a common-origin/-direction
     wave.  Rays are taken in CALLER ORDER — blocks are consecutive runs
     of ``block_rays`` rays, so the caller's layout should be screen- or
@@ -358,9 +370,10 @@ def raster_query(rset: RasterSet, clusters: ClusterSet, o, d,
     n = o.shape[0]
     nb = -(-n // W)
     from optix_ray_tracer_tpu.ops.pallas.tile_raster import SMEM_PC_CAP
-    pc_max = min(pc_max or default_pc_max(nb, C), SMEM_PC_CAP)
+    pc_max = min(pc_max or default_pc_max(nb, C, granularity),
+                 SMEM_PC_CAP)
     S = _coarse_stage(rset, clusters, o, d, t_min, t_max, mode, point,
-                      W, pc_max)
+                      W, pc_max, granularity)
     # shared-point/-direction dots narrow to one lane column in the
     # kernel ("origin" rays all start at ``point``; "ortho" rays share
     # d) — 1/8 the MXU work on the shared side, 1-ulp winner ties may
@@ -370,42 +383,62 @@ def raster_query(rset: RasterSet, clusters: ClusterSet, o, d,
     # ops/march.py intersect_from).
     common = {"origin": "origin", "ortho": "dir", "target": None}[mode]
     return _run_pair_schedule(clusters, S, W, n, nb, any_hit, common,
-                              pc_max, return_stats)
+                              pc_max, return_stats,
+                              granularity=granularity)
 
 
 def _run_pair_schedule(clusters: ClusterSet, S: dict, W: int, n: int,
                        nb: int, any_hit: bool, common: str | None,
-                       pc_max: int, return_stats: bool = False):
+                       pc_max: int, return_stats: bool = False,
+                       granularity: int = 1):
     """Run the tile-raster kernel over an enumerated pair schedule
     (``S`` from :func:`_coarse_stage` or :func:`bundle_stage`) and
-    unpack (t, slot, u, v, ok)."""
+    unpack (t, slot, u, v, ok).  ``granularity`` must match the stage
+    that produced ``S`` (pair ids are cluster*g + sub)."""
     from optix_ray_tracer_tpu.ops.pallas.tile_raster import (
         raster_cluster_call,
     )
     from optix_ray_tracer_tpu.ops.sweep import SUBS_PER_CLUSTER
 
     C = clusters.num_clusters
+    g = granularity
+    if SUBS_PER_CLUSTER % g != 0:
+        raise ValueError(f"granularity {g} must divide SUBS_PER_CLUSTER "
+                         f"({SUBS_PER_CLUSTER})")
+    n_subs = SUBS_PER_CLUSTER // g
     b_i, c_i, validc = S["b_i"], S["c_i"], S["validc"]
     pc_total, cnt_b = S["pc_total"], S["cnt_b"]
     pair_tiles = jnp.where(validc, b_i, nb).astype(jnp.int32)
     pair_clusters = jnp.where(validc, c_i, 0).astype(jnp.int32)
 
-    sm = clusters.sub_min.reshape(C, SUBS_PER_CLUSTER, 3)
-    sx = clusters.sub_max.reshape(C, SUBS_PER_CLUSTER, 3)
+    # per-PAIR gate rows: a granularity-g pair covers SUBS/g of the
+    # existing sub boxes — a pure reshape of the build's box arrays
+    sm = clusters.sub_min.reshape(C * g, n_subs, 3)
+    sx = clusters.sub_max.reshape(C * g, n_subs, 3)
     rows = jnp.concatenate(
-        [sm, sx, jnp.zeros((C, SUBS_PER_CLUSTER, 2), jnp.float32)], axis=2)
+        [sm, sx, jnp.zeros((C * g, n_subs, 2), jnp.float32)], axis=2)
     sub8 = jnp.concatenate(
-        [rows, jnp.full((C, 8 - SUBS_PER_CLUSTER, 8), jnp.nan,
+        [rows, jnp.full((C * g, 8 - n_subs, 8), jnp.nan,
                         jnp.float32)], axis=1)
 
     rays_t_ext = jnp.concatenate(
         [S["o_p"].T, S["d_p"].T, S["tmin_p"][None, :],
          S["tmax_p"][None, :]], axis=0)
+    ct = clusters.woop_t.shape[2] // g
+    if g == 1:
+        woop_g = clusters.woop_t
+    else:
+        # pair-major layout: sub s of cluster c owns columns
+        # [s*ct, (s+1)*ct) of the marcher's woop_t — a static transpose
+        # (XLA copies ~tens of us at stream bandwidth), NOT a gather
+        woop_g = (clusters.woop_t.reshape(C, 16, g, ct)
+                  .transpose(0, 2, 1, 3).reshape(C * g, 16, ct))
     out = raster_cluster_call(pair_tiles, pair_clusters, rays_t_ext, sub8,
-                              clusters.woop_t, n_blocks=nb, w=W,
+                              woop_g, n_blocks=nb, w=W,
                               any_hit=any_hit,
-                              cluster_tris=clusters.woop_t.shape[2],
-                              n_subs=SUBS_PER_CLUSTER, common=common)
+                              cluster_tris=ct,
+                              n_subs=n_subs, common=common,
+                              granularity=g)
     res = jnp.swapaxes(out[:nb, 0:4, :], 1, 2).reshape(nb * W, 4)[:n]
     touched = jnp.repeat(cnt_b > 0, W, total_repeat_length=nb * W)[:n]
     t = res[:, 0]
@@ -427,7 +460,8 @@ raster_cluster_query = raster_query
 
 def measure_pair_count(rset: RasterSet | None, clusters: ClusterSet,
                        o, d, t_min, t_max, mode: str = "origin",
-                       point=None, block_rays: int = 1024) -> int:
+                       point=None, block_rays: int = 1024,
+                       granularity: int = 1) -> int:
     """One-shot schedule-capacity calibration: the EXACT pair count the
     binning would enumerate for this wave (``pc_total`` is computed from
     the full overlap matrix, independent of any enumeration cap).
@@ -444,7 +478,7 @@ def measure_pair_count(rset: RasterSet | None, clusters: ClusterSet,
         S = bundle_stage(clusters, o, d, t_min, t_max, block_rays, 8)
     else:
         S = _coarse_stage(rset, clusters, o, d, t_min, t_max, mode,
-                          point, block_rays, 8)
+                          point, block_rays, 8, granularity)
     del nb
     return int(S["pc_total"])
 
@@ -473,7 +507,7 @@ def default_bundle_pc_max(n_blocks: int, n_clusters: int) -> int:
 
 
 def bundle_stage(clusters: ClusterSet, o, d, t_min, t_max, W: int,
-                 pc_max: int) -> dict:
+                 pc_max: int, dir_octants: bool = True) -> dict:
     """Conservative 3-D binning for ARBITRARY-ray waves (bounce rays,
     NEE shadow rays) that arrive in a spatially coherent layout (screen
     tiles: a tile's bounce origins are its primary-hit surface patch).
@@ -513,19 +547,12 @@ def bundle_stage(clusters: ClusterSet, o, d, t_min, t_max, W: int,
     tmin_p = jnp.pad(t_min_a, (0, pad + W), constant_values=1.0)
     tmax_p = jnp.pad(t_max_a, (0, pad + W), constant_values=0.0)
 
-    live = (tmax_p > tmin_p)[:nb * W].reshape(nb, W)
+    live_all = (tmax_p > tmin_p)[:nb * W].reshape(nb, W)
     ob = o_p[:nb * W].reshape(nb, W, 3)
     db = d_p[:nb * W].reshape(nb, W, 3)
-    lv = live[..., None]
-    olo = jnp.min(jnp.where(lv, ob, INF), axis=1)      # (nb, 3)
-    ohi = jnp.max(jnp.where(lv, ob, -INF), axis=1)
-    dlo = jnp.min(jnp.where(lv, db, INF), axis=1)
-    dhi = jnp.max(jnp.where(lv, db, -INF), axis=1)
-    t_lo_b = jnp.min(jnp.where(live, tmin_p[:nb * W].reshape(nb, W),
-                               INF), axis=1)
-    t_hi_b = jnp.max(jnp.where(live, tmax_p[:nb * W].reshape(nb, W),
-                               -INF), axis=1)
-    live_any = jnp.any(live, axis=1)
+    tmin_b = tmin_p[:nb * W].reshape(nb, W)
+    tmax_b = tmax_p[:nb * W].reshape(nb, W)
+    live_any = jnp.any(live_all, axis=1)
 
     # margined cluster AABBs from the sub boxes
     sm = clusters.sub_min.reshape(C, SUBS_PER_CLUSTER, 3)
@@ -536,33 +563,73 @@ def bundle_stage(clusters: ClusterSet, o, d, t_min, t_max, W: int,
     clo = clo - m
     chi = chi + m
 
-    eps = 1e-12
-    lo_t = jnp.zeros((nb, C), jnp.float32)
-    hi_t = jnp.full((nb, C), INF, jnp.float32)
-    for ax in range(3):
-        u = chi[None, :, ax] - olo[:, None, ax]   # want t*dlo <= u
-        v = clo[None, :, ax] - ohi[:, None, ax]   # want t*dhi >= v
-        dl = dlo[:, None, ax]
-        dh = dhi[:, None, ax]
-        # dl > eps: t <= u/dl; dl < -eps: t >= u/dl; |dl| <= eps:
-        # conservative always-satisfied (|t*dl| stays ~0)
-        hi1 = jnp.where(dl > eps, u / jnp.where(dl > eps, dl, 1.0), INF)
-        lo1 = jnp.where(dl < -eps, u / jnp.where(dl < -eps, dl, 1.0), 0.0)
-        hi2 = jnp.where(dh < -eps, v / jnp.where(dh < -eps, dh, 1.0), INF)
-        lo2 = jnp.where(dh > eps, v / jnp.where(dh > eps, dh, 1.0), 0.0)
-        lo_t = jnp.maximum(lo_t, jnp.maximum(lo1, lo2))
-        hi_t = jnp.minimum(hi_t, jnp.minimum(hi1, hi2))
-    # relative margins swallow division rounding (cluster boxes are
-    # already margined absolutely above)
-    lo_t = lo_t - (jnp.abs(lo_t) * 1e-6 + 1e-8)
-    hi_t = hi_t + (jnp.abs(hi_t) * 1e-6 + 1e-8)
-    lo_eff = jnp.maximum(lo_t, t_lo_b[:, None])
-    hi_eff = jnp.minimum(hi_t, t_hi_b[:, None])
-    # NaN anywhere (padded clusters, dead blocks) compares False
-    ov = (lo_eff <= hi_eff) & live_any[:, None]
+    def _overlap(live):
+        """Interval-arithmetic (block, cluster) overlap for the lanes
+        selected by ``live`` -> (ov (nb, C) bool, lo_eff (nb, C))."""
+        lv = live[..., None]
+        olo = jnp.min(jnp.where(lv, ob, INF), axis=1)      # (nb, 3)
+        ohi = jnp.max(jnp.where(lv, ob, -INF), axis=1)
+        dlo = jnp.min(jnp.where(lv, db, INF), axis=1)
+        dhi = jnp.max(jnp.where(lv, db, -INF), axis=1)
+        t_lo_b = jnp.min(jnp.where(live, tmin_b, INF), axis=1)
+        t_hi_b = jnp.max(jnp.where(live, tmax_b, -INF), axis=1)
+
+        eps = 1e-12
+        lo_t = jnp.zeros((nb, C), jnp.float32)
+        hi_t = jnp.full((nb, C), INF, jnp.float32)
+        for ax in range(3):
+            u = chi[None, :, ax] - olo[:, None, ax]  # want t*dlo <= u
+            v = clo[None, :, ax] - ohi[:, None, ax]  # want t*dhi >= v
+            dl = dlo[:, None, ax]
+            dh = dhi[:, None, ax]
+            # dl > eps: t <= u/dl; dl < -eps: t >= u/dl; |dl| <= eps:
+            # conservative always-satisfied (|t*dl| stays ~0)
+            hi1 = jnp.where(dl > eps, u / jnp.where(dl > eps, dl, 1.0),
+                            INF)
+            lo1 = jnp.where(dl < -eps,
+                            u / jnp.where(dl < -eps, dl, 1.0), 0.0)
+            hi2 = jnp.where(dh < -eps,
+                            v / jnp.where(dh < -eps, dh, 1.0), INF)
+            lo2 = jnp.where(dh > eps, v / jnp.where(dh > eps, dh, 1.0),
+                            0.0)
+            lo_t = jnp.maximum(lo_t, jnp.maximum(lo1, lo2))
+            hi_t = jnp.minimum(hi_t, jnp.minimum(hi1, hi2))
+        # relative margins swallow division rounding (cluster boxes are
+        # already margined absolutely above)
+        lo_t = lo_t - (jnp.abs(lo_t) * 1e-6 + 1e-8)
+        hi_t = hi_t + (jnp.abs(hi_t) * 1e-6 + 1e-8)
+        lo_eff = jnp.maximum(lo_t, t_lo_b[:, None])
+        hi_eff = jnp.minimum(hi_t, t_hi_b[:, None])
+        # NaN anywhere (padded clusters, dead blocks) compares False
+        return lo_eff <= hi_eff, lo_eff
+
+    if dir_octants:
+        # per-OCTANT direction intervals, OR'd (VERDICT r4 #5): a
+        # hemispherical block pairs with most of the scene because its
+        # single direction interval straddles zero on every axis; the
+        # same block split by direction sign octant gets 8 cone-bounded
+        # interval tests whose UNION is strictly tighter.  Pure masked
+        # reductions — no gather, no lane movement, no extra kernel
+        # work (the pair set is deduplicated by construction: one
+        # (block, cluster) pair however many octants admit it, keyed by
+        # the most conservative admitted entry for the depth sort).
+        # Exactness: every lane's octant contributes its own interval
+        # test, so any true (ray, cluster) intersection is paired.
+        oct_id = ((db[..., 0] > 0).astype(jnp.int32)
+                  + 2 * (db[..., 1] > 0).astype(jnp.int32)
+                  + 4 * (db[..., 2] > 0).astype(jnp.int32))
+        ov = jnp.zeros((nb, C), bool)
+        lo_key = jnp.full((nb, C), INF, jnp.float32)
+        for q in range(8):
+            ov_q, lo_q = _overlap(live_all & (oct_id == q))
+            ov = jnp.logical_or(ov, ov_q)
+            lo_key = jnp.minimum(lo_key, jnp.where(ov_q, lo_q, INF))
+    else:
+        ov, lo_key = _overlap(live_all)
+    ov = ov & live_any[:, None]
 
     b_s, c_s, v_s, pc_total, cnt_b = _enumerate_sorted_pairs(
-        ov, lo_eff, nb, C, pc_max)
+        ov, lo_key, nb, C, pc_max)
     return dict(n=n, nb=nb, o_p=o_p, d_p=d_p, tmin_p=tmin_p,
                 tmax_p=tmax_p, b_i=b_s, c_i=c_s,
                 validc=v_s, pc_total=pc_total, cnt_b=cnt_b)
@@ -571,7 +638,8 @@ def bundle_stage(clusters: ClusterSet, o, d, t_min, t_max, W: int,
 def bundle_query(clusters: ClusterSet, o, d, t_min, t_max,
                  any_hit: bool = False, block_rays: int = 1024,
                  pc_max: int | None = None,
-                 return_stats: bool = False):
+                 return_stats: bool = False,
+                 dir_octants: bool = True):
     """Nearest-hit (or occlusion) query for an arbitrary-ray wave in a
     spatially coherent caller layout (screen tiles) via 3-D bundle
     binning + the zero-pick pair kernel (full-width Woop dots — no
@@ -586,7 +654,8 @@ def bundle_query(clusters: ClusterSet, o, d, t_min, t_max,
     nb = -(-n // W)
     from optix_ray_tracer_tpu.ops.pallas.tile_raster import SMEM_PC_CAP
     pc_max = min(pc_max or default_bundle_pc_max(nb, C), SMEM_PC_CAP)
-    S = bundle_stage(clusters, o, d, t_min, t_max, W, pc_max)
+    S = bundle_stage(clusters, o, d, t_min, t_max, W, pc_max,
+                     dir_octants=dir_octants)
     return _run_pair_schedule(clusters, S, W, n, nb, any_hit, None,
                               pc_max, return_stats)
 

@@ -63,10 +63,14 @@ class TestMarch:
         np.testing.assert_array_equal(np.asarray(h1.prim_type),
                                       np.asarray(h2.prim_type))
 
-    def test_probe_variant_matches_oracle(self):
+    @pytest.mark.parametrize("n_tri", [1500, 5000])
+    def test_probe_variant_matches_oracle(self, n_tri):
         """The .for_incoherent() variant (probe sort + pair-merged sub
-        boxes, block_march._wave_sub_boxes) stays exact."""
-        scene = _scene(5000, ground=True)
+        boxes, block_march._wave_sub_boxes) stays exact — including the
+        sort-free path (n_tri <= SORT_FREE_TRIS skips the probe sort and
+        takes wide coherent blocks: exactly the Cornell bounce/shadow
+        wave combination, ADVICE r4)."""
+        scene = _scene(n_tri, ground=True)
         mi = make_march_intersector(scene).for_incoherent()
         rng = np.random.default_rng(13)
         o = jnp.asarray(rng.uniform(-1, 1, (512, 3)).astype(np.float32))
