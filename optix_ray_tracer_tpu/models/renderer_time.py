@@ -283,6 +283,145 @@ def frame_scene(data: TimeRendererData, file_index: int, frame_index: int,
     return Scene(spheres=spheres, triangles=tris)
 
 
+#: flatten-path HBM cost per packed triangle: world vertices (36 B) +
+#: normals (36 B) + material (4 B) + cluster tables (woop 48 B +
+#: woop_t 64 B + prim index 4 B + AABBs) — the term the TLAS route
+#: avoids (its per-triangle state is two int32 tables = 8 B).
+_FLATTEN_BYTES_PER_TRI = 200
+
+
+def _tlas_route(data: TimeRendererData) -> bool:
+    """Route this Time scene through the two-level TLAS engine instead
+    of per-frame flattening (VERDICT r4 #6; the reference's IAS path,
+    RendererImpl.cu:174-242).
+
+    Policy: flatten until its estimated HBM footprint exceeds the
+    budget (``ORT_TLAS_HBM_MB``, default 8192 — flattening is faster
+    when it fits, measured 1.33x at the 500-instance bench, PERF.md
+    round-4); ``ORT_TIME_TLAS=1/0`` forces either way.  TLAS requires a
+    UNIFORM particle scale (the rigid+uniform-scale pose model the
+    in-kernel ray transform assumes) and a non-empty shape library.
+    """
+    import os
+
+    if data.library.num_shapes == 0:
+        return False
+    sc = tuple(float(s) for s in data.config.loop_data.particle_scale)
+    uniform = max(sc) - min(sc) <= 1e-12
+    force = os.environ.get("ORT_TIME_TLAS")
+    if force is not None:
+        want = force not in ("0", "false", "")
+        if want and not uniform:
+            LOG.warning("ORT_TIME_TLAS=1 ignored: particle-scale %s is "
+                        "not uniform (the TLAS pose model is rigid + "
+                        "uniform scale)", sc)
+            return False
+        return want
+    if not uniform:
+        return False
+    budget_mb = float(os.environ.get("ORT_TLAS_HBM_MB", "8192"))
+    t_pack = int(data.tri_lib_idx.shape[1])
+    return t_pack * _FLATTEN_BYTES_PER_TRI > budget_mb * 1e6
+
+
+def _render_frames_tlas(data: TimeRendererData, width: int, height: int,
+                        spp: int, max_frames: int | None, loop: bool,
+                        quantize: bool) -> Iterator[tuple[int, int, object]]:
+    """Time-mode render loop through the two-level TLAS engine: library
+    clustered once in object space, per-frame pose refit (the
+    updateIAS analog), integrator waves via the pair-binned TLAS raster
+    + sorted TLAS marcher, lazy instanced shading (ops/tlas.py).  No
+    flattened geometry is ever materialized — scenes whose flat form
+    exceeds HBM render through here."""
+    import dataclasses as _dc
+
+    from optix_ray_tracer_tpu.ops.instanced import (
+        InstancedMarchIntersector, build_instanced_library, make_pairs,
+        refit_instanced,
+    )
+    from optix_ray_tracer_tpu.ops.tlas import TLASSceneIntersector
+
+    cfg = data.config
+    ld = cfg.loop_data
+    library = build_instanced_library(
+        np.asarray(data.library.vertices),
+        np.asarray(data.library.offsets), np.asarray(data.library.counts))
+    scale = jnp.float32(float(ld.particle_scale[0]))
+    offs = np.asarray(data.library.offsets, np.int64)
+    cnts = np.asarray(data.library.counts, np.int64)
+    scene_static = Scene(spheres=data.extra_spheres,
+                         triangles=data.extra_triangles)
+    lights = common.collect_lights(cfg, scene_static, data.materials)
+    LOG.info("time mode: TLAS route — library %d clusters / %d shapes, "
+             "no flattened geometry",
+             int(library.woop_t.shape[0]), data.library.num_shapes)
+
+    produced = 0
+    while True:
+        for fi in range(data.file_count):
+            sid = np.asarray(data.shape_ids[fi])
+            valid = np.asarray(data.particle_valid[fi])
+            pair_shape, pair_inst = make_pairs(library, sid)
+            # virtual flatten layout (the packing order of commit()):
+            # instance p's triangles start at the sum of the VALID
+            # instances' shape sizes before it
+            sizes = np.where(valid, cnts[sid], 0).astype(np.int64)
+            inst_base = jnp.asarray(
+                np.concatenate([[0], np.cumsum(sizes)[:-1]]), jnp.int32)
+            inst_tri_off = jnp.asarray(offs[sid], jnp.int32)
+            valid_j = jnp.asarray(valid)
+            next_index = min(fi + 1, data.file_count - 1)
+            n_frames = common.frame_count_for_file(
+                data.durations[fi], ld.fps, ld.render_speed_ratio)
+            for k in range(n_frames):
+                rot, shift = _instance_poses(
+                    data.positions[fi], data.quats[fi],
+                    data.quats[next_index], data.velocities[fi],
+                    jnp.float32(data.durations[fi]), jnp.float32(k),
+                    jnp.float32(1.0 / max(n_frames - 1, 1)),
+                    jnp.float32(1.0 / max(n_frames, 1)),
+                    jnp.asarray(ld.particle_shift, jnp.float32),
+                    data.reference_euler_path)
+                pmin, pmax, smin, smax, inst_rows = refit_instanced(
+                    library, pair_shape, pair_inst, rot, shift, scale,
+                    valid_j)
+                lo = jnp.nan_to_num(pmin, nan=jnp.inf).min(axis=0)
+                hi = jnp.nan_to_num(pmax, nan=-jnp.inf).max(axis=0)
+                tlas = InstancedMarchIntersector(
+                    library=library, pair_shape=pair_shape,
+                    pair_inst=pair_inst, pair_min=pmin, pair_max=pmax,
+                    sub_min=smin, sub_max=smax, inst_rows=inst_rows,
+                    scene_lo=lo, scene_hi=hi)
+                intersector = TLASSceneIntersector(
+                    tlas=tlas, tri_lib=data.tri_lib_idx[fi],
+                    tri_inst=data.tri_inst[fi], inst_base=inst_base,
+                    inst_tri_off=inst_tri_off,
+                    lib_normals=data.library.normals, rot=rot,
+                    pmat=data.particle_mat[fi])
+                spheres = scene_static.spheres
+                if data.update_fn is not None:
+                    out = data.update_fn(spheres, k)
+                    if out is not None:
+                        spheres = out
+                scene = _dc.replace(scene_static, spheres=spheres) \
+                    if spheres is not scene_static.spheres else scene_static
+                img, alb, nrm = common.render_frame(
+                    cfg, scene, data.materials, data.camera, width,
+                    height, spp=spp, seed=cfg.seed + produced,
+                    intersector=intersector, env=data.env,
+                    textures=data.textures, lights=lights)
+                film = Film.create(width, height).add(img, alb, nrm, spp)
+                if quantize:
+                    from optix_ray_tracer_tpu.render.film import U8Frame
+                    film = U8Frame(film.to_uint8(), spp)
+                yield fi, k, film
+                produced += 1
+                if max_frames is not None and produced >= max_frames:
+                    return
+        if not loop:
+            return
+
+
 def render_frames(data: TimeRendererData, width: int | None = None,
                   height: int | None = None, spp: int | None = None,
                   max_frames: int | None = None,
@@ -305,6 +444,12 @@ def render_frames(data: TimeRendererData, width: int | None = None,
     spp = spp or cfg.spp
 
     from optix_ray_tracer_tpu.utils.debug import DEBUG_MODE
+    if data.file_count and not DEBUG_MODE and _tlas_route(data):
+        # two-level route (no flattening): scenes too large to flatten,
+        # or ORT_TIME_TLAS=1.  Guides are real (per-frame path).
+        yield from _render_frames_tlas(data, width, height, spp,
+                                       max_frames, loop, quantize)
+        return
     if (data.update_fn is None and not DEBUG_MODE and data.file_count
             and data.library.num_shapes > 0
             and not cfg.integrator.startswith("restir")):

@@ -210,6 +210,15 @@ def intersect_scene_bruteforce(scene: Scene, o, d, t_min=DEFAULT_T_MIN,
     return jax.tree.map(lambda x: x.reshape(shape + x.shape[1:]), hit)
 
 
+def shading_frame_fn(intersector):
+    """The shading entry the integrators should call: an intersector
+    that defines its own ``shading_frame`` shades its hits (the TLAS
+    adapter's lazy instanced gathers, ops/tlas.py); everything else
+    takes the scene-table path below."""
+    fn = getattr(intersector, "shading_frame", None)
+    return fn if fn is not None else shading_frame
+
+
 def shading_frame(scene: Scene, o, d, hit: Hit):
     """Reconstruct hit point + shading normal for a batch of hits.
 

@@ -216,8 +216,8 @@ def trace_path(scene: Scene, materials: MaterialTable, lights: AreaLights,
             missed[..., None], s["throughput"] * miss_radiance * w_miss,
             0.0))
 
-        point, normal, front_face, material_id = isect.shading_frame(
-            scene, s["o"], s["d"], hit)
+        point, normal, front_face, material_id = isect.shading_frame_fn(
+            intersector)(scene, s["o"], s["d"], hit)
         n_unit = normalize(normal)
         mtype, albedo, param, emission = materials.gather(material_id)
         if textures is not None:

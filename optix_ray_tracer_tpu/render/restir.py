@@ -269,7 +269,8 @@ def render_restir(scene: Scene, materials: MaterialTable,
     hit = intersector.intersect(scene, o, d, t_max=jnp.full((npix,), INF))
 
     point, n_unit, albedo, active, base, albedo_g, normal_g = _gbuffer(
-        scene, materials, o, d, hit, textures, env, background)
+        scene, materials, o, d, hit, textures, env, background,
+        intersector=intersector)
 
     packed = _pack_lights(lights)
     li2, u22, u32, W2, m2, act2, t2, n2 = _resample(
@@ -287,11 +288,15 @@ def render_restir(scene: Scene, materials: MaterialTable,
                     act2, t2, n2, albedo_g, normal_g, width, height)
 
 
-def _gbuffer(scene, materials, o, d, hit, textures, env, background):
+def _gbuffer(scene, materials, o, d, hit, textures, env, background,
+             intersector=None):
     """Shading inputs at the primary hits — pure lane math + table
     gathers, no rays.  Shared by :func:`render_restir` and the sharded
-    path (``parallel.sharding.render_restir_sharded``)."""
-    point, normal, _, material_id = isect.shading_frame(scene, o, d, hit)
+    path (``parallel.sharding.render_restir_sharded``).  ``intersector``
+    routes TLAS adapters' lazy instanced shading
+    (ops.intersect.shading_frame_fn)."""
+    point, normal, _, material_id = isect.shading_frame_fn(intersector)(
+        scene, o, d, hit)
     n_unit = normalize(normal)
     mtype, albedo, _, emission = materials.gather(material_id)
     if textures is not None:
@@ -502,7 +507,8 @@ def render_restir_gi(scene: Scene, materials: MaterialTable,
     hit = intersector.intersect(scene, o, d, t_max=jnp.full((npix,), INF))
 
     point, n_unit, albedo, active, base, albedo_g, normal_g = _gbuffer(
-        scene, materials, o, d, hit, textures, env, background)
+        scene, materials, o, d, hit, textures, env, background,
+        intersector=intersector)
 
     packed = _pack_lights(lights)
     li2, u22, u32, W2, m2, act2, t2, n2 = _resample(

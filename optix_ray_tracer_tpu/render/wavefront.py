@@ -196,8 +196,8 @@ def trace(scene: Scene, materials: MaterialTable, origins, directions,
         radiance = state["radiance"] + jnp.where(
             missed[..., None], state["throughput"] * miss_radiance, 0.0)
 
-        point, normal, front_face, material_id = isect.shading_frame(
-            scene, state["o"], state["d"], hit)
+        point, normal, front_face, material_id = isect.shading_frame_fn(
+            intersector)(scene, state["o"], state["d"], hit)
         new_dir, attenuation, emission, emissive_hit = scatter(
             materials, material_id, state["d"], normal, front_face,
             pixel_id, sample, b, seed, sampler)
