@@ -130,13 +130,16 @@ def main() -> None:
         # one-time; the margin absorbs frame-to-frame drift, and
         # overflow would still fall back to the exact marcher, so a
         # tight cap risks speed, not correctness.
+        from optix_ray_tracer_tpu.ops.march import DEFAULT_GRANULARITY
         from optix_ray_tracer_tpu.ops.raster import (
             measure_pair_count, round_pc_max,
         )
+        G = DEFAULT_GRANULARITY
         tmin0 = jnp.full((o.shape[0],), 1e-3, jnp.float32)
         tmaxI = jnp.full((o.shape[0],), 1e16, jnp.float32)
         pc1 = measure_pair_count(intersector.raster, intersector.clusters,
-                                 o, d, tmin0, tmaxI, "origin", o[0])
+                                 o, d, tmin0, tmaxI, "origin", o[0],
+                                 granularity=G)
         hit0 = intersector.intersect_from(scene, o, d, mode="origin",
                                           point=o[0])
         p0 = o + hit0.t[..., None] * d
@@ -151,10 +154,11 @@ def main() -> None:
                         wl0)
         pc2 = measure_pair_count(intersector.raster, intersector.clusters,
                                  so0, sd0, d0 - dist0,
-                                 d0 - 1e-3, "origin", light)
+                                 d0 - 1e-3, "origin", light,
+                                 granularity=G)
         PC = round_pc_max(max(pc1, pc2))
-        print(f"pc_max auto-calibrated: primary {pc1} + shadow {pc2} "
-              f"pairs -> capacity {PC}", file=sys.stderr)
+        print(f"pc_max auto-calibrated (g={G}): primary {pc1} + shadow "
+              f"{pc2} pairs -> capacity {PC}", file=sys.stderr)
 
         @jax.jit
         def step(o, d):

@@ -47,6 +47,15 @@ SORT_MODES = ("morton", "probe")
 #: count, so it is stable under ORT_CHUNK sweeps.
 SORT_FREE_TRIS = 2048
 
+#: default sub-cluster schedule granularity for the raster engine
+#: (ops/raster.py): pairs bin at CHUNK/g-triangle windows.  g=4
+#: measured 18.7 -> 16.5 ms on the bench primary kernel (finer depth
+#: retirement + 1/4 the woop bytes per pair; bit-exact — fine ids stay
+#: contiguous in the sorted prim order).  ORT_RASTER_G overrides for
+#: sweeps.
+DEFAULT_GRANULARITY = int(__import__("os").environ.get(
+    "ORT_RASTER_G", "4"))
+
 
 def ray_probe_keys(clusters, o, d, t_min, t_max):
     """(first-cluster id << 18) | direction-Morton — see SORT_MODES."""
@@ -88,7 +97,7 @@ class MarchIntersector:
                        point=None, t_min=DEFAULT_T_MIN, t_max=INF,
                        any_hit: bool = False, block_rays: int = 1024,
                        pc_max: int | None = None,
-                       granularity: int = 1) -> Hit:
+                       granularity: int | None = None) -> Hit:
         """Common-origin/-direction wave query via the tile-raster
         engine (ops/raster.py) — no coherence sort, no in-kernel picks;
         measured +33% over the sorted march on the bench's camera +
@@ -132,6 +141,8 @@ class MarchIntersector:
             d2 = -d2
             t_min_a, t_max_a = dist - t_max_a, dist - t_min_a
             mode = "origin"
+        if granularity is None:
+            granularity = DEFAULT_GRANULARITY
         t, slot, u, v, ok = raster_query(
             self.raster, self.clusters, o2, d2, t_min_a, t_max_a,
             mode=mode, point=point, any_hit=any_hit,
@@ -270,7 +281,7 @@ class MarchIntersector:
                      point=None, t_min=DEFAULT_T_MIN, t_max=INF,
                      block_rays: int = 1024,
                      pc_max: int | None = None,
-                     granularity: int = 1):
+                     granularity: int | None = None):
         """Occlusion variant of :meth:`intersect_from` (shadow waves
         toward a point light use mode="target", sun shadows "ortho")."""
         return self.intersect_from(scene, o, d, mode=mode, point=point,
