@@ -172,7 +172,8 @@ class MarchIntersector:
     def intersect_bundled(self, scene: Scene, o, d,
                           t_min=DEFAULT_T_MIN, t_max=INF,
                           any_hit: bool = False, block_rays: int = 1024,
-                          pc_max: int | None = None) -> Hit:
+                          pc_max: int | None = None,
+                          granularity: int | None = None) -> Hit:
         """Arbitrary-ray wave query via 3-D bundle binning + the
         zero-pick pair kernel (ops/raster.py bundle_query) — the
         schedule-driven engine for SECONDARY waves (bounce rays, NEE
@@ -201,9 +202,12 @@ class MarchIntersector:
         t_max_a = jnp.broadcast_to(
             jnp.asarray(t_max, jnp.float32).reshape(-1) if jnp.ndim(t_max)
             else jnp.asarray(t_max, jnp.float32), (n,))
+        if granularity is None:
+            granularity = DEFAULT_GRANULARITY
         t, slot, u, v, ok = bundle_query(
             self.clusters, o2, d2, t_min_a, t_max_a, any_hit=any_hit,
-            block_rays=block_rays, pc_max=pc_max)
+            block_rays=block_rays, pc_max=pc_max,
+            granularity=granularity)
         res = jax.lax.cond(
             ok,
             lambda _: (t, slot, u, v),

@@ -475,7 +475,8 @@ def measure_pair_count(rset: RasterSet | None, clusters: ClusterSet,
     n = o.shape[0]
     nb = -(-n // block_rays)
     if rset is None:
-        S = bundle_stage(clusters, o, d, t_min, t_max, block_rays, 8)
+        S = bundle_stage(clusters, o, d, t_min, t_max, block_rays, 8,
+                         granularity=granularity)
     else:
         S = _coarse_stage(rset, clusters, o, d, t_min, t_max, mode,
                           point, block_rays, 8, granularity)
@@ -495,19 +496,22 @@ def round_pc_max(count: int, margin: float = 1.15) -> int:
     return min(max(1024, ((pc + 1023) // 1024) * 1024), SMEM_PC_CAP)
 
 
-def default_bundle_pc_max(n_blocks: int, n_clusters: int) -> int:
+def default_bundle_pc_max(n_blocks: int, n_clusters: int,
+                          granularity: int = 1) -> int:
     """Bundle-pair capacity heuristic: secondary blocks overlap more
     clusters than common-origin blocks (hemispherical directions), so
     budget ~an order more pairs per block.  Overflow falls back to the
     marcher — a cost bound, not a correctness bound."""
     from optix_ray_tracer_tpu.ops.pallas.tile_raster import SMEM_PC_CAP
 
-    pc = 96 * n_blocks + 2 * n_clusters + 1024
+    pc = 96 * n_blocks + 2 * n_clusters * granularity + 1024
+    pc = pc * (1 + granularity) // 2
     return min(((pc + 1023) // 1024) * 1024, SMEM_PC_CAP)
 
 
 def bundle_stage(clusters: ClusterSet, o, d, t_min, t_max, W: int,
-                 pc_max: int, dir_octants: bool = True) -> dict:
+                 pc_max: int, dir_octants: bool = True,
+                 granularity: int = 1) -> dict:
     """Conservative 3-D binning for ARBITRARY-ray waves (bounce rays,
     NEE shadow rays) that arrive in a spatially coherent layout (screen
     tiles: a tile's bounce origins are its primary-hit surface patch).
@@ -532,8 +536,11 @@ def bundle_stage(clusters: ClusterSet, o, d, t_min, t_max, W: int,
     kernel into dense XLA math, the kernel stays a zero-pick pair
     stream.
     """
-    C = clusters.num_clusters
     from optix_ray_tracer_tpu.ops.sweep import SUBS_PER_CLUSTER
+
+    # schedule ids at sub-cluster granularity (same contract as
+    # _coarse_stage): C*g windows of SUBS/g consecutive sub boxes each
+    C = clusters.num_clusters * granularity
 
     n = o.shape[0]
     nb = -(-n // W)
@@ -554,9 +561,9 @@ def bundle_stage(clusters: ClusterSet, o, d, t_min, t_max, W: int,
     tmax_b = tmax_p[:nb * W].reshape(nb, W)
     live_any = jnp.any(live_all, axis=1)
 
-    # margined cluster AABBs from the sub boxes
-    sm = clusters.sub_min.reshape(C, SUBS_PER_CLUSTER, 3)
-    sx = clusters.sub_max.reshape(C, SUBS_PER_CLUSTER, 3)
+    # margined window AABBs from the sub boxes (whole clusters at g=1)
+    sm = clusters.sub_min.reshape(C, SUBS_PER_CLUSTER // granularity, 3)
+    sx = clusters.sub_max.reshape(C, SUBS_PER_CLUSTER // granularity, 3)
     clo = jnp.nanmin(sm, axis=1)
     chi = jnp.nanmax(sx, axis=1)
     m = 1e-5 * (jnp.abs(clo) + jnp.abs(chi)) + 1e-6
@@ -639,7 +646,8 @@ def bundle_query(clusters: ClusterSet, o, d, t_min, t_max,
                  any_hit: bool = False, block_rays: int = 1024,
                  pc_max: int | None = None,
                  return_stats: bool = False,
-                 dir_octants: bool = True):
+                 dir_octants: bool = True,
+                 granularity: int = 1):
     """Nearest-hit (or occlusion) query for an arbitrary-ray wave in a
     spatially coherent caller layout (screen tiles) via 3-D bundle
     binning + the zero-pick pair kernel (full-width Woop dots — no
@@ -653,11 +661,13 @@ def bundle_query(clusters: ClusterSet, o, d, t_min, t_max,
     n = o.shape[0]
     nb = -(-n // W)
     from optix_ray_tracer_tpu.ops.pallas.tile_raster import SMEM_PC_CAP
-    pc_max = min(pc_max or default_bundle_pc_max(nb, C), SMEM_PC_CAP)
+    pc_max = min(pc_max or default_bundle_pc_max(nb, C, granularity),
+                 SMEM_PC_CAP)
     S = bundle_stage(clusters, o, d, t_min, t_max, W, pc_max,
-                     dir_octants=dir_octants)
+                     dir_octants=dir_octants, granularity=granularity)
     return _run_pair_schedule(clusters, S, W, n, nb, any_hit, None,
-                              pc_max, return_stats)
+                              pc_max, return_stats,
+                              granularity=granularity)
 
 
 def pick_camera_tiles(height: int, width: int):

@@ -313,6 +313,24 @@ class TestBundleEngine:
         np.testing.assert_allclose(np.asarray(t)[m], np.asarray(h2.t)[m],
                                    rtol=5e-4, atol=1e-5)
 
+    @pytest.mark.parametrize("g,octants", [(2, True), (4, True),
+                                           (4, False)])
+    def test_bundle_granularity_exact(self, setup, g, octants):
+        """Sub-cluster windows + octant direction refinement change the
+        schedule only — the hit set is the oracle's (VERDICT r4 #5)."""
+        from optix_ray_tracer_tpu.ops.raster import bundle_query
+        scene, inter, o, d = setup
+        ob, db, t_max = self._bounce_wave(scene, o, d, seed=7)
+        t, slot, u, v, ok = bundle_query(inter.clusters, ob, db,
+                                         jnp.full(ob.shape[0], 1e-3),
+                                         t_max, block_rays=128,
+                                         granularity=g,
+                                         dir_octants=octants)
+        assert bool(ok)
+        h2 = intersect_scene_bruteforce(scene, ob, db, t_min=1e-3,
+                                        t_max=t_max)
+        assert (_prims(inter, slot) == _oracle_prims(h2)).all()
+
     def test_bundle_any_hit(self, setup):
         from optix_ray_tracer_tpu.ops.raster import bundle_query
         scene, inter, o, d = setup

@@ -127,24 +127,30 @@ def main():
           flush=True)
 
     for W in (1024, 512, 256):
-        for oct_ in (False, True):
-            stats = jax.jit(lambda a, b, c, W=W, o8=oct_: bundle_query(
-                inter.clusters, a, b, tmn, c, block_rays=W,
-                pc_max=8, return_stats=True, dir_octants=o8)[5])(
-                ob, db, tmx)
-            print(f"  W={W} octants={oct_}: bounce pairs="
+        for oct_, g in ((False, 1), (True, 1), (True, 4)):
+            stats = jax.jit(
+                lambda a, b, c, W=W, o8=oct_, g=g: bundle_query(
+                    inter.clusters, a, b, tmn, c, block_rays=W,
+                    pc_max=8, return_stats=True, dir_octants=o8,
+                    granularity=g)[5])(ob, db, tmx)
+            print(f"  W={W} octants={oct_} g={g}: bounce pairs="
                   f"{int(stats['pc'])}", flush=True)
-        # time the octant engine at a capacity fitting its pair count
-        pc = jax.jit(lambda a, b, c, W=W: bundle_query(
-            inter.clusters, a, b, tmn, c, block_rays=W, pc_max=8,
-            return_stats=True, dir_octants=True)[5]["pc"])(ob, db, tmx)
-        pc_cap = min(int((int(pc) * 1.15 + 1024) // 1024 + 1) * 1024,
-                     131072)
-        tb = timeit(jax.jit(lambda a, b, c, W=W, P=pc_cap: bundle_query(
-            inter.clusters, a, b, tmn, c, block_rays=W, pc_max=P,
-            dir_octants=True)[0]), ob, db, tmx)
-        print(f"  W={W}: octant-bundle bounce {tb:.1f} ms = "
-              f"{R / tb / 1e3:.2f} Mrays/s (cap {pc_cap})", flush=True)
+        for g in (1, 4):
+            # time the octant engine at a capacity fitting its pairs
+            pc = jax.jit(lambda a, b, c, W=W, g=g: bundle_query(
+                inter.clusters, a, b, tmn, c, block_rays=W, pc_max=8,
+                return_stats=True, dir_octants=True,
+                granularity=g)[5]["pc"])(ob, db, tmx)
+            pc_cap = min(int((int(pc) * 1.15 + 1024) // 1024 + 1) * 1024,
+                         131072)
+            tb = timeit(jax.jit(
+                lambda a, b, c, W=W, P=pc_cap, g=g: bundle_query(
+                    inter.clusters, a, b, tmn, c, block_rays=W,
+                    pc_max=P, dir_octants=True, granularity=g)[0]),
+                ob, db, tmx)
+            print(f"  W={W} g={g}: octant-bundle bounce {tb:.1f} ms = "
+                  f"{R / tb / 1e3:.2f} Mrays/s (cap {pc_cap})",
+                  flush=True)
 
     # NEE shadow wave: octants should also trim the finite-segment pairs
     for W in (1024,):
