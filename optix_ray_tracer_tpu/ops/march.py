@@ -203,7 +203,12 @@ class MarchIntersector:
             jnp.asarray(t_max, jnp.float32).reshape(-1) if jnp.ndim(t_max)
             else jnp.asarray(t_max, jnp.float32), (n,))
         if granularity is None:
-            granularity = DEFAULT_GRANULARITY
+            # bundles keep WHOLE-cluster windows: finer windows help
+            # common-origin waves (fewer bytes on the byte-bound floor)
+            # but secondary waves pair each block with 3.1x MORE
+            # windows (142k vs 45.6k pairs on the bench bounce wave)
+            # and lose 16% — measured, tools/octant_exp.py round-5
+            granularity = 1
         t, slot, u, v, ok = bundle_query(
             self.clusters, o2, d2, t_min_a, t_max_a, any_hit=any_hit,
             block_rays=block_rays, pc_max=pc_max,

@@ -126,7 +126,7 @@ def main():
     print(f"bounce marcher: {t_m:.1f} ms = {R / t_m / 1e3:.2f} Mrays/s",
           flush=True)
 
-    for W in (1024, 512, 256):
+    for W in (1024,):
         for oct_, g in ((False, 1), (True, 1), (True, 4)):
             stats = jax.jit(
                 lambda a, b, c, W=W, o8=oct_, g=g: bundle_query(
