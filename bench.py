@@ -130,11 +130,17 @@ def main() -> None:
         # one-time; the margin absorbs frame-to-frame drift, and
         # overflow would still fall back to the exact marcher, so a
         # tight cap risks speed, not correctness.
-        from optix_ray_tracer_tpu.ops.march import DEFAULT_GRANULARITY
+        from optix_ray_tracer_tpu.ops.march import (
+            DEFAULT_ANYHIT_GRANULARITY, DEFAULT_GRANULARITY,
+        )
         from optix_ray_tracer_tpu.ops.raster import (
             measure_pair_count, round_pc_max,
         )
+        # granularity + capacity are PER-WAVE (tools/mixedg_exp.py):
+        # nearest-hit at g=4, occlusion at g=2, each capped by its own
+        # measured pair count
         G = DEFAULT_GRANULARITY
+        GS = DEFAULT_ANYHIT_GRANULARITY
         tmin0 = jnp.full((o.shape[0],), 1e-3, jnp.float32)
         tmaxI = jnp.full((o.shape[0],), 1e16, jnp.float32)
         pc1 = measure_pair_count(intersector.raster, intersector.clusters,
@@ -155,15 +161,17 @@ def main() -> None:
         pc2 = measure_pair_count(intersector.raster, intersector.clusters,
                                  so0, sd0, d0 - dist0,
                                  d0 - 1e-3, "origin", light,
-                                 granularity=G)
-        PC = round_pc_max(max(pc1, pc2))
-        print(f"pc_max auto-calibrated (g={G}): primary {pc1} + shadow "
-              f"{pc2} pairs -> capacity {PC}", file=sys.stderr)
+                                 granularity=GS)
+        PC1 = round_pc_max(pc1)
+        PC2 = round_pc_max(pc2)
+        print(f"pc_max auto-calibrated: primary g={G} {pc1} pairs -> "
+              f"{PC1}, shadow g={GS} {pc2} pairs -> {PC2}",
+              file=sys.stderr)
 
         @jax.jit
         def step(o, d):
             hit = intersector.intersect_from(scene, o, d, mode="origin",
-                                             point=o[0], pc_max=PC)
+                                             point=o[0], pc_max=PC1)
             point = o + hit.t[..., None] * d
             point = jnp.where(hit.is_hit[..., None], point, o)
             to_light = light - point
@@ -171,7 +179,7 @@ def main() -> None:
             wl = to_light / jnp.maximum(dist, 1e-6)
             shadowed = intersector.any_hit_from(
                 scene, point + wl * 1e-3, wl, mode="target", point=light,
-                t_max=dist[..., 0], pc_max=PC)
+                t_max=dist[..., 0], pc_max=PC2)
             return hit.t, shadowed
 
         # raster-path exactness guard: 1024 camera rays, full pipeline.

@@ -56,6 +56,16 @@ SORT_FREE_TRIS = 2048
 DEFAULT_GRANULARITY = int(__import__("os").environ.get(
     "ORT_RASTER_G", "4"))
 
+#: granularity for OCCLUSION (any_hit) raster waves.  Granularity is a
+#: PER-WAVE knob: nearest-hit waves profit from g=4 (byte floor + finer
+#: depth retirement) but first-hit waves retire so fast that the 2.1x
+#: pair inflation at g=4 is mostly schedule cost.  Full bench step,
+#: per-wave calibrated caps (tools/mixedg_exp.py, round 5, bit-exact
+#: across all arms): (g_near, g_occl) = (4,2) 48.3 ms beats (4,4) 49.1,
+#: (1,1) 51.4 and the r4 shared-cap g=1 config 51.0.
+DEFAULT_ANYHIT_GRANULARITY = int(__import__("os").environ.get(
+    "ORT_RASTER_G_ANYHIT", "2"))
+
 
 def ray_probe_keys(clusters, o, d, t_min, t_max):
     """(first-cluster id << 18) | direction-Morton — see SORT_MODES."""
@@ -142,7 +152,8 @@ class MarchIntersector:
             t_min_a, t_max_a = dist - t_max_a, dist - t_min_a
             mode = "origin"
         if granularity is None:
-            granularity = DEFAULT_GRANULARITY
+            granularity = (DEFAULT_ANYHIT_GRANULARITY if any_hit
+                           else DEFAULT_GRANULARITY)
         t, slot, u, v, ok = raster_query(
             self.raster, self.clusters, o2, d2, t_min_a, t_max_a,
             mode=mode, point=point, any_hit=any_hit,
