@@ -311,17 +311,22 @@ def train(train_imgs, steps: int = 3000, batch: int = 16, crop: int = 64,
         tone = lambda x: x / (1.0 + jnp.abs(x))
         return jnp.abs(tone(out) - tone(cl)).mean()
 
-    # the whole crop set lives on device (~100 MB); per-step batches are
-    # gathered there — only the (batch,) index vector crosses the host
-    # link each step (the TPU tunnel is ~35 MB/s, a 3 MB batch would
-    # dominate step time otherwise)
+    # the whole crop set lives on device (~100-300 MB); per-step batches
+    # are gathered there — only the (batch,) index vector crosses the
+    # host link each step (the TPU tunnel is ~35 MB/s, a 3 MB batch
+    # would dominate step time otherwise).  The crop arrays MUST be jit
+    # ARGUMENTS, not closure captures: captured device arrays lower as
+    # HLO constants, and at corpus scale (15 scenes, 1440 crops) the
+    # embedded-constant compile payload exceeds the TPU tunnel's
+    # remote-compile request limit (HTTP 413, measured round 5).
     dev = jax.devices()[0]
     dno, dal, dnr, dcl = (jax.device_put(a, dev)
                           for a in (noisy, alb, nrm, clean))
 
     @jax.jit
-    def step(p, s, idx):
-        args = [jnp.take(a, idx, axis=0) for a in (dno, dal, dnr, dcl)]
+    def step(p, s, idx, no_all, al_all, nr_all, cl_all):
+        args = [jnp.take(a, idx, axis=0)
+                for a in (no_all, al_all, nr_all, cl_all)]
         l, g = jax.value_and_grad(loss_fn)(p, *args)
         up, s = opt.update(g, s)
         return optax.apply_updates(p, up), s, l
@@ -329,7 +334,8 @@ def train(train_imgs, steps: int = 3000, batch: int = 16, crop: int = 64,
     t0 = time.time()
     for i in range(steps):
         idx = rng.integers(0, n, batch)
-        params, opt_state, l = step(params, opt_state, idx)
+        params, opt_state, l = step(params, opt_state, idx,
+                                    dno, dal, dnr, dcl)
         if verbose and (i % 200 == 0 or i == steps - 1):
             print(f"step {i}: loss {float(l):.4f} "
                   f"({time.time()-t0:.0f}s)")
