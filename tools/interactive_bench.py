@@ -102,7 +102,12 @@ def bench_viewer():
                 return jnp.concatenate(
                     [u8, jnp.full(u8.shape[:2] + (1,), 255, jnp.uint8)],
                     axis=-1)
-            return jax.vmap(one)(seed + jnp.arange(4, dtype=jnp.uint32))
+            # lax.map (a scan), NOT vmap: the production viewer's fused
+            # chunk scans frames, keeping the marcher's HBM woop array
+            # loop-INVARIANT.  vmap would batch the pallas_call and give
+            # the ANY-space operand a per-step index map, which Mosaic
+            # rejects ("blocks must span the array in memory space ANY")
+            return jax.lax.map(one, seed + jnp.arange(4, dtype=jnp.uint32))
 
         out = chunk4(jnp.uint32(1))
         np.asarray(out)            # compile + warm
@@ -134,7 +139,7 @@ def bench_viewer():
 
 
 if __name__ == "__main__":
-    which = sys.argv[1] if len(sys.argv) > 1 else "viewer"
+    which = sys.argv[1] if len(sys.argv) > 1 else "anim viewer"
     if "anim" in which:
         bench_anim()
     if "viewer" in which:
